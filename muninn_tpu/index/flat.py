@@ -1,0 +1,114 @@
+"""Exact (brute-force) KNN index.
+
+On TPU, exact search is itself fast — one MXU matmul sweep over the
+corpus — so this index serves three roles: (1) ground truth for the HNSW
+recall harness (the reference's tests brute-force on host,
+``test/test_hnsw_algo.c:10-34``); (2) a production path for corpora
+where exact beats approximate at TPU speeds; (3) the small-N fallback.
+
+Two compute paths: the fused Pallas streaming kernel
+(``ops/pallas_flat.flat_topk``, never materializes [B, N]) and a chunked
+pure-XLA path used off-TPU and for cross-checking.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from muninn_tpu.ops.distance import Metric, parse_metric, pairwise_distances
+from muninn_tpu.ops.topk import masked_topk, merge_topk
+from muninn_tpu.ops.pallas_flat import flat_topk
+from muninn_tpu.index.store import VectorStore
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def _xla_chunked_topk(queries, corpus, valid, k, metric, chunk=65536):
+    """Chunked exact top-k in pure XLA: scan corpus chunks, merge running
+    top-k. Keeps peak memory at [B, chunk]."""
+    b = queries.shape[0]
+    n = corpus.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    nc = corpus.shape[0] // chunk
+    corpus = corpus.reshape(nc, chunk, -1)
+    valid = valid.reshape(nc, chunk)
+
+    init_d = jnp.full((b, k), jnp.inf, jnp.float32)
+    init_i = jnp.full((b, k), -1, jnp.int32)
+
+    def body(carry, xs):
+        bd, bi = carry
+        cchunk, vchunk, base = xs
+        d = pairwise_distances(queries, cchunk, metric)
+        ids = base + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        cd, ci = masked_topk(d, k, mask=vchunk[None, :], ids=ids)
+        return merge_topk(bd, bi, cd, ci), None
+
+    bases = jnp.arange(nc, dtype=jnp.int32) * chunk
+    (bd, bi), _ = jax.lax.scan(body, (init_d, init_i), (corpus, valid, bases))
+    return bd, bi
+
+
+class FlatIndex:
+    """Exact KNN over a device-resident vector store.
+
+    API mirrors the reference's ``hnsw_index`` virtual table surface
+    (``src/hnsw_vtab.c:366-367``: insert/delete by rowid, KNN via
+    ``vector MATCH ? AND k = ?``) as plain Python calls.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        *,
+        capacity: int = 1024,
+        use_pallas: bool | None = None,
+    ):
+        self.metric = parse_metric(metric)
+        self.store = VectorStore(dim, capacity)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    @property
+    def dim(self) -> int:
+        return self.store.dim
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def insert(self, ids, vectors) -> None:
+        self.store.add(np.asarray(ids, np.int64), vectors)
+
+    def delete(self, ids) -> None:
+        self.store.remove(np.asarray(ids, np.int64))
+
+    def search(self, queries, k: int = 10):
+        """Batched exact KNN. queries [B, d] (or [d]); returns
+        ``(ids int64 [B, k], dists f32 [B, k])`` ascending; empty slots
+        are (-1, inf)."""
+        q = jnp.asarray(queries, jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        hw = max(self.store.high_watermark, 1)
+        corpus = self.store.vectors[:hw]
+        valid = self.store.valid[:hw]
+        if self.use_pallas:
+            d, slots = flat_topk(q, corpus, k, metric=self.metric, corpus_valid=valid)
+        else:
+            d, slots = _xla_chunked_topk(q, corpus, valid, k, self.metric)
+        ids = self.store.ids_of(np.asarray(slots))
+        d = np.asarray(d)
+        if single:
+            return ids[0], d[0]
+        return ids, d

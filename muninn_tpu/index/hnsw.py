@@ -1,0 +1,688 @@
+"""TPU-native HNSW: batched beam search over padded fixed-degree
+neighbor tables.
+
+Re-design of the reference's ``src/hnsw_algo.c`` (Malkov & Yashunin HNSW
+with MN-RU pruning and patience early termination) for TPU:
+
+- Node storage: dense int32 slots in a ``VectorStore`` (no hash table,
+  ids interned at the API boundary).
+- Level-0 graph: ``int32[cap, 2M]`` neighbor table + ``float32[cap, 2M]``
+  edge distances (the reference stores edge distance in its ``_edges``
+  shadow table, ``src/hnsw_vtab.c:149-180``). ``-1`` pads empty slots.
+- Upper levels: nodes are promoted with geometric probability
+  ``P(level >= l) = M^-l`` (``random_level``, ``src/hnsw_algo.c:240-248``),
+  so levels >= 1 hold only ~N/M nodes; they live in a compact side table
+  ``int32[cap_hi, L, M]`` addressed through ``hi_index[cap]``.
+- Search: batched greedy descent through upper layers, then batched
+  beam search at level 0 — beams are fixed-size sorted arrays, the
+  visited set is beam-dedup + expansion flags, and termination is the
+  reference's patience rule (``src/hnsw_algo.c:368-392``: stop after
+  ``max(ef/4, 10)`` non-improving expansions) expressed inside a
+  ``lax.while_loop``.
+- Construction: insertion *waves* — search the existing graph for a
+  batch of W new vectors at ef_construction, closest-M selection
+  (``select_neighbors_heuristic``, ``src/hnsw_algo.c:497-516`` is simple
+  closest-M), intra-wave candidate merge (a W x W matmul), forward wiring
+  by scatter, reverse wiring by sort-by-target + bounded append, then
+  distance-based pruning of over-full rows back to M_max
+  (``src/hnsw_algo.c:593-646``; MN-RU mutual-neighbor tie-breaking is
+  applied as a second sort key).
+- Delete: soft-delete + batched neighbor repair in the spirit of the
+  reference's IP-DiskANN-style reconnection (``src/hnsw_algo.c:706-787``):
+  survivors that lose edges to a deleted node get candidates from the
+  deleted node's former neighborhood.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from muninn_tpu.index.store import VectorStore
+from muninn_tpu.ops.distance import (
+    Metric,
+    gathered_distances,
+    pairwise_distances,
+    parse_metric,
+)
+from muninn_tpu.ops.topk import masked_topk, merge_topk, sorted_topk_unique
+
+HNSW_MAX_LEVELS = 32  # matches reference cap, src/hnsw_algo.h:14
+_INF = jnp.float32(jnp.inf)
+
+
+# ───────────────────────── search kernels ─────────────────────────
+
+
+@partial(jax.jit, static_argnames=("metric", "max_steps"))
+def _greedy_descent(
+    queries: jax.Array,       # [B, d]
+    entry: jax.Array,         # [B] int32 starting slots
+    level_of_query: jax.Array,  # [B] int32: descend while level > this
+    vectors: jax.Array,       # [cap, d]
+    hi_index: jax.Array,      # [cap] int32 -> row in hi_neighbors, -1 if none
+    hi_neighbors: jax.Array,  # [cap_hi, L, M] int32
+    cur_max_level: jax.Array,  # scalar int32
+    metric: Metric,
+    max_steps: int = 64,
+) -> jax.Array:
+    """Greedy 1-beam descent through upper layers, batched over queries.
+
+    Mirrors ``greedy_search_layer`` iterated from max_level down to
+    ``level_of_query + 1`` (``src/hnsw_algo.c:257-282,679-681``). Returns
+    the entry slot for level-0 (or the query's own top level) search.
+    """
+    b = queries.shape[0]
+    m = hi_neighbors.shape[2]
+
+    def level_body(lvl_from_top, cur):
+        level = cur_max_level - lvl_from_top
+        active = level > level_of_query  # only descend levels above target
+
+        def step(state):
+            cur, cur_d, improved, it = state
+            rows = hi_index[cur]                                   # [B]
+            has_row = rows >= 0
+            nbrs = hi_neighbors[jnp.maximum(rows, 0), jnp.maximum(level - 1, 0)]  # [B, M]
+            nbrs = jnp.where(has_row[:, None], nbrs, -1)
+            nvalid = nbrs >= 0
+            nvecs = vectors[jnp.maximum(nbrs, 0)]                  # [B, M, d]
+            nd = gathered_distances(queries, nvecs, metric)        # [B, M]
+            nd = jnp.where(nvalid, nd, _INF)
+            best = jnp.argmin(nd, axis=1)
+            best_d = jnp.take_along_axis(nd, best[:, None], 1)[:, 0]
+            best_i = jnp.take_along_axis(nbrs, best[:, None], 1)[:, 0]
+            better = (best_d < cur_d) & active
+            return (
+                jnp.where(better, best_i, cur),
+                jnp.where(better, best_d, cur_d),
+                better,
+                it + 1,
+            )
+
+        def cond(state):
+            _, _, improved, it = state
+            return jnp.any(improved) & (it < max_steps)
+
+        qd = gathered_distances(queries, vectors[jnp.maximum(cur, 0)][:, None, :], metric)[:, 0]
+        qd = jnp.where(cur >= 0, qd, _INF)
+        cur, _, _, _ = jax.lax.while_loop(
+            cond, step, (cur, qd, jnp.ones((b,), bool), jnp.int32(0))
+        )
+        return cur
+
+    # iterate a static number of levels; levels above cur_max_level no-op
+    cur = entry
+    for lvl_from_top in range(0, 8):
+        cur = level_body(jnp.int32(lvl_from_top), cur)
+    return cur
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "ef", "expand", "max_iters", "patience"),
+)
+def _beam_search_level0(
+    queries: jax.Array,        # [B, d]
+    entry: jax.Array,          # [B] int32
+    vectors: jax.Array,        # [cap, d]
+    neighbors0: jax.Array,     # [cap, R0] int32
+    result_valid: jax.Array,   # [cap] bool — eligible to appear in results
+    metric: Metric,
+    ef: int,
+    expand: int = 1,
+    max_iters: int = 0,
+    patience: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched ef-bounded beam search at level 0.
+
+    The reference's candidates-min-heap + results-max-heap + linear
+    visited scan (``src/hnsw_algo.c:347-448``) becomes: one sorted beam
+    array of width ``ef`` per query with an ``expanded`` bitflag encoded
+    as +/- on a parallel lane; each iteration expands the best ``expand``
+    unexpanded beam entries, gathers their neighbor rows, scores them
+    with one batched matvec, and merges (dedup) into the beam.
+
+    Termination: no unexpanded entries, or ``patience`` consecutive
+    iterations without improving the beam frontier (reference patience:
+    ``max(ef/4, 10)``, ``src/hnsw_algo.c:368-392``).
+
+    Returns (beam_dists, beam_slots) of width ef, sorted ascending.
+    Deleted nodes (``result_valid`` False) are routed through but
+    excluded by the caller from final results, like the reference's
+    soft-delete filter (``src/hnsw_algo.c:404-420``).
+    """
+    b, d = queries.shape
+    r0 = neighbors0.shape[1]
+    if patience <= 0:
+        patience = max(ef // 4, 10)  # src/hnsw_algo.c:368
+    if max_iters <= 0:
+        max_iters = 4 * ef + 16
+
+    # init beam with the entry point
+    e_d = gathered_distances(queries, vectors[jnp.maximum(entry, 0)][:, None, :], metric)[:, 0]
+    e_d = jnp.where(entry >= 0, e_d, _INF)
+    beam_d = jnp.full((b, ef), jnp.inf).at[:, 0].set(e_d)
+    beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(entry)
+    expanded = jnp.zeros((b, ef), bool)
+
+    def cond(state):
+        beam_d, beam_i, expanded, stall, it = state
+        has_unexpanded = jnp.any((~expanded) & (beam_i >= 0), axis=1)
+        live = has_unexpanded & (stall < patience)
+        return jnp.any(live) & (it < max_iters)
+
+    def step(state):
+        beam_d, beam_i, expanded, stall, it = state
+        # pick best `expand` unexpanded entries per query
+        cand_d = jnp.where(expanded | (beam_i < 0), jnp.inf, beam_d)
+        _, pick = jax.lax.top_k(-cand_d, expand)                 # [B, E] beam positions
+        pick_i = jnp.take_along_axis(beam_i, pick, axis=1)       # [B, E] slots
+        pick_valid = jnp.take_along_axis(cand_d, pick, axis=1) < jnp.inf
+        live = jnp.any(pick_valid, axis=1) & (stall < patience)
+
+        # mark picked as expanded
+        expanded = expanded.at[
+            jnp.arange(b)[:, None], pick
+        ].set(expanded[jnp.arange(b)[:, None], pick] | (pick_valid & live[:, None]))
+
+        # gather neighbor rows of picked entries
+        nbrs = neighbors0[jnp.maximum(pick_i, 0)].reshape(b, expand * r0)
+        nbrs = jnp.where(
+            (pick_valid & live[:, None]).repeat(r0, axis=1), nbrs, -1
+        )
+        # dedup against beam (merge_topk dedups by id); score candidates
+        nvecs = vectors[jnp.maximum(nbrs, 0)]                     # [B, E*R0, d]
+        nd = gathered_distances(queries, nvecs, metric)
+        nd = jnp.where(nbrs >= 0, nd, jnp.inf)
+        # candidates already in beam must not re-enter as unexpanded:
+        # merge with expanded-state tracking — handled by id-dedup keeping
+        # the *existing* (possibly expanded) entry when distances tie, and
+        # by distance: same id has identical distance, dedup keeps one.
+        cd, ci = sorted_topk_unique(nd, nbrs, min(expand * r0, ef))
+
+        new_d, new_i = merge_topk(beam_d, beam_i, cd, ci)
+        # rebuild expanded flags: an entry is expanded iff its id was
+        # expanded before (match by id against old beam)
+        match = new_i[:, :, None] == beam_i[:, None, :]           # [B, ef, ef]
+        was_expanded = jnp.any(match & expanded[:, None, :] & (beam_i >= 0)[:, None, :], axis=2)
+        new_expanded = was_expanded & (new_i >= 0)
+
+        improved = new_d[:, ef - 1] < beam_d[:, ef - 1]
+        stall = jnp.where(live, jnp.where(improved, 0, stall + 1), stall)
+        return new_d, new_i, new_expanded, stall, it + 1
+
+    beam_d, beam_i, expanded, _, _ = jax.lax.while_loop(
+        cond, step, (beam_d, beam_i, expanded, jnp.zeros((b,), jnp.int32), jnp.int32(0))
+    )
+    return beam_d, beam_i
+
+
+# ───────────────────────── index class ─────────────────────────
+
+
+@dataclass
+class HnswParams:
+    """Mirrors the reference's create-time knobs
+    (``src/hnsw_vtab.c:80-134``): dimensions=, metric=, m=16,
+    ef_construction=200."""
+
+    dim: int
+    metric: Metric = Metric.L2
+    m: int = 16
+    ef_construction: int = 200
+
+
+class HnswIndex:
+    """HNSW approximate nearest-neighbor index, TPU-native.
+
+    Public surface mirrors the reference vtab semantics
+    (``src/hnsw_vtab.c``): ``insert(ids, vectors)``,
+    ``delete(ids)``, ``search(queries, k, ef_search)`` with
+    ``ef_search`` defaulting to ``k * 2`` (``src/hnsw_vtab.c:586-619``).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        m: int = 16,
+        ef_construction: int = 200,
+        *,
+        capacity: int = 2048,
+        seed: int = 42,
+        expand: int = 1,
+        wave_size: int = 1024,
+    ):
+        if m < 2:
+            raise ValueError("m must be >= 2")
+        self.params = HnswParams(int(dim), parse_metric(metric), int(m), int(ef_construction))
+        self.store = VectorStore(dim, capacity)
+        self.m = int(m)
+        self.m0 = 2 * int(m)  # M_max0 = 2*M, src/hnsw_algo.c:188
+        self.ef_construction = int(ef_construction)
+        self.expand = int(expand)
+        self.wave_size = int(wave_size)
+        self._rng = np.random.default_rng(seed)  # level sampling, seeded
+        # the reference's seeded xorshift32 (src/hnsw_algo.c:222-224)
+        self.level_mult = 1.0 / np.log(m)
+
+        cap = self.store.capacity
+        self.neighbors0 = jnp.full((cap, self.m0), -1, jnp.int32)
+        self.dists0 = jnp.full((cap, self.m0), jnp.inf, jnp.float32)
+        self.levels = np.full((cap,), -1, np.int32)  # host copy
+        # compact upper-level tables
+        self.hi_levels_width = 8  # levels 1..8 stored; P(level>8) ~ M^-8
+        hi_cap = max(cap // max(self.m // 2, 2), 64)
+        self.hi_index = jnp.full((cap,), -1, jnp.int32)
+        self.hi_neighbors = jnp.full(
+            (hi_cap, self.hi_levels_width, self.m), -1, jnp.int32
+        )
+        self._hi_count = 0
+        self.entry_point = -1   # slot, not external id
+        self.max_level = -1
+
+    # ── properties ──
+
+    @property
+    def dim(self) -> int:
+        return self.store.dim
+
+    @property
+    def metric(self) -> Metric:
+        return self.params.metric
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def seed_rng(self, seed: int) -> None:
+        """Reset level-sampling PRNG (reference ``hnsw_seed_rng``,
+        ``src/hnsw_algo.c:222-224``)."""
+        self._rng = np.random.default_rng(seed)
+
+    # ── capacity management ──
+
+    def _sync_capacity(self) -> None:
+        cap = self.store.capacity
+        old = self.neighbors0.shape[0]
+        if cap == old:
+            return
+        self.neighbors0 = jnp.pad(
+            self.neighbors0, ((0, cap - old), (0, 0)), constant_values=-1
+        )
+        self.dists0 = jnp.pad(
+            self.dists0, ((0, cap - old), (0, 0)), constant_values=jnp.inf
+        )
+        self.levels = np.pad(self.levels, (0, cap - old), constant_values=-1)
+        self.hi_index = jnp.pad(self.hi_index, (0, cap - old), constant_values=-1)
+        hi_cap = self.hi_neighbors.shape[0]
+        need_hi = max(cap // max(self.m // 2, 2), 64)
+        if need_hi > hi_cap:
+            self.hi_neighbors = jnp.pad(
+                self.hi_neighbors, ((0, need_hi - hi_cap), (0, 0), (0, 0)),
+                constant_values=-1,
+            )
+
+    # ── level sampling ──
+
+    def _sample_levels(self, n: int) -> np.ndarray:
+        """Geometric levels: floor(-ln(U) * 1/ln(M)), capped
+        (``random_level``, src/hnsw_algo.c:240-248)."""
+        u = self._rng.random(n)
+        u = np.maximum(u, 1e-10)
+        lv = np.floor(-np.log(u) * self.level_mult).astype(np.int32)
+        return np.minimum(lv, HNSW_MAX_LEVELS - 1)
+
+    # ── search ──
+
+    def search(self, queries, k: int = 10, ef_search: int | None = None):
+        """Batched KNN. Returns (ids int64 [B,k], dists f32 [B,k]).
+
+        ``ef_search`` defaults to ``k * 2`` (src/hnsw_vtab.c:600-603).
+        """
+        q = jnp.asarray(queries, jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        if ef_search is None:
+            ef_search = max(k * 2, k)
+        ef = max(ef_search, k)
+        b = q.shape[0]
+        if self.entry_point < 0:
+            empty_ids = np.full((b, k), -1, np.int64)
+            empty_d = np.full((b, k), np.inf, np.float32)
+            return (empty_ids[0], empty_d[0]) if single else (empty_ids, empty_d)
+
+        beam_d, beam_i = self._search_slots(q, ef)
+        # filter soft-deleted + take k
+        valid = self.store.valid
+        ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
+        beam_d = jnp.where(ok, beam_d, jnp.inf)
+        beam_i = jnp.where(ok, beam_i, -1)
+        d, slots = sorted_topk_unique(beam_d, beam_i, k)
+        ids = self.store.ids_of(np.asarray(slots))
+        d = np.asarray(d)
+        return (ids[0], d[0]) if single else (ids, d)
+
+    def _search_slots(self, q: jax.Array, ef: int, entry: jax.Array | None = None,
+                      to_level: int = 0) -> tuple[jax.Array, jax.Array]:
+        """Greedy descent + level-0 beam search; returns slot-space beams."""
+        b = q.shape[0]
+        if entry is None:
+            entry = jnp.full((b,), self.entry_point, jnp.int32)
+        lvl = jnp.full((b,), to_level, jnp.int32)
+        entry = _greedy_descent(
+            q, entry, lvl, self.store.vectors, self.hi_index,
+            self.hi_neighbors, jnp.int32(self.max_level), self.metric,
+        )
+        return _beam_search_level0(
+            q, entry, self.store.vectors, self.neighbors0,
+            self.store.valid, self.metric, ef, self.expand,
+        )
+
+    # ── insert ──
+
+    def insert(self, ids, vectors) -> None:
+        """Batched insert. Splits into waves of ``wave_size``."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        vecs = np.asarray(vectors, np.float32).reshape(len(ids), self.dim)
+        for s in range(0, len(ids), self.wave_size):
+            self._insert_wave(ids[s : s + self.wave_size], vecs[s : s + self.wave_size])
+
+    def _insert_wave(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        w = len(ids)
+        slots = self.store.add(ids, vecs)
+        self._sync_capacity()
+        levels = self._sample_levels(w)
+        self.levels[slots] = levels
+        qv = jnp.asarray(vecs)
+
+        first = self.entry_point < 0
+        if first:
+            # bootstrap: first wave wires among itself only
+            seed_slot = int(slots[0])
+            self.entry_point = seed_slot
+            self.max_level = int(levels[0])
+
+        # promote nodes with level >= 1 into the hi table
+        promoted = np.nonzero(levels >= 1)[0]
+        if len(promoted):
+            hi_rows = np.arange(self._hi_count, self._hi_count + len(promoted), dtype=np.int32)
+            self._hi_count += len(promoted)
+            if self._hi_count > self.hi_neighbors.shape[0]:
+                grow = self._hi_count * 2 - self.hi_neighbors.shape[0]
+                self.hi_neighbors = jnp.pad(
+                    self.hi_neighbors, ((0, grow), (0, 0), (0, 0)), constant_values=-1
+                )
+            self.hi_index = self.hi_index.at[slots[promoted]].set(jnp.asarray(hi_rows))
+
+        # 1. search existing graph for candidates (level 0)
+        ef = max(self.ef_construction, self.m0 + 1)
+        if not first or w > 1:
+            beam_d, beam_i = self._search_slots(qv, ef)
+        else:
+            beam_d = jnp.full((w, ef), jnp.inf)
+            beam_i = jnp.full((w, ef), -1, jnp.int32)
+
+        # exclude self-matches (an inserted node can find itself only if
+        # this wave's slots were already visible — they are, via store.add)
+        self_mask = beam_i == jnp.asarray(slots)[:, None]
+        beam_d = jnp.where(self_mask, jnp.inf, beam_d)
+        beam_i = jnp.where(self_mask, -1, beam_i)
+
+        # 2. intra-wave candidates: W x W distances so wave members can
+        # link to each other (the sequential reference gets this for free)
+        intra = pairwise_distances(qv, qv, self.metric)
+        eye = jnp.eye(w, dtype=bool)
+        intra = jnp.where(eye, jnp.inf, intra)
+        kk = min(self.m0, max(w - 1, 1))
+        id_, ii = masked_topk(intra, kk, ids=jnp.asarray(slots)[None, :].repeat(w, 0))
+        beam_d, beam_i = merge_topk(beam_d, beam_i, id_, ii)
+
+        # 3. select M_max0 closest as level-0 neighbors (closest-M
+        # heuristic, src/hnsw_algo.c:497-516)
+        sel_d, sel_i = sorted_topk_unique(beam_d, beam_i, self.m0)
+
+        # 4. forward wiring
+        self.neighbors0 = self.neighbors0.at[slots].set(sel_i)
+        self.dists0 = self.dists0.at[slots].set(jnp.where(sel_i >= 0, sel_d, jnp.inf))
+
+        # upper-level wiring for promoted nodes: closest-M among
+        # candidates that share the level
+        if len(promoted):
+            self._wire_upper_levels(slots, levels, promoted, sel_d, sel_i)
+
+        # 5. reverse wiring + prune
+        self._reverse_wire(jnp.asarray(slots), sel_i, sel_d)
+
+        # 6. entry point update: highest level wins (src/hnsw_algo.c:660-663)
+        top = int(np.argmax(levels))
+        if int(levels[top]) > self.max_level:
+            self.max_level = int(levels[top])
+            self.entry_point = int(slots[top])
+
+    def _wire_upper_levels(self, slots, levels, promoted, sel_d, sel_i) -> None:
+        """Wire promoted nodes at levels 1..their level: neighbors are the
+        closest M candidates that also reach that level."""
+        cand_i = np.asarray(sel_i)          # [W, m0]
+        cand_d = np.asarray(sel_d)
+        cand_lv = np.where(cand_i >= 0, self.levels[np.maximum(cand_i, 0)], -1)
+        hi_index_np = np.asarray(self.hi_index)
+        updates_rows, updates_lvls, updates_vals = [], [], []
+        rev_edges = []  # (other_slot, level, new_slot, dist)
+        for j in promoted:
+            s = int(slots[j])
+            hrow = int(hi_index_np[s])
+            for lv in range(1, min(int(levels[j]), self.hi_levels_width) + 1):
+                ok = cand_lv[j] >= lv
+                order = np.argsort(np.where(ok, cand_d[j], np.inf))[: self.m]
+                chosen = np.where(ok[order], cand_i[j][order], -1)
+                row = np.full((self.m,), -1, np.int32)
+                nsel = chosen[chosen >= 0]
+                row[: len(nsel)] = nsel
+                updates_rows.append(hrow)
+                updates_lvls.append(lv - 1)
+                updates_vals.append(row)
+                for o, dd in zip(nsel.tolist(), cand_d[j][order][: len(nsel)].tolist()):
+                    rev_edges.append((o, lv, s))
+        if updates_rows:
+            self.hi_neighbors = self.hi_neighbors.at[
+                jnp.asarray(updates_rows), jnp.asarray(updates_lvls)
+            ].set(jnp.asarray(np.stack(updates_vals)))
+        # reverse upper-level edges: append if room, else replace worst by
+        # distance (simple closest-M prune; upper levels are tiny)
+        if rev_edges:
+            hi = np.asarray(self.hi_neighbors)
+            vec_np = np.asarray(self.store.vectors)
+            for o, lv, s in rev_edges:
+                ho = int(hi_index_np[o])
+                if ho < 0 or lv - 1 >= self.hi_levels_width:
+                    continue
+                row = hi[ho, lv - 1]
+                if s in row:
+                    continue
+                empty = np.nonzero(row < 0)[0]
+                if len(empty):
+                    hi[ho, lv - 1, empty[0]] = s
+                else:
+                    ov = vec_np[o]
+                    dnew = self._host_dist(ov, vec_np[s])
+                    drow = np.array(
+                        [self._host_dist(ov, vec_np[r]) for r in row]
+                    )
+                    worst = int(np.argmax(drow))
+                    if dnew < drow[worst]:
+                        hi[ho, lv - 1, worst] = s
+            self.hi_neighbors = jnp.asarray(hi)
+
+    def _host_dist(self, a: np.ndarray, b: np.ndarray) -> float:
+        if self.metric is Metric.L2:
+            d = a - b
+            return float(d @ d)
+        if self.metric is Metric.INNER_PRODUCT:
+            return float(-(a @ b))
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na * nb < 1e-30:
+            return 1.0
+        return float(1.0 - (a @ b) / (na * nb))
+
+    def _reverse_wire(self, new_slots: jax.Array, sel_i: jax.Array, sel_d: jax.Array) -> None:
+        """Append reverse edges new->nbr into nbr rows, then prune
+        over-full rows to M_max0 by (distance asc, mutual-neighbor-count
+        desc) — the MN-RU rule (src/hnsw_algo.c:593-646)."""
+        w, m0 = sel_i.shape
+        tgt = sel_i.reshape(-1)                       # [W*m0] target slots
+        src = jnp.repeat(new_slots, m0)               # [W*m0] new slots
+        dd = sel_d.reshape(-1)
+        valid = tgt >= 0
+
+        # group edges by target via sort; bounded appends per target
+        order = jnp.argsort(jnp.where(valid, tgt, jnp.int32(2**31 - 1)))
+        tgt_s = tgt[order]
+        src_s = src[order]
+        dd_s = dd[order]
+        valid_s = valid[order]
+        # position within group
+        idx = jnp.arange(tgt_s.shape[0])
+        first_of_group = jnp.searchsorted(tgt_s, tgt_s, side="left")
+        pos = idx - first_of_group
+        a_max = self.m0  # appends beyond M_max0 can't all survive pruning anyway
+        keep = valid_s & (pos < a_max)
+
+        cap = self.neighbors0.shape[0]
+        append_i = jnp.full((cap, a_max), -1, jnp.int32)
+        append_d = jnp.full((cap, a_max), jnp.inf, jnp.float32)
+        append_i = append_i.at[
+            jnp.where(keep, tgt_s, cap - 1), jnp.where(keep, pos, a_max - 1)
+        ].set(jnp.where(keep, src_s, append_i[cap - 1, a_max - 1]), mode="drop")
+        append_d = append_d.at[
+            jnp.where(keep, tgt_s, cap - 1), jnp.where(keep, pos, a_max - 1)
+        ].set(jnp.where(keep, dd_s, jnp.inf), mode="drop")
+
+        # affected rows: unique targets (padded)
+        aff = np.unique(np.asarray(tgt))
+        aff = aff[aff >= 0].astype(np.int32)
+        if len(aff) == 0:
+            return
+        aff_j = jnp.asarray(aff)
+        self.neighbors0, self.dists0 = _prune_rows(
+            self.neighbors0, self.dists0, append_i, append_d, aff_j, self.m0
+        )
+
+    # ── delete ──
+
+    def delete(self, ids) -> None:
+        """Soft-delete + batched neighbor repair.
+
+        Reference behavior (``hnsw_delete``, src/hnsw_algo.c:706-802):
+        soft-delete flag, reconnect orphaned neighbors among the deleted
+        node's former neighborhood, re-scan entry point if deleted.
+        """
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        if len(ids) == 0:
+            return
+        slots = self.store.remove(ids)
+        slots_j = jnp.asarray(slots)
+
+        # former neighborhoods of the deleted nodes
+        former = self.neighbors0[slots_j]            # [D, m0]
+        # survivors among former neighbors get repair candidates =
+        # (deleted's former neighbors) minus deleted nodes
+        self._repair_after_delete(slots_j, former)
+
+        # clear deleted rows
+        self.neighbors0 = self.neighbors0.at[slots_j].set(-1)
+        self.dists0 = self.dists0.at[slots_j].set(jnp.inf)
+        for s in slots:
+            self.levels[s] = -1
+        # drop from hi tables
+        hi_rows = self.hi_index[slots_j]
+        live_rows = hi_rows[hi_rows >= 0]
+        if live_rows.shape[0]:
+            self.hi_neighbors = self.hi_neighbors.at[live_rows].set(-1)
+        self.hi_index = self.hi_index.at[slots_j].set(-1)
+
+        # entry point re-scan (src/hnsw_algo.c:790-802)
+        if self.entry_point in set(int(s) for s in slots):
+            self._rescan_entry_point()
+
+    def _repair_after_delete(self, dslots: jax.Array, former: jax.Array) -> None:
+        """Remove edges pointing at deleted nodes; orphans (degree < M/2,
+        src/hnsw_algo.c:706-787) among former neighbors get candidate
+        edges from the rest of the former neighborhood."""
+        deleted_mask = jnp.zeros((self.neighbors0.shape[0],), bool).at[dslots].set(True)
+
+        # survivors whose rows reference a deleted node
+        aff = np.unique(np.asarray(former))
+        aff = aff[aff >= 0]
+        aff = aff[~np.isin(aff, np.asarray(dslots))]
+        if len(aff) == 0:
+            return
+        aff_j = jnp.asarray(aff.astype(np.int32))
+        rows_i = self.neighbors0[aff_j]
+        rows_d = self.dists0[aff_j]
+        dead = (rows_i >= 0) & deleted_mask[jnp.maximum(rows_i, 0)]
+        rows_i = jnp.where(dead, -1, rows_i)
+        rows_d = jnp.where(dead, jnp.inf, rows_d)
+
+        # candidate pool per affected node: union of former neighborhoods
+        # of the deleted nodes it pointed to — approximate with the full
+        # union across the delete wave (waves are small)
+        pool = np.unique(np.asarray(former))
+        pool = pool[pool >= 0]
+        pool = pool[~np.isin(pool, np.asarray(dslots))]
+        if len(pool):
+            pool_j = jnp.asarray(pool.astype(np.int32))
+            av = self.store.vectors[aff_j]           # [A, d]
+            pv = self.store.vectors[pool_j]          # [P, d]
+            pd = pairwise_distances(av, pv, self.metric)
+            self_m = aff_j[:, None] == pool_j[None, :]
+            pd = jnp.where(self_m, jnp.inf, pd)
+            kk = min(self.m0, len(pool))
+            cd, ci = masked_topk(pd, kk, ids=jnp.broadcast_to(pool_j[None, :], pd.shape))
+            # orphan = degree below M/2 after removal (reference: < M/2)
+            deg = jnp.sum(rows_i >= 0, axis=1)
+            orphan = deg < (self.m // 2)
+            cd = jnp.where(orphan[:, None], cd, jnp.inf)
+            ci = jnp.where(orphan[:, None], ci, -1)
+            rows_d, rows_i = merge_topk(rows_d, rows_i, cd, ci)
+
+        self.neighbors0 = self.neighbors0.at[aff_j].set(rows_i)
+        self.dists0 = self.dists0.at[aff_j].set(rows_d)
+
+    def _rescan_entry_point(self) -> None:
+        valid = np.asarray(self.store.valid)
+        live = np.nonzero(valid)[0]
+        if len(live) == 0:
+            self.entry_point = -1
+            self.max_level = -1
+            return
+        lv = self.levels[live]
+        best = int(np.argmax(lv))
+        self.entry_point = int(live[best])
+        self.max_level = int(lv[best])
+
+
+@partial(jax.jit, static_argnames=("m_max",), donate_argnums=(0, 1))
+def _prune_rows(neighbors0, dists0, append_i, append_d, aff, m_max):
+    """Merge appended reverse edges into affected rows and keep the
+    closest M_max (distance-ascending prune; reference adds
+    mutual-neighbor-count as a tiebreak, src/hnsw_algo.c:593-646)."""
+    rows_i = neighbors0[aff]                     # [A, m_max]
+    rows_d = dists0[aff]
+    app_i = append_i[aff]
+    app_d = append_d[aff]
+    cat_i = jnp.concatenate([rows_i, app_i], axis=1)
+    cat_d = jnp.concatenate([rows_d, app_d], axis=1)
+    # self-loops shouldn't exist; dedup + sort + truncate
+    new_d, new_i = sorted_topk_unique(cat_d, cat_i, m_max)
+    new_d = jnp.where(new_i >= 0, new_d, jnp.inf)
+    neighbors0 = neighbors0.at[aff].set(new_i)
+    dists0 = dists0.at[aff].set(new_d)
+    return neighbors0, dists0

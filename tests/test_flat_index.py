@@ -1,0 +1,105 @@
+"""FlatIndex + Pallas flat_topk (interpret mode on CPU) vs numpy."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from muninn_tpu.index.flat import FlatIndex, _xla_chunked_topk
+from muninn_tpu.ops.pallas_flat import flat_topk
+from muninn_tpu.ops.distance import Metric
+
+
+def brute(q, c, metric, k, valid=None):
+    if metric == "l2":
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    elif metric == "inner_product":
+        d = -(q @ c.T)
+    else:
+        qn = np.linalg.norm(q, axis=1)[:, None]
+        cn = np.linalg.norm(c, axis=1)[None, :]
+        d = 1 - (q @ c.T) / np.maximum(qn * cn, 1e-30)
+    if valid is not None:
+        d = np.where(valid[None, :], d, np.inf)
+    idx = np.argsort(d, axis=1)[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "inner_product"])
+def test_pallas_flat_topk_matches_brute(rng, metric):
+    q = rng.standard_normal((5, 40)).astype(np.float32)
+    c = rng.standard_normal((300, 40)).astype(np.float32)
+    d, i = flat_topk(
+        jnp.array(q), jnp.array(c), 10, metric=metric,
+        tb=8, tc=128, interpret=True,
+    )
+    wd, wi = brute(q, c, metric, 10)
+    np.testing.assert_allclose(np.asarray(d), wd, rtol=1e-3, atol=1e-3)
+    # ids may differ on ties; compare via distances
+    np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_pallas_flat_topk_validity_mask(rng):
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    c = rng.standard_normal((100, 16)).astype(np.float32)
+    valid = rng.random(100) > 0.4
+    d, i = flat_topk(
+        jnp.array(q), jnp.array(c), 5, metric="l2",
+        corpus_valid=jnp.array(valid), tb=8, tc=64, interpret=True,
+    )
+    wd, wi = brute(q, c, "l2", 5, valid)
+    np.testing.assert_allclose(np.asarray(d), wd, rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+    assert valid[np.asarray(i)].all()
+
+
+def test_xla_chunked_matches_brute(rng):
+    q = rng.standard_normal((4, 24)).astype(np.float32)
+    c = rng.standard_normal((500, 24)).astype(np.float32)
+    valid = np.ones(500, bool)
+    d, i = _xla_chunked_topk(jnp.array(q), jnp.array(c), jnp.array(valid),
+                             7, Metric.L2, chunk=128)
+    wd, wi = brute(q, c, "l2", 7)
+    np.testing.assert_allclose(np.asarray(d), wd, rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_flat_index_end_to_end(rng):
+    idx = FlatIndex(32, "l2", use_pallas=False)
+    vecs = rng.standard_normal((200, 32)).astype(np.float32)
+    ids = np.arange(1000, 1200)
+    idx.insert(ids, vecs)
+    assert len(idx) == 200
+
+    q = vecs[17] + 0.001
+    got_ids, got_d = idx.search(q, k=3)
+    assert got_ids[0] == 1017
+    assert got_d[0] < 0.01
+
+    # delete the best hit; it must vanish from results
+    idx.delete([1017])
+    got_ids, _ = idx.search(q, k=3)
+    assert 1017 not in got_ids
+    assert len(idx) == 199
+
+
+def test_flat_index_batched_search(rng):
+    idx = FlatIndex(16, "cosine", use_pallas=False)
+    vecs = rng.standard_normal((64, 16)).astype(np.float32)
+    idx.insert(np.arange(64), vecs)
+    ids, d = idx.search(vecs[:8], k=1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(8))
+    assert (d[:, 0] < 1e-4).all()
+
+
+def test_flat_index_dim_mismatch(rng):
+    idx = FlatIndex(8, "l2", use_pallas=False)
+    idx.insert([1], rng.standard_normal((1, 8)).astype(np.float32))
+    with pytest.raises(ValueError):
+        idx.search(np.zeros(9), k=1)
+
+
+def test_flat_index_duplicate_id(rng):
+    idx = FlatIndex(8, "l2", use_pallas=False)
+    idx.insert([1], rng.standard_normal((1, 8)).astype(np.float32))
+    with pytest.raises(ValueError):
+        idx.insert([1], rng.standard_normal((1, 8)).astype(np.float32))

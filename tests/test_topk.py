@@ -1,0 +1,84 @@
+"""Masked top-k / merge primitives (the priority_queue.c replacement)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from muninn_tpu.ops.topk import masked_topk, merge_topk, sorted_topk_unique
+
+
+def test_masked_topk_basic(rng):
+    d = rng.standard_normal((3, 20)).astype(np.float32)
+    td, ti = masked_topk(jnp.array(d), 5)
+    td, ti = np.asarray(td), np.asarray(ti)
+    for b in range(3):
+        want = np.sort(d[b])[:5]
+        np.testing.assert_allclose(td[b], want, rtol=1e-6)
+        np.testing.assert_allclose(d[b][ti[b]], want, rtol=1e-6)
+
+
+def test_masked_topk_respects_mask(rng):
+    d = rng.standard_normal((2, 10)).astype(np.float32)
+    mask = np.zeros((2, 10), bool)
+    mask[:, :3] = True
+    td, ti = masked_topk(jnp.array(d), 5, mask=jnp.array(mask))
+    td, ti = np.asarray(td), np.asarray(ti)
+    assert (ti[:, :3] < 3).all()
+    assert (ti[:, 3:] == -1).all()
+    assert np.isinf(td[:, 3:]).all()
+
+
+def test_masked_topk_k_larger_than_n(rng):
+    d = rng.standard_normal((1, 4)).astype(np.float32)
+    td, ti = masked_topk(jnp.array(d), 8)
+    assert td.shape == (1, 8)
+    assert np.isinf(np.asarray(td)[0, 4:]).all()
+    assert (np.asarray(ti)[0, 4:] == -1).all()
+
+
+def test_masked_topk_custom_ids(rng):
+    d = rng.standard_normal((1, 6)).astype(np.float32)
+    ids = jnp.array([[10, 11, 12, 13, 14, 15]], dtype=jnp.int32)
+    _, ti = masked_topk(jnp.array(d), 3, ids=ids)
+    want = np.argsort(d[0])[:3] + 10
+    np.testing.assert_array_equal(np.asarray(ti)[0], want)
+
+
+def test_merge_topk_merges_and_dedups():
+    da = jnp.array([[1.0, 3.0, 5.0]])
+    ia = jnp.array([[1, 3, 5]], dtype=jnp.int32)
+    db = jnp.array([[2.0, 3.0, 9.0]])
+    ib = jnp.array([[2, 3, 9]], dtype=jnp.int32)  # id 3 duplicated
+    md, mi = merge_topk(da, ia, db, ib)
+    np.testing.assert_allclose(np.asarray(md)[0], [1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(mi)[0], [1, 2, 3])
+
+
+def test_merge_topk_with_invalid_slots():
+    da = jnp.array([[1.0, np.inf]])
+    ia = jnp.array([[4, -1]], dtype=jnp.int32)
+    db = jnp.array([[0.5, np.inf]])
+    ib = jnp.array([[7, -1]], dtype=jnp.int32)
+    md, mi = merge_topk(da, ia, db, ib)
+    np.testing.assert_allclose(np.asarray(md)[0], [0.5, 1.0])
+    np.testing.assert_array_equal(np.asarray(mi)[0], [7, 4])
+
+
+def test_sorted_topk_unique(rng):
+    d = jnp.array([[4.0, 1.0, 4.0, 2.0]])
+    i = jnp.array([[8, 5, 8, 6]], dtype=jnp.int32)
+    sd, si = sorted_topk_unique(d, i, 3)
+    np.testing.assert_allclose(np.asarray(sd)[0], [1.0, 2.0, 4.0])
+    np.testing.assert_array_equal(np.asarray(si)[0], [5, 6, 8])
+
+
+def test_merge_topk_random_vs_numpy(rng):
+    for _ in range(5):
+        da = np.sort(rng.standard_normal((2, 8)).astype(np.float32), axis=1)
+        db = np.sort(rng.standard_normal((2, 6)).astype(np.float32), axis=1)
+        ia = rng.permutation(100)[:16].reshape(2, 8).astype(np.int32)
+        ib = (rng.permutation(100)[:12] + 200).reshape(2, 6).astype(np.int32)
+        md, mi = merge_topk(jnp.array(da), jnp.array(ia), jnp.array(db), jnp.array(ib))
+        for b in range(2):
+            allv = np.concatenate([da[b], db[b]])
+            want = np.sort(allv)[:8]
+            np.testing.assert_allclose(np.asarray(md)[b], want, rtol=1e-6)
