@@ -83,11 +83,13 @@ def _greedy_descent(
         level = cur_max_level - lvl_from_top
         active = level > level_of_query  # only descend levels above target
 
+        lvl_row = jnp.clip(level - 1, 0, hi_neighbors.shape[1] - 1)
+
         def step(state):
             cur, cur_d, improved, it = state
             rows = hi_index[cur]                                   # [B]
             has_row = rows >= 0
-            nbrs = hi_neighbors[jnp.maximum(rows, 0), jnp.maximum(level - 1, 0)]  # [B, M]
+            nbrs = hi_neighbors[jnp.maximum(rows, 0), lvl_row]     # [B, M]
             nbrs = jnp.where(has_row[:, None], nbrs, -1)
             nvalid = nbrs >= 0
             nvecs = vectors[jnp.maximum(nbrs, 0)]                  # [B, M, d]
@@ -131,7 +133,6 @@ def _beam_search_level0(
     entry: jax.Array,          # [B] int32
     vectors: jax.Array,        # [cap, d]
     neighbors0: jax.Array,     # [cap, R0] int32
-    result_valid: jax.Array,   # [cap] bool — eligible to appear in results
     metric: Metric,
     ef: int,
     expand: int = 1,
@@ -383,7 +384,7 @@ class HnswIndex:
         )
         return _beam_search_level0(
             q, entry, self.store.vectors, self.neighbors0,
-            self.store.valid, self.metric, ef, self.expand,
+            self.metric, ef, self.expand,
         )
 
     # ── insert ──
@@ -397,17 +398,25 @@ class HnswIndex:
 
     def _insert_wave(self, ids: np.ndarray, vecs: np.ndarray) -> None:
         w = len(ids)
+        qv = jnp.asarray(vecs)
+        first = self.entry_point < 0
+        ef = max(self.ef_construction, self.m0 + 1)
+
+        # 1. search the *existing* graph (before this wave becomes
+        # visible) for level-0 candidates at ef_construction
+        if not first:
+            beam_d, beam_i = self._search_slots(qv, ef)
+        else:
+            beam_d = jnp.full((w, ef), jnp.inf)
+            beam_i = jnp.full((w, ef), -1, jnp.int32)
+
         slots = self.store.add(ids, vecs)
         self._sync_capacity()
         levels = self._sample_levels(w)
         self.levels[slots] = levels
-        qv = jnp.asarray(vecs)
 
-        first = self.entry_point < 0
         if first:
-            # bootstrap: first wave wires among itself only
-            seed_slot = int(slots[0])
-            self.entry_point = seed_slot
+            self.entry_point = int(slots[0])
             self.max_level = int(levels[0])
 
         # promote nodes with level >= 1 into the hi table
@@ -421,20 +430,6 @@ class HnswIndex:
                     self.hi_neighbors, ((0, grow), (0, 0), (0, 0)), constant_values=-1
                 )
             self.hi_index = self.hi_index.at[slots[promoted]].set(jnp.asarray(hi_rows))
-
-        # 1. search existing graph for candidates (level 0)
-        ef = max(self.ef_construction, self.m0 + 1)
-        if not first or w > 1:
-            beam_d, beam_i = self._search_slots(qv, ef)
-        else:
-            beam_d = jnp.full((w, ef), jnp.inf)
-            beam_i = jnp.full((w, ef), -1, jnp.int32)
-
-        # exclude self-matches (an inserted node can find itself only if
-        # this wave's slots were already visible — they are, via store.add)
-        self_mask = beam_i == jnp.asarray(slots)[:, None]
-        beam_d = jnp.where(self_mask, jnp.inf, beam_d)
-        beam_i = jnp.where(self_mask, -1, beam_i)
 
         # 2. intra-wave candidates: W x W distances so wave members can
         # link to each other (the sequential reference gets this for free)
@@ -489,7 +484,7 @@ class HnswIndex:
                 updates_rows.append(hrow)
                 updates_lvls.append(lv - 1)
                 updates_vals.append(row)
-                for o, dd in zip(nsel.tolist(), cand_d[j][order][: len(nsel)].tolist()):
+                for o in nsel.tolist():
                     rev_edges.append((o, lv, s))
         if updates_rows:
             self.hi_neighbors = self.hi_neighbors.at[
@@ -498,7 +493,7 @@ class HnswIndex:
         # reverse upper-level edges: append if room, else replace worst by
         # distance (simple closest-M prune; upper levels are tiny)
         if rev_edges:
-            hi = np.asarray(self.hi_neighbors)
+            hi = np.array(self.hi_neighbors)  # writable host copy
             vec_np = np.asarray(self.store.vectors)
             for o, lv, s in rev_edges:
                 ho = int(hi_index_np[o])
@@ -556,14 +551,13 @@ class HnswIndex:
         keep = valid_s & (pos < a_max)
 
         cap = self.neighbors0.shape[0]
+        # dropped entries get an out-of-bounds row -> discarded by mode="drop"
+        row_idx = jnp.where(keep, tgt_s, cap)
+        col_idx = jnp.where(keep, pos, 0)
         append_i = jnp.full((cap, a_max), -1, jnp.int32)
         append_d = jnp.full((cap, a_max), jnp.inf, jnp.float32)
-        append_i = append_i.at[
-            jnp.where(keep, tgt_s, cap - 1), jnp.where(keep, pos, a_max - 1)
-        ].set(jnp.where(keep, src_s, append_i[cap - 1, a_max - 1]), mode="drop")
-        append_d = append_d.at[
-            jnp.where(keep, tgt_s, cap - 1), jnp.where(keep, pos, a_max - 1)
-        ].set(jnp.where(keep, dd_s, jnp.inf), mode="drop")
+        append_i = append_i.at[row_idx, col_idx].set(src_s, mode="drop")
+        append_d = append_d.at[row_idx, col_idx].set(dd_s, mode="drop")
 
         # affected rows: unique targets (padded)
         aff = np.unique(np.asarray(tgt))
@@ -646,15 +640,24 @@ class HnswIndex:
             pd = jnp.where(self_m, jnp.inf, pd)
             kk = min(self.m0, len(pool))
             cd, ci = masked_topk(pd, kk, ids=jnp.broadcast_to(pool_j[None, :], pd.shape))
-            # orphan = degree below M/2 after removal (reference: < M/2)
-            deg = jnp.sum(rows_i >= 0, axis=1)
-            orphan = deg < (self.m // 2)
-            cd = jnp.where(orphan[:, None], cd, jnp.inf)
-            ci = jnp.where(orphan[:, None], ci, -1)
+            # the reference reconnects only orphans (degree < M/2,
+            # src/hnsw_algo.c:706-787); with wave deletes we refill every
+            # affected row — closest-first merge, same edge quality
             rows_d, rows_i = merge_topk(rows_d, rows_i, cd, ci)
 
         self.neighbors0 = self.neighbors0.at[aff_j].set(rows_i)
         self.dists0 = self.dists0.at[aff_j].set(rows_d)
+
+        # scrub deleted slots from surviving upper-level rows so greedy
+        # descent never dead-ends on a tombstone
+        hi_np = np.array(self.hi_neighbors)
+        dset = np.asarray(dslots)
+        used = hi_np[: self._hi_count]
+        mask = np.isin(used, dset)
+        if mask.any():
+            used[mask] = -1
+            hi_np[: self._hi_count] = used
+            self.hi_neighbors = jnp.asarray(hi_np)
 
     def _rescan_entry_point(self) -> None:
         valid = np.asarray(self.store.valid)

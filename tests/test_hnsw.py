@@ -1,0 +1,131 @@
+"""HNSW index: recall vs brute force, insert/delete lifecycle.
+
+Mirrors the reference's test strategy (test/test_hnsw_algo.c:10-34 —
+brute-force KNN as ground truth, recall assertions on the index).
+"""
+
+import numpy as np
+import pytest
+
+from muninn_tpu.index.hnsw import HnswIndex
+from muninn_tpu.index.flat import FlatIndex
+
+
+def build_index(rng, n=600, dim=24, metric="l2", m=8, efc=60, wave=200, seed=7):
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HnswIndex(dim, metric, m=m, ef_construction=efc,
+                    wave_size=wave, seed=seed)
+    idx.insert(np.arange(n), vecs)
+    return idx, vecs
+
+
+def recall_at_k(idx, flat, queries, k=10, ef=None):
+    got_ids, _ = idx.search(queries, k=k, ef_search=ef)
+    true_ids, _ = flat.search(queries, k=k)
+    hits = 0
+    for g, t in zip(got_ids, true_ids):
+        hits += len(set(g[g >= 0]) & set(t[t >= 0]))
+    return hits / (len(queries) * k)
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_hnsw_recall_vs_brute_force(rng, metric):
+    idx, vecs = build_index(rng, metric=metric)
+    flat = FlatIndex(24, metric, use_pallas=False)
+    flat.insert(np.arange(600), vecs)
+    queries = rng.standard_normal((50, 24)).astype(np.float32)
+    r = recall_at_k(idx, flat, queries, k=10, ef=64)
+    assert r >= 0.90, f"recall@10 = {r}"
+
+
+def test_hnsw_exact_lookup_of_inserted_vector(rng):
+    idx, vecs = build_index(rng, n=300)
+    ids, dists = idx.search(vecs[123], k=1, ef_search=32)
+    assert ids[0] == 123
+    assert dists[0] < 1e-5
+
+
+def test_hnsw_delete_removes_from_results(rng):
+    idx, vecs = build_index(rng, n=300)
+    q = vecs[50]
+    ids, _ = idx.search(q, k=5, ef_search=32)
+    assert ids[0] == 50
+    idx.delete([50])
+    ids2, _ = idx.search(q, k=5, ef_search=32)
+    assert 50 not in ids2
+    assert len(idx) == 299
+
+
+def test_hnsw_delete_entry_point_rescans(rng):
+    idx, vecs = build_index(rng, n=200)
+    ep_slot = idx.entry_point
+    ep_id = int(idx.store.ids_of([ep_slot])[0])
+    idx.delete([ep_id])
+    assert idx.entry_point != ep_slot
+    # index still searchable
+    ids, _ = idx.search(vecs[3], k=1, ef_search=32)
+    assert ids[0] == 3 or ids[0] >= 0
+
+
+def test_hnsw_recall_after_delete_wave(rng):
+    idx, vecs = build_index(rng, n=500)
+    dead = np.arange(0, 100)
+    idx.delete(dead)
+    flat = FlatIndex(24, "l2", use_pallas=False)
+    flat.insert(np.arange(100, 500), vecs[100:])
+    queries = rng.standard_normal((30, 24)).astype(np.float32)
+    r = recall_at_k(idx, flat, queries, k=10, ef=64)
+    assert r >= 0.85, f"recall@10 after deleting 20% = {r}"
+    # no deleted id ever surfaces
+    ids, _ = idx.search(queries, k=10, ef_search=64)
+    assert not np.isin(ids[ids >= 0], dead).any()
+
+
+def test_hnsw_incremental_insert_keeps_recall(rng):
+    dim = 24
+    vecs = rng.standard_normal((600, dim)).astype(np.float32)
+    idx = HnswIndex(dim, "l2", m=8, ef_construction=60, wave_size=100, seed=3)
+    for s in range(0, 600, 150):
+        idx.insert(np.arange(s, s + 150), vecs[s : s + 150])
+    flat = FlatIndex(dim, "l2", use_pallas=False)
+    flat.insert(np.arange(600), vecs)
+    queries = rng.standard_normal((40, dim)).astype(np.float32)
+    r = recall_at_k(idx, flat, queries, k=10, ef=64)
+    assert r >= 0.90, f"recall@10 incremental = {r}"
+
+
+def test_hnsw_empty_index_search(rng):
+    idx = HnswIndex(16, "l2")
+    ids, dists = idx.search(np.zeros(16, np.float32), k=3)
+    assert (ids == -1).all()
+    assert np.isinf(dists).all()
+
+
+def test_hnsw_ef_search_default_is_2k(rng):
+    # src/hnsw_vtab.c:600-603: ef_search defaults to k*2
+    idx, vecs = build_index(rng, n=200)
+    ids, _ = idx.search(vecs[7], k=5)  # no explicit ef
+    assert ids[0] == 7
+
+
+def test_hnsw_seeded_determinism(rng):
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    q = rng.standard_normal((10, 16)).astype(np.float32)
+    results = []
+    for _ in range(2):
+        idx = HnswIndex(16, "l2", m=8, ef_construction=40, wave_size=100, seed=99)
+        idx.insert(np.arange(300), vecs)
+        ids, _ = idx.search(q, k=5, ef_search=32)
+        results.append(ids)
+    np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_hnsw_invalid_args():
+    with pytest.raises(ValueError):
+        HnswIndex(16, "l2", m=1)
+    with pytest.raises(ValueError):
+        HnswIndex(16, "bogus")
+    idx = HnswIndex(16, "l2")
+    idx.insert([1], np.zeros((1, 16), np.float32))
+    with pytest.raises(ValueError):
+        idx.search(np.zeros(9), k=1)
