@@ -1,0 +1,278 @@
+"""Centrality: degree, closeness, Brandes node/edge betweenness.
+
+TPU re-design of ``src/graph_centrality.c``: the reference runs one
+sequential SSSP per source with predecessor lists and a backward stack.
+Here sources are *batched* — distances via synchronous Bellman-Ford
+[S, V], path counts (sigma) and dependencies (delta) as Jacobi fixpoint
+iterations over the tight-edge DAG, all edge-parallel segment ops:
+
+    sigma[v] = sum_{tight (u,v)} sigma[u],  sigma[source] = 1
+    delta[u] = sum_{tight (u,v)} sigma[u]/sigma[v] * (1 + delta[v])
+
+Each Jacobi sweep advances one DAG level, so both converge in
+(shortest-path-depth) iterations — the batched analogue of the
+reference's ordered stack replay (``src/graph_centrality.c:393-512``).
+
+Approximation: sqrt(N) source sampling above ``auto_approx_threshold``
+(default 50000), scaled by N/S — the reference's switch
+(``src/graph_centrality.c:417-434``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from muninn_tpu.graph.traversal import multi_source_distances
+
+DEFAULT_APPROX_THRESHOLD = 50000
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "max_iters", "want_edge"))
+def _brandes_batch(
+    src: jax.Array,
+    dst: jax.Array,
+    w: jax.Array,
+    sources: jax.Array,       # [S]
+    num_nodes: int,
+    max_iters: int = 0,
+    want_edge: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One batch of Brandes sources. Returns (node_cb [V], edge_cb [E])
+    summed over the batch (edge_cb is zeros-shaped [E] if not wanted)."""
+    s_count = sources.shape[0]
+    e = src.shape[0]
+    if max_iters <= 0:
+        max_iters = num_nodes
+
+    dist = multi_source_distances(src, dst, w, sources, num_nodes, max_iters)
+
+    # tight-edge DAG: strictly increasing distance (positive weights)
+    reach = jnp.isfinite(dist)                                  # [S, V]
+    tight = (
+        reach[:, src]
+        & (jnp.abs(dist[:, src] + w[None, :] - dist[:, dst])
+           <= 1e-9 * jnp.maximum(1.0, jnp.abs(dist[:, dst])))
+        & (w[None, :] > 0)
+    )                                                           # [S, E]
+
+    # sigma fixpoint
+    base = jnp.zeros((s_count, num_nodes), jnp.float32).at[
+        jnp.arange(s_count), sources
+    ].set(1.0)
+
+    def sig_cond(state):
+        sigma, it, changed = state
+        return changed & (it < max_iters)
+
+    def sig_body(state):
+        sigma, it, _ = state
+        contrib = jnp.where(tight, sigma[:, src], 0.0)          # [S, E]
+        agg = jax.vmap(
+            lambda c: jax.ops.segment_sum(c, dst, num_segments=num_nodes)
+        )(contrib)
+        new = base + agg
+        return new, it + 1, jnp.any(jnp.abs(new - sigma) > 1e-6)
+
+    sigma, _, _ = jax.lax.while_loop(
+        sig_cond, sig_body, (base, jnp.int32(0), jnp.bool_(True))
+    )
+
+    # delta fixpoint (backward accumulation)
+    safe_sigma = jnp.maximum(sigma, 1e-30)
+    ratio = jnp.where(tight, sigma[:, src] / safe_sigma[:, dst], 0.0)
+
+    def del_cond(state):
+        delta, it, changed = state
+        return changed & (it < max_iters)
+
+    def del_body(state):
+        delta, it, _ = state
+        contrib = ratio * (1.0 + delta[:, dst])                 # [S, E]
+        new = jax.vmap(
+            lambda c: jax.ops.segment_sum(c, src, num_segments=num_nodes)
+        )(contrib)
+        return new, it + 1, jnp.any(jnp.abs(new - delta) > 1e-6)
+
+    delta0 = jnp.zeros((s_count, num_nodes), jnp.float32)
+    delta, _, _ = jax.lax.while_loop(
+        del_cond, del_body, (delta0, jnp.int32(0), jnp.bool_(True))
+    )
+
+    # CB excludes the source itself (delta[s, s] contribution)
+    mask = jnp.ones((s_count, num_nodes), bool).at[
+        jnp.arange(s_count), sources
+    ].set(False)
+    node_cb = jnp.sum(jnp.where(mask, delta, 0.0), axis=0)
+
+    if want_edge:
+        edge_contrib = ratio * (1.0 + delta[:, dst])            # [S, E]
+        edge_cb = jnp.sum(edge_contrib, axis=0)
+    else:
+        edge_cb = jnp.zeros((e,), jnp.float32)
+    return node_cb, edge_cb
+
+
+def dedupe_parallel_edges(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, num_nodes: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse parallel (src,dst) duplicates keeping the min weight.
+    Path *counting* (sigma) must see a simple graph — parallel edges
+    would multiply shortest-path counts."""
+    key = src.astype(np.int64) * num_nodes + dst
+    order = np.argsort(key, kind="stable")
+    ks, ws = key[order], w[order]
+    head = np.concatenate([[True], ks[1:] != ks[:-1]])
+    run = np.cumsum(head) - 1
+    wmin = np.full(run[-1] + 1, np.inf, np.float32)
+    np.minimum.at(wmin, run, ws)
+    uk = ks[head]
+    return (
+        (uk // num_nodes).astype(np.int32),
+        (uk % num_nodes).astype(np.int32),
+        wmin.astype(np.float32),
+    )
+
+
+def betweenness(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    num_nodes: int,
+    *,
+    undirected: bool = False,
+    normalized: bool = False,
+    want_edge: bool = False,
+    sample_sources: int | None = None,
+    auto_approx_threshold: int = DEFAULT_APPROX_THRESHOLD,
+    batch: int = 64,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Brandes betweenness over all (or sampled) sources.
+
+    ``undirected``: pass the 'both'-direction COO and set True — path
+    counts are halved like the reference (:478-487). Normalization is
+    (N-1)(N-2) [/2 undirected] (:490-499).
+    """
+    n = num_nodes
+    if n < 2:
+        return np.zeros(n, np.float32), (np.zeros(len(src), np.float32) if want_edge else None)
+    # NOTE: callers must pass a simple graph (use dedupe_parallel_edges)
+    all_sources = np.arange(n, dtype=np.int32)
+    scale = 1.0
+    if sample_sources is None and n > auto_approx_threshold:
+        sample_sources = int(np.ceil(np.sqrt(n)))
+    if sample_sources is not None and sample_sources < n:
+        rng = np.random.default_rng(seed)
+        all_sources = rng.choice(n, size=sample_sources, replace=False).astype(np.int32)
+        scale = n / float(sample_sources)
+
+    sj = jnp.asarray(src)
+    dj = jnp.asarray(dst)
+    wj = jnp.asarray(w)
+    node_cb = np.zeros(n, np.float64)
+    edge_cb = np.zeros(len(src), np.float64) if want_edge else None
+    for i in range(0, len(all_sources), batch):
+        chunk = all_sources[i : i + batch]
+        pad = 0
+        if len(chunk) < batch and i > 0:
+            # pad with repeats of the first source, subtract later
+            pad = batch - len(chunk)
+            chunk = np.concatenate([chunk, np.full(pad, chunk[0], np.int32)])
+        ncb, ecb = _brandes_batch(
+            sj, dj, wj, jnp.asarray(chunk), n, want_edge=want_edge
+        )
+        ncb = np.asarray(ncb, np.float64)
+        ecb = np.asarray(ecb, np.float64) if want_edge else None
+        if pad:
+            ncb1, ecb1 = _brandes_batch(
+                sj, dj, wj, jnp.asarray(chunk[:1]), n, want_edge=want_edge
+            )
+            ncb -= pad * np.asarray(ncb1, np.float64)
+            if want_edge:
+                ecb -= pad * np.asarray(ecb1, np.float64)
+        node_cb += ncb
+        if want_edge:
+            edge_cb += ecb
+
+    node_cb *= scale
+    if want_edge:
+        edge_cb *= scale
+    if undirected:
+        node_cb /= 2.0
+        if want_edge:
+            edge_cb /= 2.0
+    if normalized:
+        denom = (n - 1) * (n - 2)
+        if undirected:
+            denom /= 2.0
+        if denom > 0:
+            node_cb /= denom
+        edenom = n * (n - 1)
+        if undirected:
+            edenom /= 2.0
+        if want_edge and edenom > 0:
+            edge_cb /= edenom
+    return node_cb.astype(np.float32), (
+        edge_cb.astype(np.float32) if want_edge else None
+    )
+
+
+def closeness(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    num_nodes: int,
+    *,
+    normalized: bool = True,
+    batch: int = 256,
+) -> np.ndarray:
+    """Closeness centrality: per-source SSSP sums
+    (``src/graph_centrality.c:1404-1434``). ``normalized`` applies the
+    Wasserman-Faust reachable/(N-1) correction. Pass the COO oriented so
+    that edges point *toward* the measured node (reverse direction) for
+    the standard definition on directed graphs."""
+    n = num_nodes
+    sj, dj, wj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+    out = np.zeros(n, np.float32)
+    for i in range(0, n, batch):
+        chunk = np.arange(i, min(i + batch, n), dtype=np.int32)
+        dist = np.array(
+            multi_source_distances(sj, dj, wj, jnp.asarray(chunk), n)
+        )  # writable host copy
+        dist[np.arange(len(chunk)), chunk] = np.inf  # exclude self
+        finite = np.isfinite(dist)
+        r = finite.sum(axis=1)                       # reachable (excl self)
+        sd = np.where(finite, dist, 0.0).sum(axis=1)
+        c = np.where(sd > 0, r / np.maximum(sd, 1e-30), 0.0)
+        if normalized and n > 1:
+            c = c * (r / (n - 1))
+        out[chunk] = c
+    return out
+
+
+def degree_centrality(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    num_nodes: int,
+    *,
+    direction: str = "both",
+    weighted: bool = False,
+    normalized: bool = False,
+) -> np.ndarray:
+    """Degree (in/out/total), optionally weighted and /(N-1)-normalized
+    (``src/graph_centrality.c:667-680``). ``direction``: 'forward' =
+    out-degree, 'reverse' = in-degree, 'both' = total."""
+    vals = w if weighted else np.ones(len(src), np.float32)
+    out = np.zeros(num_nodes, np.float64)
+    if direction in ("forward", "both"):
+        np.add.at(out, src, vals)
+    if direction in ("reverse", "both"):
+        np.add.at(out, dst, vals)
+    if normalized and num_nodes > 1:
+        out /= num_nodes - 1
+    return out.astype(np.float32)
