@@ -1,0 +1,129 @@
+"""Node2Vec: walk statistics and embedding quality (the reference tests
+via pytests/test_node2vec.py: trains on small graphs and checks
+embedding sanity)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from muninn_tpu.graph import Graph
+from muninn_tpu.models.node2vec import (
+    biased_walks,
+    build_negative_table,
+    node2vec_train,
+)
+from muninn_tpu.index.flat import FlatIndex
+
+
+def line_graph(n=6):
+    src = [f"v{i}" for i in range(n - 1)]
+    dst = [f"v{i+1}" for i in range(n - 1)]
+    return Graph.from_edges(src, dst)
+
+
+def two_cliques(k=8):
+    edges = []
+    for base in (0, k):
+        for i in range(k):
+            for j in range(i + 1, k):
+                edges.append((f"v{base+i}", f"v{base+j}"))
+    edges.append((f"v0", f"v{k}"))
+    src, dst = zip(*edges)
+    return Graph.from_edges(src, dst)
+
+
+def _walk_arrays(g):
+    c = g.csr("both")
+    off = np.asarray(c.offsets)
+    dst = np.asarray(c.dst)
+    w = np.asarray(c.weights)
+    order = np.lexsort((dst, np.asarray(c.src)))
+    dst, w = dst[order], w[order]
+    cumw = np.cumsum(w, dtype=np.float64).astype(np.float32)
+    return jnp.asarray(off), jnp.asarray(dst), jnp.asarray(cumw)
+
+
+def test_walks_follow_edges(rng):
+    g = two_cliques()
+    off, dst, cumw = _walk_arrays(g)
+    starts = jnp.arange(g.num_nodes, dtype=jnp.int32)
+    walks = np.asarray(
+        biased_walks(jax.random.PRNGKey(0), off, dst, cumw, starts,
+                     g.num_nodes, 10, 1.0, 1.0)
+    )
+    assert walks.shape == (g.num_nodes, 11)
+    # every consecutive pair is a real edge
+    edge_set = set()
+    offn, dstn = np.asarray(off), np.asarray(dst)
+    for v in range(g.num_nodes):
+        for e in range(offn[v], offn[v + 1]):
+            edge_set.add((v, int(dstn[e])))
+    for row in walks:
+        for a, b in zip(row, row[1:]):
+            assert (int(a), int(b)) in edge_set
+
+
+def test_walks_p_bias_controls_backtracking(rng):
+    g = line_graph(30)
+    off, dst, cumw = _walk_arrays(g)
+    starts = jnp.full((2000,), 15, jnp.int32)
+
+    def backtrack_rate(p, q, seed):
+        w = np.asarray(
+            biased_walks(jax.random.PRNGKey(seed), off, dst, cumw, starts,
+                         g.num_nodes, 8, p, q)
+        )
+        bt = (w[:, 2:] == w[:, :-2]).mean()
+        return bt
+
+    low_p = backtrack_rate(0.25, 1.0, 1)   # 1/p high -> backtrack often
+    high_p = backtrack_rate(4.0, 1.0, 1)   # 1/p low  -> avoid backtrack
+    assert low_p > high_p + 0.1, (low_p, high_p)
+
+
+def test_negative_table_proportional(rng):
+    deg = np.array([1, 10, 100], np.float64)
+    table = build_negative_table(deg, size=10000)
+    counts = np.bincount(table, minlength=3).astype(float)
+    # ratios ~ deg^0.75
+    want = deg ** 0.75
+    want = want / want.sum()
+    got = counts / counts.sum()
+    np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_node2vec_separates_cliques(rng):
+    g = two_cliques(8)
+    ids, emb = node2vec_train(
+        g, dim=16, num_walks=6, walk_length=12, window=4,
+        neg_samples=4, epochs=4, seed=2, walk_batch=64, sgns_chunk=64,
+    )
+    idx = {n: i for i, n in enumerate(ids)}
+    a = [idx[f"v{i}"] for i in range(8)]
+    b = [idx[f"v{i}"] for i in range(8, 16)]
+    sims = emb @ emb.T
+    intra = (sims[np.ix_(a, a)].mean() + sims[np.ix_(b, b)].mean()) / 2
+    inter = sims[np.ix_(a, b)].mean()
+    assert intra > inter + 0.1, (intra, inter)
+    # embeddings are unit-norm
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+
+
+def test_node2vec_writes_to_index(rng):
+    g = two_cliques(6)
+    out = FlatIndex(8, "cosine", use_pallas=False)
+    ids, emb = node2vec_train(
+        g, dim=8, num_walks=3, walk_length=8, epochs=2, seed=4,
+        walk_batch=32, sgns_chunk=32, output_index=out,
+    )
+    assert len(out) == g.num_nodes
+    # searching an embedding finds its own row (rowid = i+1)
+    got, _ = out.search(emb[0], k=1)
+    assert got[0] == 1
+
+
+def test_node2vec_dim_cap():
+    g = line_graph(4)
+    with pytest.raises(ValueError):
+        node2vec_train(g, dim=2048)
