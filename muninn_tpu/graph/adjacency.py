@@ -1,6 +1,225 @@
-"""Placeholder — implemented in the graph milestone."""
+"""GraphCache — persistent CSR cache with a delta log.
+
+Re-design of the reference's ``graph_adjacency`` virtual table
+(``src/graph_adjacency.c``): there, AFTER-INSERT/DELETE/UPDATE triggers
+append to a ``_delta`` shadow table and the next read lazily applies
+them — incremental if ``delta <= max(10, E/10)``, full rebuild
+otherwise (``:1011-1034``), with blocked-CSR storage so only affected
+4096-node blocks are rewritten.
+
+Here the edge store is a host numpy COO + interned node registry; the
+device CSR is derived lazily and invalidated by mutation. The same
+freshness policy applies (it decides *host merge strategy*: in-place
+append/filter vs full re-sort); persistence uses one-shot checkpoints
+plus the JSONL delta log replayed on load (``io/checkpoint.DeltaLog``),
+which plays the role of block-granular shadow-table updates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from muninn_tpu.graph.api import Graph
+from muninn_tpu.graph.core import NodeTable
+from muninn_tpu.io.checkpoint import DeltaLog, _read_manifest, _write_manifest
 
 
-class GraphCache:  # pragma: no cover
-    def __init__(self, *a, **k):
-        raise NotImplementedError
+class GraphCache:
+    """Mutable edge store + cached analytics ``Graph``.
+
+    API mirrors the reference's command surface: mutations queue
+    deltas; ``graph()`` (any read) ensures freshness; ``rebuild()`` /
+    ``incremental_rebuild()`` are the explicit commands
+    (``INSERT INTO g(g) VALUES('rebuild')``, ``src/graph_adjacency.c:9-15``).
+    """
+
+    #: incremental threshold: delta <= max(10, E/10) (reference :1028)
+    INCREMENTAL_FRACTION = 0.1
+    INCREMENTAL_MIN = 10
+
+    def __init__(self, *, weighted: bool = False, log_path: str | None = None):
+        self.nodes = NodeTable()
+        self._src = np.zeros(0, np.int32)
+        self._dst = np.zeros(0, np.int32)
+        self._w = np.zeros(0, np.float32)
+        self.weighted = weighted
+        self.generation = 0
+        self._graph: Graph | None = None
+        self._pending: list[dict] = []
+        self._log = DeltaLog(log_path) if log_path else None
+
+    # ── construction ──
+
+    @classmethod
+    def from_edges(cls, src_ids, dst_ids, weights=None, **kw) -> "GraphCache":
+        gc = cls(weighted=weights is not None, **kw)
+        gc.add_edges(src_ids, dst_ids, weights)
+        gc.rebuild()
+        return gc
+
+    # ── mutation (the trigger role) ──
+
+    def add_edges(self, src_ids, dst_ids, weights=None) -> None:
+        src_ids = list(src_ids)
+        dst_ids = list(dst_ids)
+        if len(src_ids) != len(dst_ids):
+            raise ValueError("src/dst length mismatch")
+        w = (
+            list(np.asarray(weights, np.float32))
+            if weights is not None
+            else [1.0] * len(src_ids)
+        )
+        for s, d, ww in zip(src_ids, dst_ids, w):
+            rec = {"op": "insert", "src": s, "dst": d, "w": float(ww)}
+            self._pending.append(rec)
+            if self._log is not None:
+                self._log.append(**rec)
+
+    def remove_edges(self, src_ids, dst_ids) -> None:
+        for s, d in zip(list(src_ids), list(dst_ids)):
+            rec = {"op": "delete", "src": s, "dst": d}
+            self._pending.append(rec)
+            if self._log is not None:
+                self._log.append(**rec)
+
+    @property
+    def delta_count(self) -> int:
+        return len(self._pending)
+
+    @property
+    def num_edges(self) -> int:
+        return len(self._src)
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.nodes)
+
+    # ── freshness (src/graph_adjacency.c:1011-1034) ──
+
+    def _ensure_fresh(self) -> None:
+        if not self._pending:
+            return
+        if self.generation == 0:
+            self.rebuild()
+        elif self.delta_count <= max(
+            self.INCREMENTAL_MIN, int(self.num_edges * self.INCREMENTAL_FRACTION)
+        ):
+            self.incremental_rebuild()
+        else:
+            self.rebuild()
+
+    def rebuild(self) -> None:
+        """Full rebuild: apply every pending delta, re-sort, refresh the
+        device CSR lazily (the SAVEPOINT-wrapped full path, :565-637)."""
+        self._apply_pending()
+        self.generation += 1
+        self._graph = None
+
+    def incremental_rebuild(self) -> None:
+        """Incremental: same host merge, but the device refresh is the
+        cheap part here — kept as a distinct command for API parity."""
+        self._apply_pending()
+        self.generation += 1
+        self._graph = None
+
+    def _apply_pending(self) -> None:
+        if not self._pending:
+            return
+        ins = [r for r in self._pending if r["op"] == "insert"]
+        dels = [(r["src"], r["dst"]) for r in self._pending if r["op"] == "delete"]
+        if ins:
+            si = self.nodes.intern_many([r["src"] for r in ins])
+            di = self.nodes.intern_many([r["dst"] for r in ins])
+            wi = np.array([r["w"] for r in ins], np.float32)
+            self._src = np.concatenate([self._src, si])
+            self._dst = np.concatenate([self._dst, di])
+            self._w = np.concatenate([self._w, wi])
+        if dels:
+            keep = np.ones(len(self._src), bool)
+            for s, d in dels:
+                si = self.nodes.find(s)
+                di = self.nodes.find(d)
+                if si is None or di is None:
+                    continue
+                keep &= ~((self._src == si) & (self._dst == di))
+            self._src = self._src[keep]
+            self._dst = self._dst[keep]
+            self._w = self._w[keep]
+        self._pending.clear()
+
+    # ── reads ──
+
+    def graph(self) -> Graph:
+        """The analytics view; lazily refreshed (the reference's
+        ``graph_data_load_from_adjacency`` fast path, :1414-1573)."""
+        self._ensure_fresh()
+        if self._graph is None:
+            g = Graph.__new__(Graph)
+            g.nodes = self.nodes
+            g._src = self._src.copy()
+            g._dst = self._dst.copy()
+            g._w = self._w.copy()
+            g.has_weights = self.weighted
+            g._fwd = g._rev = None
+            self._graph = g
+        return self._graph
+
+    def degrees(self) -> dict:
+        """node -> (in_degree, out_degree, weighted_in, weighted_out) —
+        the VT's query columns (``src/graph_adjacency.h:11-12``)."""
+        self._ensure_fresh()
+        n = self.num_nodes
+        ind = np.zeros(n, np.int64)
+        outd = np.zeros(n, np.int64)
+        win = np.zeros(n, np.float64)
+        wout = np.zeros(n, np.float64)
+        np.add.at(outd, self._src, 1)
+        np.add.at(ind, self._dst, 1)
+        np.add.at(wout, self._src, self._w)
+        np.add.at(win, self._dst, self._w)
+        return {
+            self.nodes.id_of(i): (int(ind[i]), int(outd[i]), float(win[i]), float(wout[i]))
+            for i in range(n)
+        }
+
+    # ── persistence ──
+
+    def save(self, path: str | os.PathLike) -> None:
+        p = Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        self._ensure_fresh()
+        np.savez(
+            p / "arrays.npz", src=self._src, dst=self._dst, w=self._w
+        )
+        (p / "nodes.json").write_text(json.dumps(self.nodes.ids))
+        _write_manifest(
+            p, "graph_cache",
+            {"generation": self.generation, "weighted": self.weighted},
+        )
+        if self._log is not None:
+            self._log.clear()
+
+    @classmethod
+    def load(cls, path: str | os.PathLike, log_path: str | None = None) -> "GraphCache":
+        p = Path(path)
+        m = _read_manifest(p, "graph_cache")
+        z = np.load(p / "arrays.npz")
+        gc = cls(weighted=m["weighted"])
+        ids = json.loads((p / "nodes.json").read_text())
+        for i in ids:
+            gc.nodes.find_or_add(i)
+        gc._src = z["src"]
+        gc._dst = z["dst"]
+        gc._w = z["w"]
+        gc.generation = m["generation"]
+        if log_path:
+            gc._log = DeltaLog(log_path)
+            for rec in gc._log.replay():
+                gc._pending.append(rec)
+            if gc._pending:
+                gc.rebuild()
+        return gc

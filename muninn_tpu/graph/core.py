@@ -91,16 +91,12 @@ class DeviceCsr:
 def build_csr_arrays(
     src: np.ndarray, dst: np.ndarray, w: np.ndarray, num_nodes: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Host CSR build: counting sort by src (O(E)), matching the
-    reference's two-pass build (``src/graph_csr.c:20-83``)."""
-    order = np.argsort(src, kind="stable")
-    s = src[order]
-    d = dst[order]
-    ww = w[order]
-    counts = np.bincount(s, minlength=num_nodes).astype(np.int64)
-    offsets = np.zeros(num_nodes + 1, np.int32)
-    np.cumsum(counts, out=offsets[1:])
-    return offsets, s.astype(np.int32), d.astype(np.int32), ww.astype(np.float32)
+    """Host CSR build via the native O(E+V) counting sort
+    (``muninn_tpu/native``, the ``src/graph_csr.c:20-83`` role), with a
+    numpy fallback inside."""
+    from muninn_tpu import native
+
+    return native.csr_build(src, dst, w, num_nodes)
 
 
 class Graph:

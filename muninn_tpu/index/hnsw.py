@@ -49,7 +49,12 @@ from muninn_tpu.ops.distance import (
     pairwise_distances,
     parse_metric,
 )
-from muninn_tpu.ops.topk import masked_topk, merge_topk, sorted_topk_unique
+from muninn_tpu.ops.topk import (
+    masked_topk,
+    merge_topk,
+    merge_topk_flagged,
+    sorted_topk_unique,
+)
 
 HNSW_MAX_LEVELS = 32  # matches reference cap, src/hnsw_algo.h:14
 _INF = jnp.float32(jnp.inf)
@@ -135,90 +140,109 @@ def _beam_search_level0(
     neighbors0: jax.Array,     # [cap, R0] int32
     metric: Metric,
     ef: int,
-    expand: int = 1,
+    expand: int = 4,
     max_iters: int = 0,
     patience: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched ef-bounded beam search at level 0.
 
     The reference's candidates-min-heap + results-max-heap + linear
-    visited scan (``src/hnsw_algo.c:347-448``) becomes: one sorted beam
-    array of width ``ef`` per query with an ``expanded`` bitflag encoded
-    as +/- on a parallel lane; each iteration expands the best ``expand``
-    unexpanded beam entries, gathers their neighbor rows, scores them
-    with one batched matvec, and merges (dedup) into the beam.
+    visited scan (``src/hnsw_algo.c:347-448``) becomes:
+
+    - the beam is one distance-sorted array of width ``ef`` per query,
+      with an ``expanded`` flag lane;
+    - the visited set is a per-query byte map [B, cap] updated by
+      scatter-max (scored-at-most-once semantics, exactly the
+      reference's ``visited_contains`` check at :378-433 without the
+      O(visited) linear scan);
+    - each iteration expands the best ``expand`` unexpanded entries,
+      gathers their neighbor rows, masks visited, scores the rest with
+      one batched matvec, and merges via a single ``lax.top_k`` over
+      [beam | candidates] (no sorts, no dedup needed — visited
+      filtering guarantees uniqueness).
 
     Termination: no unexpanded entries, or ``patience`` consecutive
     iterations without improving the beam frontier (reference patience:
     ``max(ef/4, 10)``, ``src/hnsw_algo.c:368-392``).
 
     Returns (beam_dists, beam_slots) of width ef, sorted ascending.
-    Deleted nodes (``result_valid`` False) are routed through but
-    excluded by the caller from final results, like the reference's
-    soft-delete filter (``src/hnsw_algo.c:404-420``).
+    Soft-deleted nodes are routed through but filtered from final
+    results by the caller (``src/hnsw_algo.c:404-420``).
     """
     b, d = queries.shape
+    cap = vectors.shape[0]
     r0 = neighbors0.shape[1]
     if patience <= 0:
         patience = max(ef // 4, 10)  # src/hnsw_algo.c:368
     if max_iters <= 0:
-        max_iters = 4 * ef + 16
+        max_iters = 2 * (ef // expand + 1) + patience + 8
 
-    # init beam with the entry point
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    # init: beam = entry point, already visited
     e_d = gathered_distances(queries, vectors[jnp.maximum(entry, 0)][:, None, :], metric)[:, 0]
     e_d = jnp.where(entry >= 0, e_d, _INF)
     beam_d = jnp.full((b, ef), jnp.inf).at[:, 0].set(e_d)
     beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(entry)
     expanded = jnp.zeros((b, ef), bool)
+    visited = jnp.zeros((b, cap), bool).at[
+        rows[:, 0], jnp.maximum(entry, 0)
+    ].set(True)
 
     def cond(state):
-        beam_d, beam_i, expanded, stall, it = state
+        beam_d, beam_i, expanded, visited, stall, it = state
         has_unexpanded = jnp.any((~expanded) & (beam_i >= 0), axis=1)
         live = has_unexpanded & (stall < patience)
         return jnp.any(live) & (it < max_iters)
 
     def step(state):
-        beam_d, beam_i, expanded, stall, it = state
-        # pick best `expand` unexpanded entries per query
+        beam_d, beam_i, expanded, visited, stall, it = state
+        # best `expand` unexpanded beam entries per query
         cand_d = jnp.where(expanded | (beam_i < 0), jnp.inf, beam_d)
-        _, pick = jax.lax.top_k(-cand_d, expand)                 # [B, E] beam positions
+        _, pick = jax.lax.top_k(-cand_d, expand)                 # [B, E] positions
         pick_i = jnp.take_along_axis(beam_i, pick, axis=1)       # [B, E] slots
         pick_valid = jnp.take_along_axis(cand_d, pick, axis=1) < jnp.inf
         live = jnp.any(pick_valid, axis=1) & (stall < patience)
+        do = pick_valid & live[:, None]
 
-        # mark picked as expanded
-        expanded = expanded.at[
-            jnp.arange(b)[:, None], pick
-        ].set(expanded[jnp.arange(b)[:, None], pick] | (pick_valid & live[:, None]))
+        expanded = expanded.at[rows, pick].max(do)
 
-        # gather neighbor rows of picked entries
+        # neighbor rows of picked entries
         nbrs = neighbors0[jnp.maximum(pick_i, 0)].reshape(b, expand * r0)
-        nbrs = jnp.where(
-            (pick_valid & live[:, None]).repeat(r0, axis=1), nbrs, -1
-        )
-        # dedup against beam (merge_topk dedups by id); score candidates
-        nvecs = vectors[jnp.maximum(nbrs, 0)]                     # [B, E*R0, d]
-        nd = gathered_distances(queries, nvecs, metric)
-        nd = jnp.where(nbrs >= 0, nd, jnp.inf)
-        # candidates already in beam must not re-enter as unexpanded:
-        # merge with expanded-state tracking — handled by id-dedup keeping
-        # the *existing* (possibly expanded) entry when distances tie, and
-        # by distance: same id has identical distance, dedup keeps one.
-        cd, ci = sorted_topk_unique(nd, nbrs, min(expand * r0, ef))
+        nbrs = jnp.where(do.repeat(r0, axis=1), nbrs, -1)
+        # drop within-iteration duplicates (two expanded nodes sharing a
+        # neighbor) — keep first occurrence only
+        c = nbrs.shape[1]
+        eq = nbrs[:, :, None] == nbrs[:, None, :]                # [B, C, C]
+        lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
+        dup = jnp.any(eq & lower[None, :, :], axis=2)
+        nbrs = jnp.where(dup, -1, nbrs)
+        safe = jnp.maximum(nbrs, 0)
+        fresh = (nbrs >= 0) & ~visited[rows, safe]
+        visited = visited.at[rows, safe].max(fresh)
 
-        new_d, new_i = merge_topk(beam_d, beam_i, cd, ci)
-        # rebuild expanded flags: an entry is expanded iff its id was
-        # expanded before (match by id against old beam)
-        match = new_i[:, :, None] == beam_i[:, None, :]           # [B, ef, ef]
-        was_expanded = jnp.any(match & expanded[:, None, :] & (beam_i >= 0)[:, None, :], axis=2)
-        new_expanded = was_expanded & (new_i >= 0)
+        nvecs = vectors[safe]                                     # [B, E*R0, d]
+        nd = gathered_distances(queries, nvecs, metric)
+        nd = jnp.where(fresh, nd, jnp.inf)
+
+        # merge: one top_k over [beam | fresh candidates]
+        cat_d = jnp.concatenate([beam_d, nd], axis=1)
+        cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
+        cat_f = jnp.concatenate([expanded, jnp.zeros_like(fresh)], axis=1)
+        neg_top, pos = jax.lax.top_k(-cat_d, ef)
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        new_f = jnp.take_along_axis(cat_f, pos, axis=1)
+        new_i = jnp.where(jnp.isinf(new_d), -1, new_i)
+        new_f = new_f & (new_i >= 0)
 
         improved = new_d[:, ef - 1] < beam_d[:, ef - 1]
         stall = jnp.where(live, jnp.where(improved, 0, stall + 1), stall)
-        return new_d, new_i, new_expanded, stall, it + 1
+        return new_d, new_i, new_f, visited, stall, it + 1
 
-    beam_d, beam_i, expanded, _, _ = jax.lax.while_loop(
-        cond, step, (beam_d, beam_i, expanded, jnp.zeros((b,), jnp.int32), jnp.int32(0))
+    beam_d, beam_i, expanded, visited, _, _ = jax.lax.while_loop(
+        cond, step,
+        (beam_d, beam_i, expanded, visited, jnp.zeros((b,), jnp.int32), jnp.int32(0)),
     )
     return beam_d, beam_i
 
@@ -360,7 +384,7 @@ class HnswIndex:
             empty_d = np.full((b, k), np.inf, np.float32)
             return (empty_ids[0], empty_d[0]) if single else (empty_ids, empty_d)
 
-        beam_d, beam_i = self._search_slots(q, ef)
+        beam_d, beam_i = self._search_slots_chunked(q, ef)
         # filter soft-deleted + take k
         valid = self.store.valid
         ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
@@ -370,6 +394,25 @@ class HnswIndex:
         ids = self.store.ids_of(np.asarray(slots))
         d = np.asarray(d)
         return (ids[0], d[0]) if single else (ids, d)
+
+    def _search_slots_chunked(self, q: jax.Array, ef: int) -> tuple[jax.Array, jax.Array]:
+        """Chunked beam search: bounds the visited-map ([B, cap]) and
+        gather footprints and keeps one compiled shape across calls."""
+        b = q.shape[0]
+        cap = self.store.capacity
+        chunk = int(max(256, min(4096, (1 << 28) // max(cap, 1))))
+        if b <= chunk:
+            return self._search_slots(q, ef)
+        pad = (-b) % chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        parts = [
+            self._search_slots(qp[s : s + chunk], ef)
+            for s in range(0, b + pad, chunk)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts])[:b],
+            jnp.concatenate([p[1] for p in parts])[:b],
+        )
 
     def _search_slots(self, q: jax.Array, ef: int, entry: jax.Array | None = None,
                       to_level: int = 0) -> tuple[jax.Array, jax.Array]:
@@ -405,7 +448,7 @@ class HnswIndex:
         # 1. search the *existing* graph (before this wave becomes
         # visible) for level-0 candidates at ef_construction
         if not first:
-            beam_d, beam_i = self._search_slots(qv, ef)
+            beam_d, beam_i = self._search_slots_chunked(qv, ef)
         else:
             beam_d = jnp.full((w, ef), jnp.inf)
             beam_i = jnp.full((w, ef), -1, jnp.int32)
@@ -559,12 +602,12 @@ class HnswIndex:
         append_i = append_i.at[row_idx, col_idx].set(src_s, mode="drop")
         append_d = append_d.at[row_idx, col_idx].set(dd_s, mode="drop")
 
-        # affected rows: unique targets (padded)
-        aff = np.unique(np.asarray(tgt))
-        aff = aff[aff >= 0].astype(np.int32)
-        if len(aff) == 0:
-            return
-        aff_j = jnp.asarray(aff)
+        # affected rows: all targets, duplicates included — the prune is
+        # a deterministic function of pre-update row content, so
+        # duplicate writes are idempotent and no host-side unique/sync
+        # is needed
+        aff_j = jnp.where(tgt >= 0, tgt, tgt_s[0])  # any valid row as filler
+        aff_j = jnp.maximum(aff_j, 0)
         self.neighbors0, self.dists0 = _prune_rows(
             self.neighbors0, self.dists0, append_i, append_d, aff_j, self.m0
         )

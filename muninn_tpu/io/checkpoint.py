@@ -1,0 +1,189 @@
+"""Checkpoint / resume — the shadow-table role.
+
+The reference persists HNSW as ``_config/_nodes/_edges`` shadow tables
+rewritten synchronously on every insert (``src/hnsw_vtab.c:138-341``,
+the reason its insert throughput is ~150 vec/s) and reconstructs the
+in-memory graph on connect (``:405-462``). Here persistence is
+*decoupled from mutation*: ``save`` serializes the device arrays in one
+shot (npz + JSON manifest), ``load`` restores them to HBM; incremental
+durability between checkpoints is provided by the caller appending to a
+``DeltaLog`` (the ``_delta`` table role, ``src/graph_adjacency.c:223-260``)
+that is replayed on load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+FORMAT_VERSION = 1
+
+
+def _write_manifest(path: Path, kind: str, meta: dict) -> None:
+    manifest = {"format_version": FORMAT_VERSION, "kind": kind, **meta}
+    (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
+
+
+def _read_manifest(path: Path, kind: str) -> dict:
+    m = json.loads((path / "manifest.json").read_text())
+    if m.get("kind") != kind:
+        raise ValueError(f"checkpoint at {path} is {m.get('kind')}, expected {kind}")
+    if m.get("format_version") > FORMAT_VERSION:
+        raise ValueError("checkpoint written by a newer format version")
+    return m
+
+
+# ───────────────────────── HNSW ─────────────────────────
+
+
+def save_hnsw(index, path: str | os.PathLike) -> None:
+    """Serialize an HnswIndex (vectors, validity, neighbor tables,
+    levels, hi tables, id mapping, params) to a directory."""
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    store = index.store
+    ids = np.full(store.capacity, -1, np.int64)
+    for ext_id, slot in store._slot_of.items():
+        ids[slot] = ext_id
+    np.savez(
+        p / "arrays.npz",
+        vectors=np.asarray(store.vectors),
+        valid=np.asarray(store.valid),
+        ids=ids,
+        levels=index.levels,
+        neighbors0=np.asarray(index.neighbors0),
+        dists0=np.asarray(index.dists0),
+        hi_index=np.asarray(index.hi_index),
+        hi_neighbors=np.asarray(index.hi_neighbors),
+    )
+    _write_manifest(
+        p, "hnsw",
+        {
+            "dim": index.dim,
+            "metric": index.metric.value,
+            "m": index.m,
+            "ef_construction": index.ef_construction,
+            "entry_point": index.entry_point,
+            "max_level": index.max_level,
+            "hi_count": index._hi_count,
+            "high_watermark": store.high_watermark,
+            "count": len(store),
+        },
+    )
+
+
+def load_hnsw(path: str | os.PathLike):
+    """Restore an HnswIndex; searches after load return identical
+    results to the index that was saved (xConnect-reload parity,
+    ``src/hnsw_vtab.c:405-462``)."""
+    from muninn_tpu.index.hnsw import HnswIndex
+
+    p = Path(path)
+    m = _read_manifest(p, "hnsw")
+    z = np.load(p / "arrays.npz")
+    idx = HnswIndex(
+        m["dim"], m["metric"], m=m["m"], ef_construction=m["ef_construction"],
+        capacity=z["vectors"].shape[0],
+    )
+    st = idx.store
+    st.vectors = jnp.asarray(z["vectors"])
+    st.valid = jnp.asarray(z["valid"])
+    ids = z["ids"]
+    st._id_of = ids.copy()
+    st._slot_of = {int(i): int(s) for s, i in enumerate(ids) if i >= 0}
+    st._count = m["count"]
+    st._high = m["high_watermark"]
+    idx.levels = z["levels"].copy()
+    idx.neighbors0 = jnp.asarray(z["neighbors0"])
+    idx.dists0 = jnp.asarray(z["dists0"])
+    idx.hi_index = jnp.asarray(z["hi_index"])
+    idx.hi_neighbors = jnp.asarray(z["hi_neighbors"])
+    idx._hi_count = m["hi_count"]
+    idx.entry_point = m["entry_point"]
+    idx.max_level = m["max_level"]
+    return idx
+
+
+# ───────────────────────── Flat ─────────────────────────
+
+
+def save_flat(index, path: str | os.PathLike) -> None:
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    store = index.store
+    ids = np.full(store.capacity, -1, np.int64)
+    for ext_id, slot in store._slot_of.items():
+        ids[slot] = ext_id
+    np.savez(
+        p / "arrays.npz",
+        vectors=np.asarray(store.vectors),
+        valid=np.asarray(store.valid),
+        ids=ids,
+    )
+    _write_manifest(
+        p, "flat",
+        {
+            "dim": index.dim,
+            "metric": index.metric.value,
+            "high_watermark": store.high_watermark,
+            "count": len(store),
+        },
+    )
+
+
+def load_flat(path: str | os.PathLike):
+    from muninn_tpu.index.flat import FlatIndex
+
+    p = Path(path)
+    m = _read_manifest(p, "flat")
+    z = np.load(p / "arrays.npz")
+    idx = FlatIndex(m["dim"], m["metric"], capacity=z["vectors"].shape[0])
+    st = idx.store
+    st.vectors = jnp.asarray(z["vectors"])
+    st.valid = jnp.asarray(z["valid"])
+    ids = z["ids"]
+    st._id_of = ids.copy()
+    st._slot_of = {int(i): int(s) for s, i in enumerate(ids) if i >= 0}
+    st._count = m["count"]
+    st._high = m["high_watermark"]
+    return idx
+
+
+# ───────────────────────── Delta log ─────────────────────────
+
+
+class DeltaLog:
+    """Append-only JSONL mutation log (the ``_delta`` shadow table
+    role). Each record: {"op": "insert"|"delete", ...payload}.
+    Replay bridges the gap between checkpoints."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def append(self, op: str, **payload) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"op": op, **payload}) + "\n")
+
+    def __len__(self) -> int:
+        if not self.path.exists():
+            return 0
+        with open(self.path) as f:
+            return sum(1 for _ in f)
+
+    def replay(self):
+        if not self.path.exists():
+            return
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+    def clear(self) -> None:
+        if self.path.exists():
+            self.path.unlink()

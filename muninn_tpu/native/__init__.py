@@ -1,0 +1,280 @@
+"""Native host runtime bindings (ctypes).
+
+Builds ``libmuninn_host.so`` from ``src/muninn_host.cpp`` on first use
+(g++ -O3, cached next to the source) and exposes:
+
+- ``InternTable`` — bulk string-id interning (graph_load.c hash-map role)
+- ``csr_build`` — O(E+V) counting-sort CSR build (graph_csr.c:20-83)
+- ``csr_apply_delta`` — insert/delete merge (graph_csr.c:175-325)
+- ``jaro_winkler`` / ``jaro_winkler_batch`` (string_sim.c:11-96)
+
+Every entry point has a numpy/python fallback (``HAVE_NATIVE`` False)
+so the package works where no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "src" / "muninn_host.cpp"
+_LIB = _DIR / "libmuninn_host.so"
+
+_lib = None
+HAVE_NATIVE = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                "-o", str(_LIB), str(_SRC),
+            ],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, HAVE_NATIVE
+    if _lib is not None:
+        return _lib
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        return None
+    lib.muninn_intern_new.restype = ctypes.c_void_p
+    lib.muninn_intern_free.argtypes = [ctypes.c_void_p]
+    lib.muninn_intern_size.argtypes = [ctypes.c_void_p]
+    lib.muninn_intern_size.restype = ctypes.c_int32
+    lib.muninn_intern_add.restype = ctypes.c_int32
+    lib.muninn_intern_bytes.argtypes = [ctypes.c_void_p]
+    lib.muninn_intern_bytes.restype = ctypes.c_int64
+    lib.muninn_csr_apply_delta.restype = ctypes.c_int64
+    lib.muninn_jaro_winkler.restype = ctypes.c_double
+    _lib = lib
+    HAVE_NATIVE = True
+    return lib
+
+
+def _pack_strings(strings) -> tuple[bytes, np.ndarray]:
+    bs = [s.encode() if isinstance(s, str) else bytes(s) for s in strings]
+    offsets = np.zeros(len(bs) + 1, np.int64)
+    np.cumsum([len(b) for b in bs], out=offsets[1:])
+    return b"".join(bs), offsets
+
+
+class InternTable:
+    """Bulk string interning backed by the native hash map (falls back
+    to a Python dict)."""
+
+    def __init__(self):
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = ctypes.c_void_p(self._lib.muninn_intern_new())
+            self._py = None
+        else:
+            self._h = None
+            self._py = {}
+            self._ids = []
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._h:
+            self._lib.muninn_intern_free(self._h)
+            self._h = None
+
+    def __len__(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.muninn_intern_size(self._h))
+        return len(self._ids)
+
+    def add(self, strings) -> np.ndarray:
+        if self._lib is not None:
+            buf, offs = _pack_strings(strings)
+            out = np.empty(len(strings), np.int32)
+            self._lib.muninn_intern_add(
+                self._h, buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(strings)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return out
+        out = np.empty(len(strings), np.int32)
+        for i, s in enumerate(strings):
+            idx = self._py.get(s)
+            if idx is None:
+                idx = len(self._ids)
+                self._py[s] = idx
+                self._ids.append(s)
+            out[i] = idx
+        return out
+
+    def find(self, strings) -> np.ndarray:
+        if self._lib is not None:
+            buf, offs = _pack_strings(strings)
+            out = np.empty(len(strings), np.int32)
+            self._lib.muninn_intern_find(
+                self._h, buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(strings)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return out
+        return np.array([self._py.get(s, -1) for s in strings], np.int32)
+
+
+def csr_build(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None, num_nodes: int):
+    """Counting-sort CSR build. Returns (offsets, src_sorted, dst_sorted, w_sorted)."""
+    lib = _load()
+    e = len(src)
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    ww = np.ascontiguousarray(w, np.float32) if w is not None else None
+    if lib is not None:
+        offsets = np.empty(num_nodes + 1, np.int32)
+        os_ = np.empty(e, np.int32)
+        od = np.empty(e, np.int32)
+        ow = np.empty(e, np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.muninn_csr_build(
+            src.ctypes.data_as(i32p), dst.ctypes.data_as(i32p),
+            ww.ctypes.data_as(f32p) if ww is not None else None,
+            ctypes.c_int64(e), ctypes.c_int32(num_nodes),
+            offsets.ctypes.data_as(i32p),
+            os_.ctypes.data_as(i32p), od.ctypes.data_as(i32p),
+            ow.ctypes.data_as(f32p),
+        )
+        return offsets, os_, od, ow
+    # numpy fallback
+    order = np.argsort(src, kind="stable")
+    s = src[order]
+    d = dst[order]
+    ow = (ww[order] if ww is not None else np.ones(e, np.float32))
+    counts = np.bincount(s, minlength=num_nodes)
+    offsets = np.zeros(num_nodes + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets, s, d, ow
+
+
+def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
+    """Apply a delta (op 0=insert, 1=delete-all-matching) to an edge list."""
+    lib = _load()
+    e, nd = len(src), len(d_src)
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    d_src = np.ascontiguousarray(d_src, np.int32)
+    d_dst = np.ascontiguousarray(d_dst, np.int32)
+    d_w = np.ascontiguousarray(d_w, np.float32)
+    d_op = np.ascontiguousarray(d_op, np.uint8)
+    if lib is not None:
+        cap = e + int((d_op == 0).sum())
+        out_s = np.empty(cap, np.int32)
+        out_d = np.empty(cap, np.int32)
+        out_w = np.empty(cap, np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = lib.muninn_csr_apply_delta(
+            src.ctypes.data_as(i32p), dst.ctypes.data_as(i32p),
+            w.ctypes.data_as(f32p), ctypes.c_int64(e),
+            d_src.ctypes.data_as(i32p), d_dst.ctypes.data_as(i32p),
+            d_w.ctypes.data_as(f32p), d_op.ctypes.data_as(u8p),
+            ctypes.c_int64(nd),
+            out_s.ctypes.data_as(i32p), out_d.ctypes.data_as(i32p),
+            out_w.ctypes.data_as(f32p),
+        )
+        return out_s[:n], out_d[:n], out_w[:n]
+    # numpy fallback
+    dels = {(int(s), int(d)) for s, d, o in zip(d_src, d_dst, d_op) if o == 1}
+    if dels:
+        keep = np.array(
+            [(int(s), int(d)) not in dels for s, d in zip(src, dst)], bool
+        )
+        src, dst, w = src[keep], dst[keep], w[keep]
+    ins = d_op == 0
+    return (
+        np.concatenate([src, d_src[ins]]),
+        np.concatenate([dst, d_dst[ins]]),
+        np.concatenate([w, d_w[ins]]),
+    )
+
+
+def jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity in [0, 1] (string_sim.c:11-96)."""
+    lib = _load()
+    if lib is not None:
+        ab, bb = a.encode(), b.encode()
+        return float(
+            lib.muninn_jaro_winkler(
+                ab, ctypes.c_int64(len(ab)), bb, ctypes.c_int64(len(bb))
+            )
+        )
+    return _jw_py(a, b)
+
+
+def jaro_winkler_batch(pairs_a, pairs_b) -> np.ndarray:
+    lib = _load()
+    if lib is not None:
+        buf_a, off_a = _pack_strings(pairs_a)
+        buf_b, off_b = _pack_strings(pairs_b)
+        out = np.empty(len(pairs_a), np.float64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.muninn_jaro_winkler_batch(
+            buf_a, off_a.ctypes.data_as(i64p),
+            buf_b, off_b.ctypes.data_as(i64p),
+            ctypes.c_int64(len(pairs_a)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+    return np.array([_jw_py(a, b) for a, b in zip(pairs_a, pairs_b)])
+
+
+def _jw_py(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    window = max(window, 0)
+    ma = [False] * la
+    mb = [False] * lb
+    matches = 0
+    for i in range(la):
+        for j in range(max(0, i - window), min(lb, i + window + 1)):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if not ma[i]:
+            continue
+        while not mb[j]:
+            j += 1
+        if a[i] != b[j]:
+            t += 1
+        j += 1
+    m = float(matches)
+    jv = (m / la + m / lb + (m - t / 2.0) / m) / 3.0
+    prefix = 0
+    for i in range(min(la, lb, 4)):
+        if a[i] == b[i]:
+            prefix += 1
+        else:
+            break
+    return jv + prefix * 0.1 * (1.0 - jv)

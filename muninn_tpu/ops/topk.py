@@ -103,6 +103,44 @@ def _dedup_ids(dists: jax.Array, ids: jax.Array) -> tuple[jax.Array, jax.Array]:
     return sd, si
 
 
+@jax.jit
+def merge_topk_flagged(
+    dists_a: jax.Array,
+    ids_a: jax.Array,
+    flags_a: jax.Array,
+    dists_b: jax.Array,
+    ids_b: jax.Array,
+    flags_b: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Merge two (dist, id, flag) sets keeping the ``ka`` smallest, with
+    a boolean payload carried through the sort. On duplicate ids the
+    flag=True occurrence wins (used by beam search: the flag marks
+    already-expanded entries, so a re-discovered node never reverts to
+    unexpanded).
+    """
+    ka = dists_a.shape[-1]
+    d = jnp.concatenate([dists_a, dists_b], axis=-1)
+    i = jnp.concatenate([ids_a, ids_b], axis=-1)
+    f = jnp.concatenate([flags_a, flags_b], axis=-1)
+    # sort by (id, ~flag, dist): within an id, expanded comes first
+    order = jnp.lexsort((d, (~f).astype(jnp.int32), i), axis=-1)
+    sd = jnp.take_along_axis(d, order, axis=-1)
+    si = jnp.take_along_axis(i, order, axis=-1)
+    sf = jnp.take_along_axis(f, order, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full_like(si[..., :1], -2), si[..., :-1]], axis=-1
+    )
+    dup = (si == prev) & (si != INVALID_ID)
+    sd = jnp.where(dup, INF, sd)
+    si = jnp.where(dup, INVALID_ID, si)
+    sf = jnp.where(dup, False, sf)
+    order2 = jnp.argsort(sd, axis=-1)
+    sd = jnp.take_along_axis(sd, order2, axis=-1)
+    si = jnp.take_along_axis(si, order2, axis=-1)
+    sf = jnp.take_along_axis(sf, order2, axis=-1)
+    return sd[..., :ka], si[..., :ka], sf[..., :ka]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def sorted_topk_unique(
     dists: jax.Array, ids: jax.Array, k: int

@@ -1,0 +1,192 @@
+"""Multi-chip execution: sharded search, SGNS, and PageRank.
+
+The reference is single-process CPU (SURVEY.md §2.4 — no DP/TP/PP, no
+collective backend). Scaling on TPU is therefore *designed*, not
+translated: a 1-D ``jax.sharding.Mesh`` over the corpus/edge axis with
+XLA collectives over ICI via ``shard_map``:
+
+- **Sharded exact KNN** (the standard sharded-ANN pattern): corpus rows
+  are sharded; each chip computes its local top-k, then an
+  ``all_gather`` of the tiny [B, k] partials + merge yields the global
+  result. Communication is O(B*k), never O(B*N).
+- **Data-parallel SGNS**: walk rows are sharded; each chip computes a
+  dense gradient delta for the embedding tables from its shard, a
+  ``psum`` averages them, and the SGD step applies identically on every
+  chip (tables stay replicated).
+- **Sharded PageRank**: edges are sharded; each chip scatter-adds its
+  partial rank contributions and a ``psum`` completes the SpMV.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from muninn_tpu.ops.distance import Metric, parse_metric, pairwise_distances
+from muninn_tpu.ops.topk import masked_topk, sorted_topk_unique
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_rows(x: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
+    """Place a [N, ...] array row-sharded over the mesh (pad N to a
+    multiple of the mesh size with the caller handling validity)."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+
+
+def sharded_exact_search(
+    queries: jax.Array,
+    corpus: jax.Array,       # [N_pad, d], N_pad % n_shards == 0
+    valid: jax.Array,        # [N_pad] bool
+    k: int,
+    metric: Metric | str,
+    mesh: Mesh,
+    axis: str = "shard",
+):
+    """Exact KNN over a row-sharded corpus. Returns (dists [B, k],
+    global ids [B, k]) replicated on every chip."""
+    metric = parse_metric(metric)
+    n_pad = corpus.shape[0]
+    nsh = mesh.devices.size
+    shard_n = n_pad // nsh
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+    )
+    def _search(q, c_local, v_local):
+        my = jax.lax.axis_index(axis)
+        d = pairwise_distances(q, c_local, metric)           # [B, shard_n]
+        ids = my * shard_n + jnp.arange(shard_n, dtype=jnp.int32)[None, :]
+        ld, li = masked_topk(d, k, mask=v_local[None, :], ids=ids)
+        # gather tiny per-shard top-k, merge locally (identical on all)
+        gd = jax.lax.all_gather(ld, axis)                    # [S, B, k]
+        gi = jax.lax.all_gather(li, axis)
+        gd = jnp.moveaxis(gd, 0, 1).reshape(q.shape[0], -1)
+        gi = jnp.moveaxis(gi, 0, 1).reshape(q.shape[0], -1)
+        return sorted_topk_unique(gd, gi, k)
+
+    return _search(queries, corpus, valid)
+
+
+def sharded_sgns_step(
+    syn0: jax.Array,         # [V, D] replicated
+    syn1: jax.Array,         # [V, D] replicated
+    walks: jax.Array,        # [W, L+1] int32, W % n_shards == 0
+    neg_table: jax.Array,    # [T] int32 replicated
+    key: jax.Array,
+    lr: jax.Array,
+    window: int,
+    neg_samples: int,
+    mesh: Mesh,
+    axis: str = "shard",
+) -> tuple[jax.Array, jax.Array]:
+    """One data-parallel SGNS step: walk rows sharded, dense gradient
+    deltas psum-averaged, tables updated replicated."""
+    vcount, dim = syn0.shape
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(), P(axis, None), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def _step(s0, s1, walks_local, ntab, k_, lr_):
+        my = jax.lax.axis_index(axis)
+        k_local = jax.random.fold_in(k_, my)
+        w_local, l1 = walks_local.shape
+        centers, contexts = [], []
+        for off in range(1, window + 1):
+            if off >= l1:
+                break
+            a = walks_local[:, :-off].reshape(-1)
+            b = walks_local[:, off:].reshape(-1)
+            centers += [a, b]
+            contexts += [b, a]
+        center = jnp.concatenate(centers)
+        context = jnp.concatenate(contexts)
+        pcount = center.shape[0]
+        negs = ntab[
+            jax.random.randint(k_local, (pcount, neg_samples), 0, ntab.shape[0])
+        ]
+        v = s0[center]
+        upos = s1[context]
+        uneg = s1[negs]
+        gpos = jax.nn.sigmoid(jnp.sum(v * upos, -1)) - 1.0
+        gneg = jax.nn.sigmoid(jnp.einsum("pd,pkd->pk", v, uneg))
+        dv = gpos[:, None] * upos + jnp.einsum("pk,pkd->pd", gneg, uneg)
+        dupos = gpos[:, None] * v
+        duneg = gneg[:, :, None] * v[:, None, :]
+
+        ones = jnp.ones((pcount,), jnp.float32)
+        cnt0 = jax.ops.segment_sum(ones, center, num_segments=vcount)
+        nf = negs.reshape(-1)
+        cnt1 = jax.ops.segment_sum(ones, context, num_segments=vcount) + (
+            jax.ops.segment_sum(jnp.ones_like(nf, dtype=jnp.float32), nf,
+                                num_segments=vcount)
+        )
+        # dense per-shard deltas -> psum across shards
+        d0 = jnp.zeros_like(s0).at[center].add(dv)
+        d1 = jnp.zeros_like(s1).at[context].add(dupos)
+        d1 = d1.at[nf].add(duneg.reshape(-1, dim))
+        d0 = jax.lax.psum(d0, axis)
+        d1 = jax.lax.psum(d1, axis)
+        c0 = jax.lax.psum(cnt0, axis)
+        c1 = jax.lax.psum(cnt1, axis)
+        s0 = s0 - lr_ * d0 / jnp.maximum(c0, 1.0)[:, None]
+        s1 = s1 - lr_ * d1 / jnp.maximum(c1, 1.0)[:, None]
+        return s0, s1
+
+    return _step(syn0, syn1, walks, neg_table, key, lr)
+
+
+def sharded_pagerank(
+    src: jax.Array,          # [E_pad] int32, E_pad % n_shards == 0
+    dst: jax.Array,
+    share: jax.Array,        # [E_pad] f32 (rank share per edge; 0 for pad)
+    dangling: jax.Array,     # [V] bool
+    num_nodes: int,
+    mesh: Mesh,
+    damping: float = 0.85,
+    iterations: int = 20,
+    axis: str = "shard",
+) -> jax.Array:
+    """Edge-sharded PageRank: each chip scatter-adds its shard's
+    contributions; a psum completes the pull."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    def _run(src_l, dst_l, share_l, dang):
+        n = num_nodes
+        rank = jnp.full((n,), 1.0 / n, jnp.float32)
+
+        def body(_, rank):
+            contrib = rank[src_l] * share_l
+            partial_ = jax.ops.segment_sum(contrib, dst_l, num_segments=n)
+            pulled = jax.lax.psum(partial_, axis)
+            dmass = jnp.sum(jnp.where(dang, rank, 0.0))
+            return (1.0 - damping) / n + damping * (pulled + dmass / n)
+
+        return jax.lax.fori_loop(0, iterations, body, rank)
+
+    return _run(src, dst, share, dangling)

@@ -1,0 +1,100 @@
+"""Sharded execution on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from muninn_tpu.parallel import (
+    make_mesh,
+    shard_rows,
+    sharded_exact_search,
+    sharded_pagerank,
+    sharded_sgns_step,
+)
+from muninn_tpu.ops.distance import Metric
+from muninn_tpu.models.node2vec import build_negative_table
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_exact_search_matches_single_device(rng):
+    mesh = make_mesh()
+    n, d, b, k = 512, 32, 16, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[100:110] = False
+
+    cj = shard_rows(jnp.asarray(corpus), mesh)
+    vj = shard_rows(jnp.asarray(valid), mesh)
+    sd, si = sharded_exact_search(
+        jnp.asarray(queries), cj, vj, k, Metric.L2, mesh
+    )
+    sd, si = np.asarray(sd), np.asarray(si)
+
+    # oracle
+    dist = ((queries[:, None, :] - corpus[None, :, :]) ** 2).sum(-1)
+    dist[:, ~valid] = np.inf
+    want_i = np.argsort(dist, axis=1)[:, :k]
+    want_d = np.take_along_axis(dist, want_i, axis=1)
+    np.testing.assert_allclose(sd, want_d, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(si, want_i)
+
+
+def test_sharded_pagerank_matches_reference_impl(rng):
+    from muninn_tpu.graph import Graph
+
+    mesh = make_mesh()
+    n, e = 200, 1600
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+    want = g.pagerank(iterations=30)
+
+    c = g.csr("forward")
+    deg = np.asarray(c.degrees()).astype(np.float32)
+    s = np.asarray(c.src)
+    d = np.asarray(c.dst)
+    share = 1.0 / np.maximum(deg, 1e-30)[s]
+    dangling = deg <= 0
+    pad = (-len(s)) % 8
+    s = np.pad(s, (0, pad))
+    d = np.pad(d, (0, pad))
+    share = np.pad(share, (0, pad))
+    rank = np.asarray(
+        sharded_pagerank(
+            shard_rows(jnp.asarray(s), mesh),
+            shard_rows(jnp.asarray(d), mesh),
+            shard_rows(jnp.asarray(share.astype(np.float32)), mesh),
+            jnp.asarray(dangling),
+            g.num_nodes, mesh, iterations=30,
+        )
+    )
+    for i in range(g.num_nodes):
+        assert rank[i] == pytest.approx(want[g.nodes.id_of(i)], abs=1e-5)
+
+
+def test_sharded_sgns_step_runs_and_updates(rng):
+    mesh = make_mesh()
+    v, dim = 64, 16
+    syn0 = jnp.asarray(rng.standard_normal((v, dim)).astype(np.float32) * 0.01)
+    syn1 = jnp.zeros((v, dim), jnp.float32)
+    walks = jnp.asarray(rng.integers(0, v, (32, 9)).astype(np.int32))
+    ntab = jnp.asarray(build_negative_table(np.ones(v), size=1000))
+    s0, s1 = sharded_sgns_step(
+        syn0, syn1, walks, ntab, jax.random.PRNGKey(0),
+        jnp.float32(0.025), 3, 4, mesh,
+    )
+    # step 1: syn1 starts at zero, so only syn1 moves
+    assert not np.allclose(np.asarray(s1), 0.0)
+    s0b, s1b = sharded_sgns_step(
+        s0, s1, walks, ntab, jax.random.PRNGKey(1),
+        jnp.float32(0.025), 3, 4, mesh,
+    )
+    assert not np.allclose(np.asarray(s0b), np.asarray(s0))
+    assert np.isfinite(np.asarray(s0b)).all()
+    assert np.isfinite(np.asarray(s1b)).all()

@@ -1,0 +1,110 @@
+"""Checkpoint/resume + GraphCache delta lifecycle (the reference's
+shadow-table persistence tests: pytests/test_hnsw_vtab.py,
+pytests/test_graph_adjacency.py)."""
+
+import numpy as np
+import pytest
+
+from muninn_tpu.index.hnsw import HnswIndex
+from muninn_tpu.index.flat import FlatIndex
+from muninn_tpu.io.checkpoint import (
+    DeltaLog,
+    load_flat,
+    load_hnsw,
+    save_flat,
+    save_hnsw,
+)
+from muninn_tpu.graph.adjacency import GraphCache
+
+
+def test_hnsw_save_load_roundtrip(rng, tmp_path):
+    vecs = rng.standard_normal((300, 24)).astype(np.float32)
+    idx = HnswIndex(24, "cosine", m=8, ef_construction=60, wave_size=100, seed=7)
+    idx.insert(np.arange(300), vecs)
+    idx.delete([5, 6, 7])
+    q = rng.standard_normal((20, 24)).astype(np.float32)
+    want_ids, want_d = idx.search(q, k=5, ef_search=40)
+
+    save_hnsw(idx, tmp_path / "ck")
+    idx2 = load_hnsw(tmp_path / "ck")
+    got_ids, got_d = idx2.search(q, k=5, ef_search=40)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-6)
+    # loaded index remains mutable
+    idx2.insert([1000], rng.standard_normal((1, 24)).astype(np.float32))
+    assert len(idx2) == 298
+
+
+def test_flat_save_load_roundtrip(rng, tmp_path):
+    idx = FlatIndex(16, "l2", use_pallas=False)
+    idx.insert(np.arange(50), rng.standard_normal((50, 16)).astype(np.float32))
+    idx.delete([3])
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    want_ids, _ = idx.search(q, k=3)
+    save_flat(idx, tmp_path / "fk")
+    idx2 = load_flat(tmp_path / "fk")
+    idx2.use_pallas = False
+    got_ids, _ = idx2.search(q, k=3)
+    np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_kind_mismatch_raises(rng, tmp_path):
+    idx = FlatIndex(8, "l2", use_pallas=False)
+    idx.insert([1], np.zeros((1, 8), np.float32))
+    save_flat(idx, tmp_path / "x")
+    with pytest.raises(ValueError):
+        load_hnsw(tmp_path / "x")
+
+
+def test_graph_cache_lazy_freshness(rng):
+    gc = GraphCache.from_edges(["a", "b"], ["b", "c"])
+    gen0 = gc.generation
+    g = gc.graph()
+    assert {n for n, _, _ in g.bfs("a")} == {"a", "b", "c"}
+    # mutation queues a delta; read refreshes lazily
+    gc.add_edges(["c"], ["d"])
+    assert gc.delta_count == 1
+    g2 = gc.graph()
+    assert gc.delta_count == 0
+    assert gc.generation > gen0
+    assert {n for n, _, _ in g2.bfs("a")} == {"a", "b", "c", "d"}
+
+
+def test_graph_cache_delete_edges(rng):
+    gc = GraphCache.from_edges(["a", "b", "c"], ["b", "c", "d"])
+    gc.remove_edges(["b"], ["c"])
+    g = gc.graph()
+    assert {n for n, _, _ in g.bfs("a")} == {"a", "b"}
+    assert gc.num_edges == 2
+
+
+def test_graph_cache_degrees(rng):
+    gc = GraphCache.from_edges(
+        ["a", "a", "b"], ["b", "c", "c"], weights=[2.0, 3.0, 4.0]
+    )
+    deg = gc.degrees()
+    # (in, out, w_in, w_out)
+    assert deg["a"] == (0, 2, 0.0, 5.0)
+    assert deg["c"] == (2, 0, 7.0, 0.0)
+
+
+def test_graph_cache_save_load_with_delta_log(rng, tmp_path):
+    log = tmp_path / "delta.jsonl"
+    gc = GraphCache.from_edges(["a"], ["b"], log_path=str(log))
+    gc.save(tmp_path / "gc")          # clears the log
+    gc.add_edges(["b"], ["c"])        # post-checkpoint mutation -> log
+    assert len(DeltaLog(log)) == 1
+
+    gc2 = GraphCache.load(tmp_path / "gc", log_path=str(log))
+    g = gc2.graph()
+    assert {n for n, _, _ in g.bfs("a")} == {"a", "b", "c"}
+
+
+def test_graph_cache_explicit_rebuild_commands(rng):
+    gc = GraphCache.from_edges(["a"], ["b"])
+    gc.add_edges(["b"], ["c"])
+    gc.incremental_rebuild()
+    assert gc.delta_count == 0
+    gc.add_edges(["c"], ["d"])
+    gc.rebuild()
+    assert gc.num_edges == 3

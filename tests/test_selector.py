@@ -1,0 +1,90 @@
+"""Selector DSL vs the documented reference semantics
+(docs/graph-select.md example graph: A->B, Y->E, B->C, C->D, C->E, E->F)."""
+
+import pytest
+
+from muninn_tpu.graph import Graph
+from muninn_tpu.graph.selector import SelectorError, parse_selector, select
+
+
+@pytest.fixture
+def deps():
+    edges = [("A", "B"), ("Y", "E"), ("B", "C"), ("C", "D"), ("C", "E"), ("E", "F")]
+    src, dst = zip(*edges)
+    return Graph.from_edges(src, dst)
+
+
+def nodes_of(rows):
+    return {n for n, _, _ in rows}
+
+
+def test_plain_node(deps):
+    assert nodes_of(select(deps, "C")) == {"C"}
+
+
+def test_ancestors(deps):
+    assert nodes_of(select(deps, "+C")) == {"A", "B", "C"}
+
+
+def test_descendants(deps):
+    assert nodes_of(select(deps, "C+")) == {"C", "D", "E", "F"}
+
+
+def test_depth_limited(deps):
+    assert nodes_of(select(deps, "1+C")) == {"B", "C"}
+    assert nodes_of(select(deps, "C+1")) == {"C", "D", "E"}
+    assert nodes_of(select(deps, "1+C+1")) == {"B", "C", "D", "E"}
+
+
+def test_unlimited_both(deps):
+    assert nodes_of(select(deps, "+C+")) == {"A", "B", "C", "D", "E", "F"}
+
+
+def test_closure(deps):
+    assert nodes_of(select(deps, "@C")) == {"A", "B", "C", "D", "E", "F", "Y"}
+
+
+def test_union(deps):
+    assert nodes_of(select(deps, "D B")) == {"D", "B"}
+
+
+def test_intersection_common_ancestors(deps):
+    assert nodes_of(select(deps, "+D,+E")) == {"A", "B", "C"}
+
+
+def test_complement(deps):
+    assert nodes_of(select(deps, "not C+")) == {"A", "B", "Y"}
+
+
+def test_mixed_precedence(deps):
+    # +A B+ = (+A) ∪ (B+)
+    assert nodes_of(select(deps, "+A B+")) == {"A", "B", "C", "D", "E", "F"}
+
+
+def test_depths_and_directions(deps):
+    rows = {n: (d, dir_) for n, d, dir_ in select(deps, "2+C+2")}
+    assert rows["C"] == (0, "self")
+    assert rows["B"] == (1, "ancestor")
+    assert rows["A"] == (2, "ancestor")
+    assert rows["D"] == (1, "descendant")
+    assert rows["E"] == (1, "descendant")
+    assert rows["F"] == (2, "descendant")
+
+
+def test_parse_errors():
+    with pytest.raises(SelectorError):
+        parse_selector("")
+    with pytest.raises(SelectorError):
+        parse_selector("@+C")
+    with pytest.raises(SelectorError):
+        parse_selector(",")
+
+
+def test_unknown_node_empty(deps):
+    assert select(deps, "ZZZ") == []
+
+
+def test_closure_includes_ancestor_of_descendant_direction(deps):
+    rows = {n: dir_ for n, _, dir_ in select(deps, "@C")}
+    assert rows["Y"] == "closure"
+    assert rows["D"] == "descendant"
