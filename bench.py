@@ -1,0 +1,112 @@
+"""Headline benchmark, run by the driver on the real TPU chip.
+
+Workload mirrors the reference's largest published config
+(BASELINE.md: AG News MiniLM 384-d, 100k vectors, K=10, M=16,
+ef_construction=200, ef_search=64, cosine):
+
+- corpus: 100k x 384-d unit-norm clustered synthetic embeddings
+- exact path: fused Pallas streaming distance+top-k (recall 1.0)
+- HNSW path: batched beam search (reference-parity recall)
+
+Baselines (darwin-arm64 CPU, BASELINE.md): query 0.41 ms/query at 100k
+(= 2439 QPS), insert 147.6 vec/s at 100k, recall@10 0.916.
+
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "extras": {...}}
+The headline is exact-search QPS at recall 1.0 vs the reference's
+best-recall query rate; extras carry the HNSW build/query/recall
+numbers for the same workload.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N = 100_000
+DIM = 384
+N_QUERIES = 8192
+K = 10
+BASELINE_QPS = 1000.0 / 0.41      # 0.41 ms/query @ 100k, BASELINE.md
+BASELINE_BUILD = 147.6            # vec/s @ 100k
+BASELINE_RECALL = 0.916           # recall@10 @ 100k
+
+
+def make_data(rng, n, dim, n_clusters=1000):
+    """Clustered unit vectors (embedding-like, not uniform noise)."""
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    x = centers[assign] + 0.3 * rng.standard_normal((n, dim)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from muninn_tpu.ops.pallas_flat import flat_topk
+    from muninn_tpu.index.hnsw import HnswIndex
+
+    rng = np.random.default_rng(7)
+    corpus = make_data(rng, N, DIM)
+    qidx = rng.integers(0, N, N_QUERIES)
+    queries = corpus[qidx] + 0.05 * rng.standard_normal((N_QUERIES, DIM)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    cj = jnp.asarray(corpus)
+    qj = jnp.asarray(queries)
+
+    # ── exact path (recall 1.0) ──
+    ii = flat_topk(qj, cj, K, metric="cosine", precision="default")[1]
+    true_ids = np.asarray(ii)  # ground truth for HNSW recall below
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        ii = flat_topk(qj, cj, K, metric="cosine", precision="default")[1]
+        _ = np.asarray(ii)[0, 0]
+    exact_qps = N_QUERIES * reps / (time.time() - t0)
+
+    # ── HNSW path (reference parameters) ──
+    idx = HnswIndex(
+        DIM, "cosine", m=16, ef_construction=200,
+        wave_size=4096, capacity=131072, expand=8, seed=42,
+    )
+    t0 = time.time()
+    idx.insert(np.arange(N), corpus)
+    build_s = time.time() - t0
+    build_rate = N / build_s
+
+    hq = queries[:2048]
+    ids, _ = idx.search(hq, k=K, ef_search=64)  # warm/compile
+    t0 = time.time()
+    for _ in range(3):
+        ids, _ = idx.search(hq, k=K, ef_search=64)
+    hnsw_qps = 2048 * 3 / (time.time() - t0)
+    hits = sum(
+        len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids[:2048])
+    )
+    hnsw_recall = hits / (2048 * K)
+
+    result = {
+        "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine_recall1.0",
+        "value": round(exact_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(exact_qps / BASELINE_QPS, 2),
+        "extras": {
+            "exact_recall": 1.0,
+            "hnsw_build_vec_per_s": round(build_rate, 1),
+            "hnsw_build_vs_baseline": round(build_rate / BASELINE_BUILD, 2),
+            "hnsw_query_qps": round(hnsw_qps, 1),
+            "hnsw_query_vs_baseline": round(hnsw_qps / BASELINE_QPS, 2),
+            "hnsw_recall_at_10": round(hnsw_recall, 4),
+            "baseline_recall_at_10": BASELINE_RECALL,
+            "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,5 @@
 """Entity-resolution cascade (ANN blocking + string sim + Leiden)."""
+
+from muninn_tpu.er.resolve import Entity, resolve_entities
+
+__all__ = ["Entity", "resolve_entities"]

@@ -1,0 +1,153 @@
+"""Entity resolution cascade.
+
+Re-design of the reference's ``muninn_extract_er``
+(``src/llama_er.c``), the one pipeline composing all three subsystems
+(ANN + string similarity + graph clustering):
+
+1. **KNN blocking**: batched vector search over the entity index — one
+   call for all entities (the reference loops per-entity SQL MATCH
+   queries, ``:207-287``).
+2. **Scoring cascade** (``:289-332``): exact match 1.0,
+   case-insensitive 0.9, else ``jw_weight * JaroWinkler +
+   (1 - jw_weight) * cosine_sim`` against
+   ``match_threshold = 1 - dist_threshold + borderline_delta``.
+   Guards: ``same_source`` forbids intra-source matches, ``diff_type``
+   forbids cross-type matches.
+3. **Leiden clustering** over the match graph (``:334-440``).
+4. Optional **edge-betweenness bridge cutting**: edges above
+   ``eb_threshold`` (normalized) are cut and Leiden re-runs
+   (``:442-545``).
+
+Returns ``{"clusters": {entity_id: cluster_id}}`` like the reference's
+JSON output (``:547-574``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from muninn_tpu.graph.api import Graph
+from muninn_tpu.native import jaro_winkler_batch
+
+
+@dataclass
+class Entity:
+    id: str
+    name: str
+    source: str | None = None
+    type: str | None = None
+
+
+def resolve_entities(
+    entities: list[Entity] | list[dict],
+    index,
+    *,
+    k: int = 10,
+    dist_threshold: float = 0.4,
+    jw_weight: float = 0.6,
+    borderline_delta: float = 0.0,
+    eb_threshold: float | None = None,
+    type_guard: str | None = None,       # 'same_source' | 'diff_type' | None
+    resolution: float = 1.0,
+    seed: int = 0,
+) -> dict:
+    """``muninn_extract_er(hnsw_table, name_col, k, dist_threshold,
+    jw_weight, borderline_delta[, chat_model[, eb_threshold[,
+    type_guard]]])`` equivalent.
+
+    ``index`` is a FlatIndex/HnswIndex whose rows are keyed by the
+    positional entity index (0..n-1) or by int(entity.id); it must hold
+    one vector per entity.
+    """
+    ents = [
+        e if isinstance(e, Entity) else Entity(**e) for e in entities
+    ]
+    n = len(ents)
+    if n == 0:
+        return {"clusters": {}}
+
+    # 1. KNN blocking — one batched search for every entity vector
+    vecs = np.stack([index.store.get_vector(_row_id(e, i)) for i, e in enumerate(ents)])
+    ids, dists = index.search(vecs, k=k + 1)
+
+    row_of = {_row_id(e, i): i for i, e in enumerate(ents)}
+    pairs: dict[tuple[int, int], float] = {}
+    for i in range(n):
+        for j_id, dist in zip(ids[i], dists[i]):
+            if j_id < 0 or int(j_id) not in row_of:
+                continue
+            j = row_of[int(j_id)]
+            if j == i:
+                continue
+            a, b = (i, j) if i < j else (j, i)
+            # cosine distance -> similarity
+            cos_sim = 1.0 - float(dist)
+            if (a, b) not in pairs or cos_sim > pairs[(a, b)]:
+                pairs[(a, b)] = cos_sim
+
+    if not pairs:
+        return {"clusters": {e.id: ci for ci, e in enumerate(ents)}}
+
+    # 2. guards + scoring cascade
+    match_threshold = 1.0 - dist_threshold + borderline_delta
+    keys = list(pairs.keys())
+    names_a = [ents[a].name for a, _ in keys]
+    names_b = [ents[b].name for _, b in keys]
+    jw = jaro_winkler_batch(names_a, names_b)
+
+    edges_src, edges_dst, edges_w = [], [], []
+    for (a, b), jww in zip(keys, jw):
+        ea, eb = ents[a], ents[b]
+        if type_guard == "same_source" and ea.source is not None and ea.source == eb.source:
+            continue
+        if type_guard == "diff_type" and ea.type is not None and eb.type is not None and ea.type != eb.type:
+            continue
+        if ea.name == eb.name:
+            score = 1.0
+        elif ea.name.lower() == eb.name.lower():
+            score = 0.9
+        else:
+            score = jw_weight * float(jww) + (1.0 - jw_weight) * pairs[(a, b)]
+        if score >= match_threshold:
+            edges_src.append(a)
+            edges_dst.append(b)
+            edges_w.append(score)
+
+    if not edges_src:
+        return {"clusters": {e.id: ci for ci, e in enumerate(ents)}}
+
+    # 3. Leiden over the match graph
+    g = Graph.from_edges(edges_src, edges_dst, np.asarray(edges_w, np.float32))
+    labels, _ = g.leiden(resolution=resolution, seed=seed)
+
+    # 4. optional bridge cutting + re-cluster
+    if eb_threshold is not None:
+        eb = g.edge_betweenness(direction="both", normalized=True, weighted=False)
+        keep = [
+            (s, d, w) for s, d, w in zip(edges_src, edges_dst, edges_w)
+            if eb.get((min(s, d), max(s, d)), 0.0) <= eb_threshold
+        ]
+        if keep and len(keep) < len(edges_src):
+            s2, d2, w2 = zip(*keep)
+            g = Graph.from_edges(list(s2), list(d2), np.asarray(w2, np.float32))
+            labels, _ = g.leiden(resolution=resolution, seed=seed)
+
+    # singletons (no surviving edges) get their own clusters
+    next_cluster = (max(labels.values()) + 1) if labels else 0
+    clusters: dict = {}
+    for i, e in enumerate(ents):
+        if i in labels:
+            clusters[e.id] = int(labels[i])
+        else:
+            clusters[e.id] = next_cluster
+            next_cluster += 1
+    return {"clusters": clusters}
+
+
+def _row_id(e: Entity, i: int) -> int:
+    try:
+        return int(e.id)
+    except (TypeError, ValueError):
+        return i

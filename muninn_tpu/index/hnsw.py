@@ -170,33 +170,29 @@ def _beam_search_level0(
     results by the caller (``src/hnsw_algo.c:404-420``).
     """
     b, d = queries.shape
-    cap = vectors.shape[0]
     r0 = neighbors0.shape[1]
     if patience <= 0:
-        patience = max(ef // 4, 10)  # src/hnsw_algo.c:368
+        patience = max(ef // 4, 10)  # counted in expansions, src/hnsw_algo.c:368
     if max_iters <= 0:
-        max_iters = 2 * (ef // expand + 1) + patience + 8
+        max_iters = 2 * (ef // expand + 1) + patience // expand + 8
 
-    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    ef_pos = jnp.arange(ef, dtype=jnp.int32)[None, None, :]  # [1,1,ef]
 
-    # init: beam = entry point, already visited
+    # init: beam = entry point
     e_d = gathered_distances(queries, vectors[jnp.maximum(entry, 0)][:, None, :], metric)[:, 0]
     e_d = jnp.where(entry >= 0, e_d, _INF)
     beam_d = jnp.full((b, ef), jnp.inf).at[:, 0].set(e_d)
     beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(entry)
     expanded = jnp.zeros((b, ef), bool)
-    visited = jnp.zeros((b, cap), bool).at[
-        rows[:, 0], jnp.maximum(entry, 0)
-    ].set(True)
 
     def cond(state):
-        beam_d, beam_i, expanded, visited, stall, it = state
+        beam_d, beam_i, expanded, stall, it = state
         has_unexpanded = jnp.any((~expanded) & (beam_i >= 0), axis=1)
         live = has_unexpanded & (stall < patience)
         return jnp.any(live) & (it < max_iters)
 
     def step(state):
-        beam_d, beam_i, expanded, visited, stall, it = state
+        beam_d, beam_i, expanded, stall, it = state
         # best `expand` unexpanded beam entries per query
         cand_d = jnp.where(expanded | (beam_i < 0), jnp.inf, beam_d)
         _, pick = jax.lax.top_k(-cand_d, expand)                 # [B, E] positions
@@ -205,44 +201,34 @@ def _beam_search_level0(
         live = jnp.any(pick_valid, axis=1) & (stall < patience)
         do = pick_valid & live[:, None]
 
-        expanded = expanded.at[rows, pick].max(do)
+        # mark picked expanded via one-hot compare (2D scatters are
+        # pathologically slow on TPU)
+        sel = jnp.any((pick[:, :, None] == ef_pos) & do[:, :, None], axis=1)
+        expanded = expanded | sel
 
         # neighbor rows of picked entries
         nbrs = neighbors0[jnp.maximum(pick_i, 0)].reshape(b, expand * r0)
         nbrs = jnp.where(do.repeat(r0, axis=1), nbrs, -1)
-        # drop within-iteration duplicates (two expanded nodes sharing a
-        # neighbor) — keep first occurrence only
-        c = nbrs.shape[1]
-        eq = nbrs[:, :, None] == nbrs[:, None, :]                # [B, C, C]
-        lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
-        dup = jnp.any(eq & lower[None, :, :], axis=2)
-        nbrs = jnp.where(dup, -1, nbrs)
-        safe = jnp.maximum(nbrs, 0)
-        fresh = (nbrs >= 0) & ~visited[rows, safe]
-        visited = visited.at[rows, safe].max(fresh)
-
-        nvecs = vectors[safe]                                     # [B, E*R0, d]
+        nvecs = vectors[jnp.maximum(nbrs, 0)]                     # [B, E*R0, d]
         nd = gathered_distances(queries, nvecs, metric)
-        nd = jnp.where(fresh, nd, jnp.inf)
+        nd = jnp.where(nbrs >= 0, nd, jnp.inf)
 
-        # merge: one top_k over [beam | fresh candidates]
-        cat_d = jnp.concatenate([beam_d, nd], axis=1)
-        cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
-        cat_f = jnp.concatenate([expanded, jnp.zeros_like(fresh)], axis=1)
-        neg_top, pos = jax.lax.top_k(-cat_d, ef)
-        new_d = -neg_top
-        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        new_f = jnp.take_along_axis(cat_f, pos, axis=1)
-        new_i = jnp.where(jnp.isinf(new_d), -1, new_i)
-        new_f = new_f & (new_i >= 0)
+        # flag-carrying dedup merge: candidates enter unexpanded;
+        # duplicate ids keep the expanded copy
+        new_d, new_i, new_f = merge_topk_flagged(
+            beam_d, beam_i, expanded,
+            nd, nbrs, jnp.zeros_like(nbrs, dtype=bool),
+        )
 
         improved = new_d[:, ef - 1] < beam_d[:, ef - 1]
-        stall = jnp.where(live, jnp.where(improved, 0, stall + 1), stall)
-        return new_d, new_i, new_f, visited, stall, it + 1
+        # patience counts expansions, not iterations
+        stall = jnp.where(
+            live, jnp.where(improved, 0, stall + jnp.sum(do, axis=1)), stall
+        )
+        return new_d, new_i, new_f, stall.astype(jnp.int32), it + 1
 
-    beam_d, beam_i, expanded, visited, _, _ = jax.lax.while_loop(
-        cond, step,
-        (beam_d, beam_i, expanded, visited, jnp.zeros((b,), jnp.int32), jnp.int32(0)),
+    beam_d, beam_i, expanded, _, _ = jax.lax.while_loop(
+        cond, step, (beam_d, beam_i, expanded, jnp.zeros((b,), jnp.int32), jnp.int32(0))
     )
     return beam_d, beam_i
 
@@ -280,7 +266,7 @@ class HnswIndex:
         *,
         capacity: int = 2048,
         seed: int = 42,
-        expand: int = 1,
+        expand: int = 4,
         wave_size: int = 1024,
     ):
         if m < 2:
@@ -594,13 +580,17 @@ class HnswIndex:
         keep = valid_s & (pos < a_max)
 
         cap = self.neighbors0.shape[0]
-        # dropped entries get an out-of-bounds row -> discarded by mode="drop"
-        row_idx = jnp.where(keep, tgt_s, cap)
-        col_idx = jnp.where(keep, pos, 0)
-        append_i = jnp.full((cap, a_max), -1, jnp.int32)
-        append_d = jnp.full((cap, a_max), jnp.inf, jnp.float32)
-        append_i = append_i.at[row_idx, col_idx].set(src_s, mode="drop")
-        append_d = append_d.at[row_idx, col_idx].set(dd_s, mode="drop")
+        # flat 1D scatter (batched 2D scatters are pathologically slow on
+        # TPU); dropped entries get an out-of-bounds index
+        flat_idx = jnp.where(
+            keep, tgt_s * a_max + jnp.minimum(pos, a_max - 1), cap * a_max
+        )
+        append_i = jnp.full((cap * a_max,), -1, jnp.int32).at[flat_idx].set(
+            src_s, mode="drop"
+        ).reshape(cap, a_max)
+        append_d = jnp.full((cap * a_max,), jnp.inf, jnp.float32).at[flat_idx].set(
+            dd_s, mode="drop"
+        ).reshape(cap, a_max)
 
         # affected rows: all targets, duplicates included — the prune is
         # a deterministic function of pre-update row content, so

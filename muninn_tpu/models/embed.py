@@ -1,0 +1,140 @@
+"""Text embedding models.
+
+The reference loads GGUF encoder models through llama.cpp
+(``src/llama_embed.c``: tokenize -> llama_encode -> pooled embedding ->
+L2 normalize). TPU-native equivalents:
+
+- ``FlaxEmbedModel``: a transformers Flax encoder loaded from a local
+  path, mean-pooled, running batched under jit on the TPU (the MXU does
+  the work the reference gives to llama.cpp's CPU/Metal path).
+- ``HashEmbedModel``: deterministic hashed bag-of-words embeddings —
+  the ``MUNINN_TESTING`` dummy-model analogue
+  (``src/llama_common.c:321-348``) so every downstream pipeline
+  (indexing, ER) tests without model files in a zero-egress image.
+
+All embeddings are L2-normalized float32, matching the reference
+(``src/llama_embed.c:118-191``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from muninn_tpu.models.registry import ModelType, registry
+from muninn_tpu.text.tokenize import HashTokenizer
+
+
+class HashEmbedModel:
+    """Deterministic embeddings: each token hashes to a stable gaussian
+    direction; a text embeds to the L2-normalized mean. Similar texts
+    share tokens -> high cosine similarity. No model files needed."""
+
+    model_type = ModelType.EMBED
+
+    def __init__(self, dim: int = 64, seed: int = 0):
+        self.dim = int(dim)
+        self.seed = seed
+        self.tokenizer = HashTokenizer()
+        self.n_ctx = 8192  # reference cap, src/llama_embed.c:70-80
+
+    def _token_vec(self, tok: str) -> np.ndarray:
+        h = hashlib.blake2s(
+            f"{self.seed}:{tok.lower()}".encode(), digest_size=8
+        ).digest()
+        rng = np.random.default_rng(int.from_bytes(h, "little"))
+        return rng.standard_normal(self.dim).astype(np.float32)
+
+    def embed(self, texts) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            pieces = self.tokenizer.pieces(t)[: self.n_ctx]
+            if pieces:
+                out[i] = np.mean([self._token_vec(p) for p in pieces], axis=0)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-12)
+
+
+class FlaxEmbedModel:
+    """Transformers Flax encoder from a local path; mean pooling over
+    the last hidden state, jitted and batched on TPU."""
+
+    model_type = ModelType.EMBED
+
+    def __init__(self, path: str, n_ctx: int | None = None, batch_size: int = 64):
+        import jax
+        import jax.numpy as jnp
+        from transformers import AutoTokenizer, FlaxAutoModel
+
+        self._hf_tok = AutoTokenizer.from_pretrained(path)
+        self._model = FlaxAutoModel.from_pretrained(path)
+        cfg_ctx = getattr(self._model.config, "max_position_embeddings", 512)
+        self.n_ctx = min(n_ctx or cfg_ctx, 8192)  # src/llama_embed.c:70-80
+        self.dim = self._model.config.hidden_size
+        self.batch_size = batch_size
+
+        from muninn_tpu.text.tokenize import HfTokenizer
+
+        self.tokenizer = HfTokenizer(path)
+
+        @jax.jit
+        def _forward(input_ids, attention_mask):
+            out = self._model(
+                input_ids=input_ids, attention_mask=attention_mask
+            ).last_hidden_state
+            mask = attention_mask[:, :, None].astype(jnp.float32)
+            pooled = jnp.sum(out * mask, axis=1) / jnp.maximum(
+                jnp.sum(mask, axis=1), 1e-9
+            )
+            return pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+            )
+
+        self._forward = _forward
+
+    def embed(self, texts) -> np.ndarray:
+        import numpy as np
+
+        if isinstance(texts, str):
+            texts = [texts]
+        outs = []
+        for s in range(0, len(texts), self.batch_size):
+            batch = texts[s : s + self.batch_size]
+            enc = self._hf_tok(
+                batch, padding="max_length", truncation=True,
+                max_length=min(self.n_ctx, 512), return_tensors="np",
+            )
+            outs.append(
+                np.asarray(
+                    self._forward(enc["input_ids"], enc["attention_mask"])
+                )
+            )
+        return np.concatenate(outs).astype(np.float32)
+
+
+def load_embed_model(
+    name: str, path: str | None = None, *, dim: int = 64, n_ctx: int | None = None
+):
+    """Load + register an embedding model (``muninn_embed_model``,
+    ``src/llama_embed.c:209-240``). ``path=None`` registers the
+    deterministic hash model (the dummy-injection analogue)."""
+    model = (
+        HashEmbedModel(dim=dim) if path is None
+        else FlaxEmbedModel(path, n_ctx=n_ctx)
+    )
+    registry.add(name, model)
+    return model
+
+
+def embed(model_name: str, texts) -> np.ndarray:
+    """``muninn_embed(model, text) -> BLOB`` equivalent, batched."""
+    model = registry.find_type(model_name, ModelType.EMBED)
+    return model.embed(texts)
+
+
+def model_dim(model_name: str) -> int:
+    """``muninn_model_dim``."""
+    return registry.find_type(model_name, ModelType.EMBED).dim

@@ -1,0 +1,163 @@
+"""Text/LLM layer: tokenizers, embed/chat registry, extraction, group
+labeling, ER cascade — all through the dummy-model backends (the
+reference's MUNINN_TESTING dummy-injection strategy,
+src/llama_common.c:321-348, test/test_llama_chat.c)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from muninn_tpu.models import chat as chat_mod
+from muninn_tpu.models import embed as embed_mod
+from muninn_tpu.models.registry import ModelRegistry, ModelType, registry
+from muninn_tpu.text import extract as ex
+from muninn_tpu.text.tokenize import HashTokenizer, token_count, tokenize, tokenize_text
+from muninn_tpu.er.resolve import Entity, resolve_entities
+from muninn_tpu.index.flat import FlatIndex
+
+
+@pytest.fixture(autouse=True)
+def clean_registry():
+    registry._models.clear()
+    yield
+    registry._models.clear()
+
+
+def test_hash_tokenizer_deterministic():
+    t = HashTokenizer()
+    a = t.tokenize("Hello, world! Hello")
+    b = t.tokenize("Hello, world! Hello")
+    assert a == b
+    assert t.pieces("Hello, world!") == ["Hello", ",", "world", "!"]
+    assert t.token_count("one two three") == 3
+    assert all(0 <= i < t.VOCAB_SIZE for i in a)
+
+
+def test_tokenize_functions_via_model():
+    m = embed_mod.load_embed_model("e1", dim=16)
+    assert tokenize(m, "a b") == m.tokenizer.tokenize("a b")
+    assert tokenize_text(m, "a b") == ["a", "b"]
+    assert token_count(m, "a b c") == 3
+
+
+def test_embed_model_registry_and_dim():
+    embed_mod.load_embed_model("emb", dim=32)
+    assert embed_mod.model_dim("emb") == 32
+    v = embed_mod.embed("emb", ["hello world", "hello world", "totally different"])
+    assert v.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
+    # identical texts embed identically; similar > dissimilar
+    np.testing.assert_allclose(v[0], v[1])
+    assert v[0] @ v[1] > v[0] @ v[2]
+
+
+def test_registry_type_checks():
+    embed_mod.load_embed_model("emb", dim=8)
+    chat_mod.load_chat_model("c")
+    with pytest.raises(TypeError):
+        registry.find_type("emb", ModelType.CHAT)
+    with pytest.raises(KeyError):
+        registry.find("missing")
+    with pytest.raises(ValueError):
+        chat_mod.load_chat_model("c")  # duplicate name
+    assert registry.names(ModelType.CHAT) == ["c"]
+
+
+def test_registry_cap():
+    r = ModelRegistry()
+    r.MAX_MODELS = 2
+    r.add("a", object.__new__(chat_mod.EchoChatModel))
+    r.add("b", object.__new__(chat_mod.EchoChatModel))
+    with pytest.raises(RuntimeError):
+        r.add("d", object.__new__(chat_mod.EchoChatModel))
+
+
+def test_strip_think_block():
+    s = chat_mod.strip_think_block
+    assert s("<think>reasoning</think>answer") == "answer"
+    assert s("answer") == "answer"
+    # truncated think block -> empty (src/llama_chat.c:506-530)
+    assert s("<think>never closed") == ""
+
+
+def test_json_output_normalization():
+    j = chat_mod.json_output
+    assert j('{"a": 1}') == {"a": 1}
+    assert j("[1, 2]", wrap_key="xs") == {"xs": [1, 2]}
+    assert j("not json at all", wrap_key="xs") == {"xs": []}
+    # truncation salvage
+    out = j('{"entities": [{"name": "Bob", "type": "PERSON"}, {"na')
+    assert isinstance(out, dict)
+
+
+def test_chat_and_extraction_pipeline():
+    chat_mod.load_chat_model("c")
+    text = "Alice Smith met Bob Jones in Paris."
+    out = ex.extract_entities("c", text)
+    names = {e["name"] for e in out["entities"]}
+    assert "Alice Smith" in names and "Bob Jones" in names and "Paris" in names
+
+    both = ex.extract_ner_re("c", text)
+    assert both["entities"]
+    assert all({"head", "relation", "tail"} <= set(r) for r in both["relations"])
+
+    batch = ex.extract_entities_batch("c", [text, "Charlie visited Rome."])
+    assert len(batch) == 2
+
+    s = ex.summarize("c", "word " * 200, max_words=10)
+    assert len(s.split()) <= 25
+
+
+def test_supervised_entity_types():
+    chat_mod.load_chat_model("c")
+    out = ex.extract_entities("c", "Alice went to Paris.", entity_types=["PERSON"])
+    assert isinstance(out["entities"], list)
+
+
+def test_label_groups():
+    chat_mod.load_chat_model("c")
+    rows = ex.label_groups(
+        "c",
+        {"g1": ["Paris", "Rome", "Berlin"], "g2": ["solo"]},
+        min_group_size=2,
+    )
+    assert len(rows) == 1
+    gid, label, count = rows[0]
+    assert gid == "g1" and count == 3 and label
+
+
+def test_chat_function_surface():
+    chat_mod.load_chat_model("c")
+    out = chat_mod.chat("c", "Summarize: the quick brown fox", max_tokens=8)
+    assert isinstance(out, str)
+
+
+def test_er_cascade_clusters_duplicates():
+    embed_mod.load_embed_model("emb", dim=32)
+    names = [
+        "Acme Corporation", "ACME Corporation", "Acme Corp",
+        "Globex Inc", "Globex Incorporated",
+        "Wayne Enterprises",
+    ]
+    ents = [Entity(id=str(i), name=n, source=f"s{i%2}") for i, n in enumerate(names)]
+    vecs = embed_mod.embed("emb", names)
+    idx = FlatIndex(32, "cosine", use_pallas=False)
+    idx.insert(np.arange(len(names)), vecs)
+    out = resolve_entities(ents, idx, k=4, dist_threshold=0.45, jw_weight=0.7)
+    c = out["clusters"]
+    assert c["0"] == c["1"] == c["2"], c       # Acme variants merge
+    assert c["3"] == c["4"], c                 # Globex variants merge
+    assert c["5"] not in (c["0"], c["3"]), c   # Wayne stays alone
+
+
+def test_er_same_source_guard():
+    embed_mod.load_embed_model("emb", dim=32)
+    names = ["Acme Corp", "Acme Corp"]
+    ents = [Entity(id="0", name=names[0], source="s"), Entity(id="1", name=names[1], source="s")]
+    vecs = embed_mod.embed("emb", names)
+    idx = FlatIndex(32, "cosine", use_pallas=False)
+    idx.insert([0, 1], vecs)
+    out = resolve_entities(ents, idx, k=2, type_guard="same_source")
+    c = out["clusters"]
+    assert c["0"] != c["1"]  # same source may not merge
