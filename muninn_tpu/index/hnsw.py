@@ -151,19 +151,21 @@ def _beam_search_level0(
 
     - the beam is one distance-sorted array of width ``ef`` per query,
       with an ``expanded`` flag lane;
-    - the visited set is a per-query byte map [B, cap] updated by
-      scatter-max (scored-at-most-once semantics, exactly the
-      reference's ``visited_contains`` check at :378-433 without the
-      O(visited) linear scan);
     - each iteration expands the best ``expand`` unexpanded entries,
-      gathers their neighbor rows, masks visited, scores the rest with
-      one batched matvec, and merges via a single ``lax.top_k`` over
-      [beam | candidates] (no sorts, no dedup needed — visited
-      filtering guarantees uniqueness).
+      gathers their neighbor rows, scores them with one batched matvec,
+      and merges through a flag-carrying id-dedup sort
+      (``merge_topk_flagged``) — the dedup plays the reference's
+      visited-set role (``visited_contains``, :378-433): a node can
+      occupy at most one beam slot and is expanded at most once, and
+      nodes that fall off the beam can never re-enter because the beam
+      frontier is monotone.
+      (An explicit per-query visited map was measured and rejected:
+      batched 2D element scatters/gathers over [B, cap] are
+      pathologically slow on TPU.)
 
-    Termination: no unexpanded entries, or ``patience`` consecutive
-    iterations without improving the beam frontier (reference patience:
-    ``max(ef/4, 10)``, ``src/hnsw_algo.c:368-392``).
+    Termination: no unexpanded entries, or ``patience`` non-improving
+    *expansions* (reference patience: ``max(ef/4, 10)`` expansions,
+    ``src/hnsw_algo.c:368-392``).
 
     Returns (beam_dists, beam_slots) of width ef, sorted ascending.
     Soft-deleted nodes are routed through but filtered from final
@@ -492,14 +494,17 @@ class HnswIndex:
             self.entry_point = int(slots[top])
 
     def _wire_upper_levels(self, slots, levels, promoted, sel_d, sel_i) -> None:
-        """Wire promoted nodes at levels 1..their level: neighbors are the
-        closest M candidates that also reach that level."""
-        cand_i = np.asarray(sel_i)          # [W, m0]
+        """Wire promoted nodes at levels 1..their level: neighbors are
+        the closest M candidates that also reach that level. Forward
+        rows are chosen on host from the (tiny) candidate arrays;
+        reverse appends + closest-M prune run on device
+        (``_hi_reverse_wire``) — no bulk host transfers."""
+        cand_i = np.asarray(sel_i)          # [W, m0] — small
         cand_d = np.asarray(sel_d)
         cand_lv = np.where(cand_i >= 0, self.levels[np.maximum(cand_i, 0)], -1)
         hi_index_np = np.asarray(self.hi_index)
         updates_rows, updates_lvls, updates_vals = [], [], []
-        rev_edges = []  # (other_slot, level, new_slot, dist)
+        rev_o: dict[int, list] = {}   # level -> [(other_slot, new_slot)]
         for j in promoted:
             s = int(slots[j])
             hrow = int(hi_index_np[s])
@@ -514,36 +519,25 @@ class HnswIndex:
                 updates_lvls.append(lv - 1)
                 updates_vals.append(row)
                 for o in nsel.tolist():
-                    rev_edges.append((o, lv, s))
+                    rev_o.setdefault(lv, []).append((o, s))
         if updates_rows:
             self.hi_neighbors = self.hi_neighbors.at[
                 jnp.asarray(updates_rows), jnp.asarray(updates_lvls)
             ].set(jnp.asarray(np.stack(updates_vals)))
-        # reverse upper-level edges: append if room, else replace worst by
-        # distance (simple closest-M prune; upper levels are tiny)
-        if rev_edges:
-            hi = np.array(self.hi_neighbors)  # writable host copy
-            vec_np = np.asarray(self.store.vectors)
-            for o, lv, s in rev_edges:
-                ho = int(hi_index_np[o])
-                if ho < 0 or lv - 1 >= self.hi_levels_width:
-                    continue
-                row = hi[ho, lv - 1]
-                if s in row:
-                    continue
-                empty = np.nonzero(row < 0)[0]
-                if len(empty):
-                    hi[ho, lv - 1, empty[0]] = s
-                else:
-                    ov = vec_np[o]
-                    dnew = self._host_dist(ov, vec_np[s])
-                    drow = np.array(
-                        [self._host_dist(ov, vec_np[r]) for r in row]
-                    )
-                    worst = int(np.argmax(drow))
-                    if dnew < drow[worst]:
-                        hi[ho, lv - 1, worst] = s
-            self.hi_neighbors = jnp.asarray(hi)
+        # reverse edges per level, padded to a fixed width so the jitted
+        # helper compiles once per (level-independent) shape
+        for lv, edges in rev_o.items():
+            o_arr = np.array([o for o, _ in edges], np.int32)
+            s_arr = np.array([s for _, s in edges], np.int32)
+            pad = (-len(o_arr)) % 256
+            if pad:
+                o_arr = np.pad(o_arr, (0, pad), constant_values=-1)
+                s_arr = np.pad(s_arr, (0, pad), constant_values=-1)
+            self.hi_neighbors = _hi_reverse_wire(
+                self.hi_neighbors, self.hi_index, self.store.vectors,
+                jnp.asarray(o_arr), jnp.asarray(s_arr),
+                jnp.int32(lv - 1), self.m, self.metric,
+            )
 
     def _host_dist(self, a: np.ndarray, b: np.ndarray) -> float:
         if self.metric is Metric.L2:
@@ -703,6 +697,55 @@ class HnswIndex:
         best = int(np.argmax(lv))
         self.entry_point = int(live[best])
         self.max_level = int(lv[best])
+
+
+@partial(jax.jit, static_argnames=("m", "metric"), donate_argnums=(0,))
+def _hi_reverse_wire(
+    hi_neighbors: jax.Array,  # [H, L, M]
+    hi_index: jax.Array,      # [cap]
+    vectors: jax.Array,       # [cap, d]
+    o_arr: jax.Array,         # [E] row-owner slots (-1 pad)
+    s_arr: jax.Array,         # [E] new neighbor slots (-1 pad)
+    lvl: jax.Array,           # scalar int32 (level-1 row in the hi table)
+    m: int,
+    metric: Metric,
+) -> jax.Array:
+    """Upper-level reverse wiring on device: bounded appends grouped by
+    row owner, then closest-M prune with distances recomputed from the
+    owner's vector (upper levels don't store edge distances)."""
+    h = hi_neighbors.shape[0]
+    e = o_arr.shape[0]
+    ho = jnp.where(o_arr >= 0, hi_index[jnp.maximum(o_arr, 0)], -1)
+    valid = (ho >= 0) & (s_arr >= 0)
+
+    order = jnp.argsort(jnp.where(valid, ho, jnp.int32(2**31 - 1)))
+    ho_s = ho[order]
+    s_s = s_arr[order]
+    o_s = o_arr[order]
+    valid_s = valid[order]
+    idx = jnp.arange(e)
+    first = jnp.searchsorted(ho_s, ho_s, side="left")
+    pos = idx - first
+    a_max = m
+    keep = valid_s & (pos < a_max)
+    flat = jnp.where(keep, ho_s * a_max + jnp.minimum(pos, a_max - 1), h * a_max)
+    appends = jnp.full((h * a_max,), -1, jnp.int32).at[flat].set(
+        s_s, mode="drop"
+    ).reshape(h, a_max)
+
+    ho_aff = jnp.where(valid_s, ho_s, 0)
+    lvl_c = jnp.clip(lvl, 0, hi_neighbors.shape[1] - 1)
+    rows = hi_neighbors[ho_aff, lvl_c]                     # [E, m]
+    cand = jnp.concatenate([rows, appends[ho_aff]], axis=1)  # [E, 2m]
+    ovec = vectors[jnp.maximum(o_s, 0)]                    # [E, d]
+    cvec = vectors[jnp.maximum(cand, 0)]                   # [E, 2m, d]
+    dd = gathered_distances(ovec, cvec, metric)
+    dd = jnp.where(cand >= 0, dd, jnp.inf)
+    _, new_rows = sorted_topk_unique(dd, cand, m)
+    # duplicated owners write identical pruned rows (idempotent); padded
+    # entries write row 0's unchanged content back
+    safe_rows = jnp.where(valid_s[:, None], new_rows, rows)
+    return hi_neighbors.at[ho_aff, lvl_c].set(safe_rows)
 
 
 @partial(jax.jit, static_argnames=("m_max",), donate_argnums=(0, 1))
