@@ -1,0 +1,244 @@
+"""Treatment-pattern benchmark harness.
+
+Mirrors the reference's ``benchmarks/harness`` design
+(``benchmarks/harness/README.md``): a registry of treatment x
+permutation cells, each with setup/run/teardown, wall-time + memory
+accounting, JSONL records. Treatments cover the same families: vss
+(vector search), graph traversal, centrality, community, graph_vt (CSR
+build), node2vec.
+
+Usage:
+    python -m benchmarks.harness list
+    python -m benchmarks.harness run [treatment ...] [--out results.jsonl]
+    python -m benchmarks.harness run vss --sizes 1000,10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import platform
+import resource
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+
+@dataclass
+class Record:
+    treatment: str
+    permutation: dict
+    metrics: dict
+    wall_s: float
+    peak_rss_mb: float
+    platform: str = field(default_factory=lambda: f"{platform.system()}-{platform.machine()}".lower())
+    ts: float = field(default_factory=time.time)
+
+
+REGISTRY: dict[str, Callable] = {}
+
+
+def treatment(name):
+    def deco(fn):
+        REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _emit(out, rec: Record):
+    line = json.dumps(rec.__dict__)
+    print(line)
+    if out:
+        out.write(line + "\n")
+        out.flush()
+
+
+def _clustered(rng, n, dim):
+    c = rng.standard_normal((max(n // 100, 4), dim)).astype(np.float32)
+    x = c[rng.integers(0, len(c), n)] + 0.3 * rng.standard_normal((n, dim)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def _er_graph(rng, n, avg_deg):
+    e = n * avg_deg
+    return rng.integers(0, n, e), rng.integers(0, n, e)
+
+
+# ───────────────────────── treatments ─────────────────────────
+
+
+@treatment("vss")
+def run_vss(out, sizes, rng):
+    """Vector search: build + query throughput + recall, flat vs hnsw
+    (the reference's vss treatment compares 5 engines)."""
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.index.hnsw import HnswIndex
+
+    dim, k, n_q = 128, 10, 256
+    for n in sizes:
+        x = _clustered(rng, n, dim)
+        q = _clustered(rng, n_q, dim)
+        for engine in ("flat", "hnsw"):
+            t0 = time.time()
+            if engine == "flat":
+                idx = FlatIndex(dim, "cosine")
+                idx.insert(np.arange(n), x)
+            else:
+                idx = HnswIndex(dim, "cosine", m=16, ef_construction=100,
+                                wave_size=2048, capacity=max(2048, n * 2))
+                idx.insert(np.arange(n), x)
+            build_s = time.time() - t0
+            idx.search(q, k=k)  # warm
+            t0 = time.time()
+            ids, _ = idx.search(q, k=k)
+            query_s = time.time() - t0
+            flat = FlatIndex(dim, "cosine")
+            flat.insert(np.arange(n), x)
+            tid, _ = flat.search(q, k=k)
+            recall = float(np.mean([
+                len(set(a[a >= 0]) & set(b[b >= 0])) / k for a, b in zip(ids, tid)
+            ]))
+            _emit(out, Record(
+                "vss", {"engine": engine, "n": n, "dim": dim, "k": k},
+                {"build_s": build_s, "build_vec_per_s": n / build_s,
+                 "query_qps": n_q / query_s, "recall_at_k": recall},
+                build_s + query_s, _rss_mb(),
+            ))
+
+
+@treatment("graph_traversal")
+def run_traversal(out, sizes, rng):
+    from muninn_tpu.graph import Graph
+
+    for n in sizes:
+        src, dst = _er_graph(rng, n, 5)
+        g = Graph.from_edges(src.tolist(), dst.tolist())
+        t0 = time.time(); g.csr("forward"); build_s = time.time() - t0
+        t0 = time.time(); rows = g.bfs(int(src[0])); bfs_s = time.time() - t0
+        t0 = time.time(); path, _ = g.shortest_path(int(src[0]), int(dst[-1])); sp_s = time.time() - t0
+        t0 = time.time(); comp = g.connected_components(); cc_s = time.time() - t0
+        _emit(out, Record(
+            "graph_traversal", {"n": n, "avg_deg": 5},
+            {"csr_build_ms": build_s * 1e3, "bfs_ms": bfs_s * 1e3,
+             "shortest_path_ms": sp_s * 1e3, "components_ms": cc_s * 1e3,
+             "bfs_reached": len(rows)},
+            build_s + bfs_s + sp_s + cc_s, _rss_mb(),
+        ))
+
+
+@treatment("graph_centrality")
+def run_centrality(out, sizes, rng):
+    from muninn_tpu.graph import Graph
+
+    for n in sizes:
+        src, dst = _er_graph(rng, n, 5)
+        g = Graph.from_edges(src.tolist(), dst.tolist())
+        t0 = time.time(); g.pagerank(); pr_s = time.time() - t0
+        t0 = time.time(); g.degree(); dg_s = time.time() - t0
+        samp = min(n, 64)
+        t0 = time.time(); g.betweenness(sample_sources=samp); bc_s = time.time() - t0
+        _emit(out, Record(
+            "graph_centrality", {"n": n, "avg_deg": 5, "bc_sources": samp},
+            {"pagerank_ms": pr_s * 1e3, "degree_ms": dg_s * 1e3,
+             "betweenness_ms": bc_s * 1e3},
+            pr_s + dg_s + bc_s, _rss_mb(),
+        ))
+
+
+@treatment("graph_community")
+def run_community(out, sizes, rng):
+    from muninn_tpu.graph import Graph
+
+    for n in sizes:
+        src, dst = _er_graph(rng, n, 8)
+        g = Graph.from_edges(src.tolist(), dst.tolist())
+        t0 = time.time(); labels, q = g.leiden(seed=0); s = time.time() - t0
+        _emit(out, Record(
+            "graph_community", {"n": n, "avg_deg": 8},
+            {"leiden_ms": s * 1e3, "modularity": q,
+             "communities": len(set(labels.values()))},
+            s, _rss_mb(),
+        ))
+
+
+@treatment("graph_vt")
+def run_graph_vt(out, sizes, rng):
+    """CSR cache build + incremental delta (the reference's graph_vt
+    treatment over CSR strategies)."""
+    from muninn_tpu.graph.adjacency import GraphCache
+
+    for n in sizes:
+        src, dst = _er_graph(rng, n, 5)
+        t0 = time.time()
+        gc = GraphCache.from_edges(src.tolist(), dst.tolist())
+        full_s = time.time() - t0
+        gc.add_edges(src[:10].tolist(), dst[:10].tolist())
+        t0 = time.time(); gc.graph(); inc_s = time.time() - t0
+        _emit(out, Record(
+            "graph_vt", {"n": n, "edges": len(src)},
+            {"full_build_ms": full_s * 1e3, "incremental_ms": inc_s * 1e3},
+            full_s + inc_s, _rss_mb(),
+        ))
+
+
+@treatment("node2vec")
+def run_node2vec(out, sizes, rng):
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.models.node2vec import node2vec_train
+
+    for n in sizes:
+        n = min(n, 2000)  # training scale for harness runs
+        src, dst = _er_graph(rng, n, 5)
+        g = Graph.from_edges(src.tolist(), dst.tolist())
+        t0 = time.time()
+        ids, emb = node2vec_train(
+            g, dim=32, num_walks=2, walk_length=20, epochs=1,
+            walk_batch=1024, sgns_chunk=256,
+        )
+        s = time.time() - t0
+        _emit(out, Record(
+            "node2vec", {"n": n, "dim": 32},
+            {"train_s": s, "nodes_per_s": len(ids) / s},
+            s, _rss_mb(),
+        ))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("command", choices=["list", "run"])
+    ap.add_argument("treatments", nargs="*", default=[])
+    ap.add_argument("--sizes", default="1000,5000")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.command == "list":
+        for name in REGISTRY:
+            print(name)
+        return
+
+    names = args.treatments or list(REGISTRY)
+    sizes = [int(s) for s in args.sizes.split(",")]
+    rng = np.random.default_rng(args.seed)
+    out = open(args.out, "a") if args.out else None
+    try:
+        for name in names:
+            if name not in REGISTRY:
+                print(f"unknown treatment {name}", file=sys.stderr)
+                continue
+            REGISTRY[name](out, sizes, rng)
+    finally:
+        if out:
+            out.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,26 @@ def _greedy_descent(
     return cur
 
 
+@partial(jax.jit, static_argnames=("metric", "r"))
+def _route_entries(
+    queries: jax.Array,   # [B, d]
+    vectors: jax.Array,   # [cap, d]
+    pool: jax.Array,      # [Mp] promoted (level>=1) slots, -1 padded
+    metric: Metric,
+    r: int,
+) -> jax.Array:
+    """Exact top-r routing over the promoted pool: one masked MXU
+    distance block replaces the reference's greedy per-level descent
+    (``src/hnsw_algo.c:257-282``). The pool is N/M of the corpus, so
+    this is cheap, always lands the beam in the right region, and has
+    no local-minimum failure mode on clustered data."""
+    pv = vectors[jnp.maximum(pool, 0)]
+    dd = pairwise_distances(queries, pv, metric)
+    mask = (pool >= 0)[None, :]
+    _, sel = masked_topk(dd, r, mask=mask, ids=jnp.broadcast_to(pool[None, :], dd.shape))
+    return sel
+
+
 @partial(
     jax.jit,
     static_argnames=("metric", "ef", "expand", "max_iters", "patience"),
@@ -180,11 +200,15 @@ def _beam_search_level0(
 
     ef_pos = jnp.arange(ef, dtype=jnp.int32)[None, None, :]  # [1,1,ef]
 
-    # init: beam = entry point
-    e_d = gathered_distances(queries, vectors[jnp.maximum(entry, 0)][:, None, :], metric)[:, 0]
+    # init: beam = entry point(s) — [B] or [B, R] (multi-entry seeding
+    # from the exact upper-level router)
+    if entry.ndim == 1:
+        entry = entry[:, None]
+    r_ent = entry.shape[1]
+    e_d = gathered_distances(queries, vectors[jnp.maximum(entry, 0)], metric)
     e_d = jnp.where(entry >= 0, e_d, _INF)
-    beam_d = jnp.full((b, ef), jnp.inf).at[:, 0].set(e_d)
-    beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(entry)
+    beam_d = jnp.full((b, ef), jnp.inf).at[:, :r_ent].set(e_d)
+    beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, :r_ent].set(entry)
     expanded = jnp.zeros((b, ef), bool)
 
     def cond(state):
@@ -292,12 +316,16 @@ class HnswIndex:
         self.hi_levels_width = 8  # levels 1..8 stored; P(level>8) ~ M^-8
         hi_cap = max(cap // max(self.m // 2, 2), 64)
         self.hi_index = jnp.full((cap,), -1, jnp.int32)
+        self._hi_index_np = np.full((cap,), -1, np.int32)  # host mirror
         self.hi_neighbors = jnp.full(
             (hi_cap, self.hi_levels_width, self.m), -1, jnp.int32
         )
         self._hi_count = 0
         self.entry_point = -1   # slot, not external id
         self.max_level = -1
+        self.route_entries = 8  # beam seeds from the exact router
+        self._pool_cache: jax.Array | None = None
+        self._pool_dirty = True
 
     # ── properties ──
 
@@ -332,6 +360,9 @@ class HnswIndex:
         )
         self.levels = np.pad(self.levels, (0, cap - old), constant_values=-1)
         self.hi_index = jnp.pad(self.hi_index, (0, cap - old), constant_values=-1)
+        self._hi_index_np = np.pad(
+            self._hi_index_np, (0, cap - old), constant_values=-1
+        )
         hi_cap = self.hi_neighbors.shape[0]
         need_hi = max(cap // max(self.m // 2, 2), 64)
         if need_hi > hi_cap:
@@ -402,30 +433,116 @@ class HnswIndex:
             jnp.concatenate([p[1] for p in parts])[:b],
         )
 
-    def _search_slots(self, q: jax.Array, ef: int, entry: jax.Array | None = None,
-                      to_level: int = 0) -> tuple[jax.Array, jax.Array]:
-        """Greedy descent + level-0 beam search; returns slot-space beams."""
+    def _search_slots(self, q: jax.Array, ef: int) -> tuple[jax.Array, jax.Array]:
+        """Exact routing over the promoted pool + level-0 beam search;
+        returns slot-space beams."""
         b = q.shape[0]
-        if entry is None:
-            entry = jnp.full((b,), self.entry_point, jnp.int32)
-        lvl = jnp.full((b,), to_level, jnp.int32)
-        entry = _greedy_descent(
-            q, entry, lvl, self.store.vectors, self.hi_index,
-            self.hi_neighbors, jnp.int32(self.max_level), self.metric,
-        )
+        pool = self._routing_pool()
+        if pool is None:
+            entries = jnp.full((b, 1), self.entry_point, jnp.int32)
+        else:
+            r = min(self.route_entries, ef)
+            entries = _route_entries(q, self.store.vectors, pool, self.metric, r)
         return _beam_search_level0(
-            q, entry, self.store.vectors, self.neighbors0,
+            q, entries, self.store.vectors, self.neighbors0,
             self.metric, ef, self.expand,
         )
+
+    def _routing_pool(self) -> jax.Array | None:
+        """Device array of promoted (level >= 1) slots, -1-padded to a
+        power of two; None while the graph has no promoted nodes."""
+        if self._pool_dirty:
+            members = np.nonzero(self.levels >= 1)[0].astype(np.int32)
+            if len(members) == 0:
+                self._pool_cache = None
+            else:
+                pad = (1 << int(np.ceil(np.log2(max(len(members), 64))))) - len(members)
+                self._pool_cache = jnp.asarray(
+                    np.pad(members, (0, pad), constant_values=-1)
+                )
+            self._pool_dirty = False
+        return self._pool_cache
 
     # ── insert ──
 
     def insert(self, ids, vectors) -> None:
-        """Batched insert. Splits into waves of ``wave_size``."""
+        """Batched insert.
+
+        Bulk path: inserting a large batch into an empty index builds
+        the level-0 graph as an *exact* kNN graph — one streaming
+        Pallas distance+top-k sweep of the corpus against itself plus a
+        reverse-edge symmetrization pass. On the MXU this brute-force
+        O(N^2 d) build is far cheaper than graph-guided insertion and
+        produces the graph sequential HNSW only approximates
+        (src/hnsw_algo.c:520-663). Incremental inserts use waves of
+        ``wave_size`` through batched beam search.
+        """
         ids = np.asarray(ids, np.int64).reshape(-1)
         vecs = np.asarray(vectors, np.float32).reshape(len(ids), self.dim)
+        if len(self) == 0 and len(ids) >= 4 * self.wave_size:
+            self._bulk_build(ids, vecs)
+            return
         for s in range(0, len(ids), self.wave_size):
             self._insert_wave(ids[s : s + self.wave_size], vecs[s : s + self.wave_size])
+
+    def _bulk_build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        from muninn_tpu.ops.pallas_flat import flat_topk
+
+        n = len(ids)
+        slots = self.store.add(ids, vecs)
+        self._sync_capacity()
+        levels = self._sample_levels(n)
+        self.levels[slots] = levels
+        self.entry_point = int(slots[int(np.argmax(levels))])
+        self.max_level = int(levels.max())
+
+        # promotions
+        promoted = np.nonzero(levels >= 1)[0]
+        if len(promoted):
+            hi_rows = np.arange(self._hi_count, self._hi_count + len(promoted), dtype=np.int32)
+            self._hi_count += len(promoted)
+            if self._hi_count > self.hi_neighbors.shape[0]:
+                grow = self._hi_count * 2 - self.hi_neighbors.shape[0]
+                self.hi_neighbors = jnp.pad(
+                    self.hi_neighbors, ((0, grow), (0, 0), (0, 0)), constant_values=-1
+                )
+            self.hi_index = self.hi_index.at[slots[promoted]].set(jnp.asarray(hi_rows))
+            self._hi_index_np[slots[promoted]] = hi_rows
+            self._pool_dirty = True
+
+        # exact kNN rows (level 0): query the corpus against itself in
+        # batches; +1 for the self-match which is dropped
+        hw = self.store.high_watermark
+        corpus = self.store.vectors[:hw]
+        interp = jax.default_backend() != "tpu"
+        qb = 8192
+        rows_i = np.empty((n, self.m0), np.int32)
+        rows_d = np.empty((n, self.m0), np.float32)
+        for s in range(0, n, qb):
+            q = corpus[slots[s] : slots[s] + min(qb, n - s)]
+            dd, ii = flat_topk(
+                q, corpus, self.m0 + 1, metric=self.metric, interpret=interp
+            )
+            dd, ii = np.asarray(dd), np.asarray(ii)
+            # drop self-matches: stable-sort the self column to the back
+            self_col = ii == slots[s : s + len(ii), None]
+            order = np.argsort(self_col, axis=1, kind="stable")[:, : self.m0]
+            rows_i[s : s + len(ii)] = np.take_along_axis(ii, order, 1)
+            rows_d[s : s + len(ii)] = np.take_along_axis(dd, order, 1)
+        slots_j = jnp.asarray(slots)
+        self.neighbors0 = self.neighbors0.at[slots_j].set(jnp.asarray(rows_i))
+        self.dists0 = self.dists0.at[slots_j].set(jnp.asarray(rows_d))
+
+        # symmetrize: reverse edges + prune, in row chunks
+        for s in range(0, n, qb):
+            e = min(s + qb, n)
+            self._reverse_wire(
+                slots_j[s:e], jnp.asarray(rows_i[s:e]), jnp.asarray(rows_d[s:e])
+            )
+
+        # upper levels: exact closest-M per level
+        if len(promoted):
+            self._wire_upper_levels(slots, levels, promoted)
 
     def _insert_wave(self, ids: np.ndarray, vecs: np.ndarray) -> None:
         w = len(ids)
@@ -461,6 +578,8 @@ class HnswIndex:
                     self.hi_neighbors, ((0, grow), (0, 0), (0, 0)), constant_values=-1
                 )
             self.hi_index = self.hi_index.at[slots[promoted]].set(jnp.asarray(hi_rows))
+            self._hi_index_np[slots[promoted]] = hi_rows
+            self._pool_dirty = True
 
         # 2. intra-wave candidates: W x W distances so wave members can
         # link to each other (the sequential reference gets this for free)
@@ -479,10 +598,13 @@ class HnswIndex:
         self.neighbors0 = self.neighbors0.at[slots].set(sel_i)
         self.dists0 = self.dists0.at[slots].set(jnp.where(sel_i >= 0, sel_d, jnp.inf))
 
-        # upper-level wiring for promoted nodes: closest-M among
-        # candidates that share the level
+        # upper-level wiring for promoted nodes: exact closest-M among
+        # *all* nodes of that level — the level populations shrink
+        # geometrically (P(level>=l) = M^-l), so one MXU matmul per wave
+        # wires them exactly, which the reference can only approximate
+        # with per-level beam searches (src/hnsw_algo.c:572-576)
         if len(promoted):
-            self._wire_upper_levels(slots, levels, promoted, sel_d, sel_i)
+            self._wire_upper_levels(slots, levels, promoted)
 
         # 5. reverse wiring + prune
         self._reverse_wire(jnp.asarray(slots), sel_i, sel_d)
@@ -493,42 +615,50 @@ class HnswIndex:
             self.max_level = int(levels[top])
             self.entry_point = int(slots[top])
 
-    def _wire_upper_levels(self, slots, levels, promoted, sel_d, sel_i) -> None:
-        """Wire promoted nodes at levels 1..their level: neighbors are
-        the closest M candidates that also reach that level. Forward
-        rows are chosen on host from the (tiny) candidate arrays;
-        reverse appends + closest-M prune run on device
-        (``_hi_reverse_wire``) — no bulk host transfers."""
-        cand_i = np.asarray(sel_i)          # [W, m0] — small
-        cand_d = np.asarray(sel_d)
-        cand_lv = np.where(cand_i >= 0, self.levels[np.maximum(cand_i, 0)], -1)
-        hi_index_np = np.asarray(self.hi_index)
-        updates_rows, updates_lvls, updates_vals = [], [], []
-        rev_o: dict[int, list] = {}   # level -> [(other_slot, new_slot)]
-        for j in promoted:
-            s = int(slots[j])
-            hrow = int(hi_index_np[s])
-            for lv in range(1, min(int(levels[j]), self.hi_levels_width) + 1):
-                ok = cand_lv[j] >= lv
-                order = np.argsort(np.where(ok, cand_d[j], np.inf))[: self.m]
-                chosen = np.where(ok[order], cand_i[j][order], -1)
-                row = np.full((self.m,), -1, np.int32)
-                nsel = chosen[chosen >= 0]
-                row[: len(nsel)] = nsel
-                updates_rows.append(hrow)
-                updates_lvls.append(lv - 1)
-                updates_vals.append(row)
-                for o in nsel.tolist():
-                    rev_o.setdefault(lv, []).append((o, s))
-        if updates_rows:
-            self.hi_neighbors = self.hi_neighbors.at[
-                jnp.asarray(updates_rows), jnp.asarray(updates_lvls)
-            ].set(jnp.asarray(np.stack(updates_vals)))
-        # reverse edges per level, padded to a fixed width so the jitted
-        # helper compiles once per (level-independent) shape
-        for lv, edges in rev_o.items():
-            o_arr = np.array([o for o, _ in edges], np.int32)
-            s_arr = np.array([s for _, s in edges], np.int32)
+    def _wire_upper_levels(self, slots, levels, promoted) -> None:
+        """Wire this wave's promoted nodes at every level 1..their
+        level: exact closest-M among *all* nodes whose level reaches
+        that layer (one masked MXU distance block per level), then
+        device-side reverse append + prune (``_hi_reverse_wire``).
+
+        This replaces the reference's per-level approximate beam
+        searches during insert (src/hnsw_algo.c:572-591) with exact
+        construction — affordable because level-l population is
+        ~N / M^l, and it guarantees the upper layers form long-range
+        navigable graphs even on heavily clustered data.
+        """
+        top = int(levels[promoted].max())
+        for lv in range(1, min(top, self.hi_levels_width) + 1):
+            wave_members = slots[levels >= lv].astype(np.int32)
+            if len(wave_members) == 0:
+                continue
+            pool = np.nonzero(self.levels >= lv)[0].astype(np.int32)
+            if len(pool) <= 1:
+                continue
+            # pad to shape buckets to bound recompilation
+            p_pad = -len(wave_members) % 64
+            pool_pad = (1 << int(np.ceil(np.log2(max(len(pool), 64))))) - len(pool)
+            wm = np.pad(wave_members, (0, p_pad), constant_values=-1)
+            pl = np.pad(pool, (0, pool_pad), constant_values=-1)
+            sel = _upper_select(
+                self.store.vectors, jnp.asarray(wm), jnp.asarray(pl),
+                self.m, self.metric,
+            )                                          # [P_pad, m] slots
+            hi_rows = jnp.asarray(
+                np.where(wm >= 0, self._hi_index_np[np.maximum(wm, 0)], self.hi_neighbors.shape[0] - 1)
+            )
+            lv_row = jnp.int32(lv - 1)
+            live = jnp.asarray(wm >= 0)
+            cur = self.hi_neighbors[hi_rows, lv_row]
+            self.hi_neighbors = self.hi_neighbors.at[hi_rows, lv_row].set(
+                jnp.where(live[:, None], sel, cur)
+            )
+            # reverse edges: each chosen o gains the wave member s
+            o_arr = np.asarray(sel).reshape(-1)
+            s_arr = np.repeat(wm, self.m)
+            ok = (o_arr >= 0) & (s_arr >= 0)
+            o_arr = np.where(ok, o_arr, -1).astype(np.int32)
+            s_arr = np.where(ok, s_arr, -1).astype(np.int32)
             pad = (-len(o_arr)) % 256
             if pad:
                 o_arr = np.pad(o_arr, (0, pad), constant_values=-1)
@@ -536,7 +666,7 @@ class HnswIndex:
             self.hi_neighbors = _hi_reverse_wire(
                 self.hi_neighbors, self.hi_index, self.store.vectors,
                 jnp.asarray(o_arr), jnp.asarray(s_arr),
-                jnp.int32(lv - 1), self.m, self.metric,
+                lv_row, self.m, self.metric,
             )
 
     def _host_dist(self, a: np.ndarray, b: np.ndarray) -> float:
@@ -628,6 +758,8 @@ class HnswIndex:
         if live_rows.shape[0]:
             self.hi_neighbors = self.hi_neighbors.at[live_rows].set(-1)
         self.hi_index = self.hi_index.at[slots_j].set(-1)
+        self._hi_index_np[slots] = -1
+        self._pool_dirty = True
 
         # entry point re-scan (src/hnsw_algo.c:790-802)
         if self.entry_point in set(int(s) for s in slots):
@@ -697,6 +829,24 @@ class HnswIndex:
         best = int(np.argmax(lv))
         self.entry_point = int(live[best])
         self.max_level = int(lv[best])
+
+
+@partial(jax.jit, static_argnames=("m", "metric"))
+def _upper_select(
+    vectors: jax.Array,   # [cap, d]
+    members: jax.Array,   # [P] wave slots at this level (-1 pad)
+    pool: jax.Array,      # [Mp] all slots at this level (-1 pad)
+    m: int,
+    metric: Metric,
+) -> jax.Array:
+    """Exact closest-m of each member within the level pool (one MXU
+    distance block, masked for padding and self-matches)."""
+    mv = vectors[jnp.maximum(members, 0)]
+    pv = vectors[jnp.maximum(pool, 0)]
+    dd = pairwise_distances(mv, pv, metric)
+    mask = (pool >= 0)[None, :] & (members[:, None] != pool[None, :])
+    _, sel = masked_topk(dd, m, mask=mask, ids=jnp.broadcast_to(pool[None, :], dd.shape))
+    return sel
 
 
 @partial(jax.jit, static_argnames=("m", "metric"), donate_argnums=(0,))

@@ -101,6 +101,7 @@ def load_hnsw(path: str | os.PathLike):
     idx.neighbors0 = jnp.asarray(z["neighbors0"])
     idx.dists0 = jnp.asarray(z["dists0"])
     idx.hi_index = jnp.asarray(z["hi_index"])
+    idx._hi_index_np = z["hi_index"].copy()
     idx.hi_neighbors = jnp.asarray(z["hi_neighbors"])
     idx._hi_count = m["hi_count"]
     idx.entry_point = m["entry_point"]
