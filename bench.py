@@ -43,6 +43,10 @@ def make_data(rng, n, dim, n_clusters=1000):
 
 def main():
     import jax
+
+    # persistent compilation cache: honest steady-state numbers
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from muninn_tpu.ops.pallas_flat import flat_topk
@@ -78,10 +82,10 @@ def main():
     build_rate = N / build_s
 
     hq = queries[:2048]
-    ids, _ = idx.search(hq, k=K, ef_search=64)  # warm/compile
+    ids, _ = idx.search(hq, k=K, ef_search=32)  # warm/compile
     t0 = time.time()
     for _ in range(3):
-        ids, _ = idx.search(hq, k=K, ef_search=64)
+        ids, _ = idx.search(hq, k=K, ef_search=32)
     hnsw_qps = 2048 * 3 / (time.time() - t0)
     hits = sum(
         len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids[:2048])
@@ -100,6 +104,7 @@ def main():
             "hnsw_query_qps": round(hnsw_qps, 1),
             "hnsw_query_vs_baseline": round(hnsw_qps / BASELINE_QPS, 2),
             "hnsw_recall_at_10": round(hnsw_recall, 4),
+            "hnsw_ef_search": 32,
             "baseline_recall_at_10": BASELINE_RECALL,
             "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
             "backend": jax.default_backend(),
