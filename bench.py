@@ -92,6 +92,33 @@ def main():
     )
     hnsw_recall = hits / (2048 * K)
 
+    # ── north-star workload: 1M x 768 cosine (BASELINE.json) ──
+    # device-side data gen (no 3GB host transfer); exact path, recall 1.0
+    northstar_qps = None
+    try:
+        @jax.jit
+        def _gen(key):
+            kc, ka, kn, kq = jax.random.split(key, 4)
+            centers = jax.random.normal(kc, (4096, 768), jnp.float32)
+            assign = jax.random.randint(ka, (1_000_000,), 0, 4096)
+            x = centers[assign] + 0.3 * jax.random.normal(kn, (1_000_000, 768))
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            q = x[jax.random.randint(kq, (N_QUERIES,), 0, 1_000_000)]
+            q = q + 0.05 * jax.random.normal(kq, (N_QUERIES, 768))
+            return x, q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+        big, bigq = _gen(jax.random.PRNGKey(3))
+        ii = flat_topk(bigq, big, K, metric="cosine", precision="default")[1]
+        _ = np.asarray(ii)[0, 0]
+        t0 = time.time()
+        for _ in range(3):
+            ii = flat_topk(bigq, big, K, metric="cosine", precision="default")[1]
+            _ = np.asarray(ii)[0, 0]
+        northstar_qps = N_QUERIES * 3 / (time.time() - t0)
+        del big, bigq
+    except Exception:
+        pass
+
     result = {
         "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine_recall1.0",
         "value": round(exact_qps, 1),
@@ -106,6 +133,9 @@ def main():
             "hnsw_recall_at_10": round(hnsw_recall, 4),
             "hnsw_ef_search": 32,
             "baseline_recall_at_10": BASELINE_RECALL,
+            "northstar_1m_768d_exact_qps": (
+                round(northstar_qps, 1) if northstar_qps else None
+            ),
             "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
             "backend": jax.default_backend(),
         },
