@@ -478,7 +478,11 @@ class HnswIndex:
         ``wave_size`` through batched beam search.
         """
         ids = np.asarray(ids, np.int64).reshape(-1)
-        vecs = np.asarray(vectors, np.float32).reshape(len(ids), self.dim)
+        # keep device arrays resident (no host round trip)
+        if isinstance(vectors, jax.Array):
+            vecs = vectors.reshape(len(ids), self.dim)
+        else:
+            vecs = np.asarray(vectors, np.float32).reshape(len(ids), self.dim)
         if len(self) == 0 and len(ids) >= 4 * self.wave_size:
             self._bulk_build(ids, vecs)
             return
@@ -486,10 +490,23 @@ class HnswIndex:
             self._insert_wave(ids[s : s + self.wave_size], vecs[s : s + self.wave_size])
 
     def _bulk_build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        import os
+        import time as _time
+
         from muninn_tpu.ops.pallas_flat import flat_topk
+
+        dbg = bool(os.environ.get("MUNINN_DEBUG_TIMING"))
+        marks = [("start", _time.time())]
+
+        def mark(name, sync=None):
+            if dbg:
+                if sync is not None:
+                    np.asarray(sync.reshape(-1)[0])  # force completion
+                marks.append((name, _time.time()))
 
         n = len(ids)
         slots = self.store.add(ids, vecs)
+        mark("store.add", self.store.vectors)
         self._sync_capacity()
         levels = self._sample_levels(n)
         self.levels[slots] = levels
@@ -512,6 +529,7 @@ class HnswIndex:
 
         # exact kNN rows (level 0): query the corpus against itself in
         # batches; +1 for the self-match which is dropped
+        mark("promote")
         hw = self.store.high_watermark
         corpus = self.store.vectors[:hw]
         interp = jax.default_backend() != "tpu"
@@ -529,20 +547,54 @@ class HnswIndex:
             order = np.argsort(self_col, axis=1, kind="stable")[:, : self.m0]
             rows_i[s : s + len(ii)] = np.take_along_axis(ii, order, 1)
             rows_d[s : s + len(ii)] = np.take_along_axis(dd, order, 1)
+        mark("knn_sweep")
         slots_j = jnp.asarray(slots)
         self.neighbors0 = self.neighbors0.at[slots_j].set(jnp.asarray(rows_i))
         self.dists0 = self.dists0.at[slots_j].set(jnp.asarray(rows_d))
+        mark("forward_wire", self.neighbors0)
 
-        # symmetrize: reverse edges + prune, in row chunks
+        # symmetrize: one global reverse-append pass (host counting sort
+        # of the 3.2M edges), then a single prune sweep over all rows —
+        # far cheaper than per-chunk sort+prune
+        tgt = rows_i.reshape(-1)
+        srcr = np.repeat(slots, self.m0)
+        ddr = rows_d.reshape(-1)
+        order = np.argsort(tgt, kind="stable")
+        mark("rev_sort")
+        tgt_s, src_s, dd_s = tgt[order], srcr[order], ddr[order]
+        first = np.searchsorted(tgt_s, tgt_s, side="left")
+        pos = np.arange(len(tgt_s)) - first
+        a_max = self.m0
+        keep = (tgt_s >= 0) & (pos < a_max)
+        cap = self.neighbors0.shape[0]
+        flat_idx = np.where(keep, tgt_s.astype(np.int64) * a_max + pos, cap * a_max)
+        append_i = jnp.full((cap * a_max,), -1, jnp.int32).at[
+            jnp.asarray(flat_idx)
+        ].set(jnp.asarray(src_s), mode="drop").reshape(cap, a_max)
+        append_d = jnp.full((cap * a_max,), jnp.inf, jnp.float32).at[
+            jnp.asarray(flat_idx)
+        ].set(jnp.asarray(dd_s), mode="drop").reshape(cap, a_max)
+        mark("rev_scatter", append_d)
         for s in range(0, n, qb):
             e = min(s + qb, n)
-            self._reverse_wire(
-                slots_j[s:e], jnp.asarray(rows_i[s:e]), jnp.asarray(rows_d[s:e])
+            aff = slots_j[s:e]
+            if e - s < qb:  # pad final chunk to the compiled shape
+                aff = jnp.concatenate(
+                    [aff, jnp.full((qb - (e - s),), int(slots[0]), jnp.int32)]
+                )
+            self.neighbors0, self.dists0 = _prune_rows(
+                self.neighbors0, self.dists0, append_i, append_d, aff, self.m0
             )
+        mark("prune", self.neighbors0)
 
         # upper levels: exact closest-M per level
         if len(promoted):
             self._wire_upper_levels(slots, levels, promoted)
+        mark("upper", self.hi_neighbors)
+        if dbg:
+            import sys as _sys
+            for (a, ta), (b, tb) in zip(marks, marks[1:]):
+                print(f"    bulk {b}: {tb - ta:.1f}s", file=_sys.stderr, flush=True)
 
     def _insert_wave(self, ids: np.ndarray, vecs: np.ndarray) -> None:
         w = len(ids)

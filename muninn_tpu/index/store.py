@@ -63,18 +63,23 @@ class VectorStore:
         Duplicate ids raise (reference: SQLITE_CONSTRAINT on dup rowid)."""
         ids = np.asarray(ids, np.int64)
         n = ids.shape[0]
-        for i in ids:
-            if int(i) in self._slot_of:
-                raise ValueError(f"duplicate id {int(i)}")
+        id_list = ids.tolist()
+        dups = self._slot_of.keys() & set(id_list)
+        if dups:
+            raise ValueError(f"duplicate id {next(iter(dups))}")
+        if len(set(id_list)) != n:
+            raise ValueError("duplicate id within batch")
         self.reserve(n)
         slots = np.arange(self._high, self._high + n, dtype=np.int32)
         vecs = jnp.asarray(vectors, jnp.float32).reshape(n, self.dim)
+        # slots are contiguous: dynamic_update_slice, never a scatter
         self.vectors = jax.lax.dynamic_update_slice(
             self.vectors, vecs, (self._high, 0)
         )
-        self.valid = self.valid.at[slots].set(True)
-        for i, s in zip(ids.tolist(), slots.tolist()):
-            self._slot_of[i] = s
+        self.valid = jax.lax.dynamic_update_slice(
+            self.valid, jnp.ones((n,), bool), (self._high,)
+        )
+        self._slot_of.update(zip(id_list, slots.tolist()))
         self._id_of[slots] = ids
         self._high += n
         self._count += n
