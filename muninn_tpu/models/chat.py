@@ -126,7 +126,10 @@ class EchoChatModel:
         if "relation" in task.lower():
             return json.dumps({"relations": self._relations(prompt)})
         if "label" in task.lower():
-            ents = self._entities(prompt)
+            ents = [
+                e for e in self._entities(prompt)
+                if e["name"].lower() != "items"
+            ]
             return ents[0]["name"] if ents else "group"
         if "summar" in task.lower():
             words = prompt.split()
