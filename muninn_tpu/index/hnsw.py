@@ -235,16 +235,37 @@ def _beam_search_level0(
         # neighbor rows of picked entries
         nbrs = neighbors0[jnp.maximum(pick_i, 0)].reshape(b, expand * r0)
         nbrs = jnp.where(do.repeat(r0, axis=1), nbrs, -1)
+
+        # dedup by equality compares (cheaper in-loop than a lexsort
+        # merge): drop candidates already in the beam, and duplicate
+        # candidates within this iteration (keep first occurrence)
+        in_beam = jnp.any(
+            nbrs[:, :, None] == jnp.where(beam_i < 0, -2, beam_i)[:, None, :],
+            axis=2,
+        )                                                         # [B, C]
+        c = nbrs.shape[1]
+        lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
+        dup = jnp.any(
+            (nbrs[:, :, None] == nbrs[:, None, :]) & lower[None], axis=2
+        )
+        nbrs = jnp.where(in_beam | dup, -1, nbrs)
+
         nvecs = vectors[jnp.maximum(nbrs, 0)]                     # [B, E*R0, d]
         nd = gathered_distances(queries, nvecs, metric)
         nd = jnp.where(nbrs >= 0, nd, jnp.inf)
 
-        # flag-carrying dedup merge: candidates enter unexpanded;
-        # duplicate ids keep the expanded copy
-        new_d, new_i, new_f = merge_topk_flagged(
-            beam_d, beam_i, expanded,
-            nd, nbrs, jnp.zeros_like(nbrs, dtype=bool),
+        # merge: one top_k over [beam | unique fresh candidates]
+        cat_d = jnp.concatenate([beam_d, nd], axis=1)
+        cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
+        cat_f = jnp.concatenate(
+            [expanded, jnp.zeros((b, c), bool)], axis=1
         )
+        neg_top, pos = jax.lax.top_k(-cat_d, ef)
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        new_f = jnp.take_along_axis(cat_f, pos, axis=1)
+        new_i = jnp.where(jnp.isinf(new_d), -1, new_i)
+        new_f = new_f & (new_i >= 0)
 
         improved = new_d[:, ef - 1] < beam_d[:, ef - 1]
         # patience counts expansions, not iterations

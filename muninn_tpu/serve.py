@@ -1,0 +1,212 @@
+"""HTTP serving layer — the client-bindings role.
+
+The reference ships SQLite bindings for Python/Node/WASM (L7,
+SURVEY.md §1); a TPU-resident engine is a *service*, so the equivalent
+surface is a JSON-over-HTTP API any client language can call. Stdlib
+``http.server`` — no dependencies.
+
+    from muninn_tpu.serve import EngineServer
+    srv = EngineServer()
+    srv.start(port=8800)       # background thread; srv.serve() blocks
+
+Endpoints (POST bodies and responses are JSON):
+
+    GET  /health
+    POST /index/create   {"name", "dim", "metric", "kind": "hnsw"|"flat", ...}
+    POST /index/insert   {"name", "ids": [...], "vectors": [[...], ...]}
+    POST /index/search   {"name", "queries": [[...]], "k", "ef_search"}
+    POST /index/delete   {"name", "ids": [...]}
+    POST /graph/create   {"name", "src": [...], "dst": [...], "weights": [...]}
+    POST /graph/query    {"name", "op": "pagerank"|"components"|"bfs"|
+                          "shortest_path"|"degree"|"betweenness"|
+                          "closeness"|"leiden"|"select", ...kwargs}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class EngineServer:
+    def __init__(self):
+        self.indexes: dict = {}
+        self.graphs: dict = {}
+        self._httpd = None
+        self._lock = threading.Lock()
+
+    # ── handlers ──
+
+    def _index_create(self, body):
+        from muninn_tpu.index.flat import FlatIndex
+        from muninn_tpu.index.hnsw import HnswIndex
+
+        name = body["name"]
+        if name in self.indexes:
+            raise ValueError(f"index {name!r} exists")
+        kind = body.get("kind", "hnsw")
+        if kind == "flat":
+            idx = FlatIndex(body["dim"], body.get("metric", "l2"))
+        else:
+            idx = HnswIndex(
+                body["dim"], body.get("metric", "l2"),
+                m=body.get("m", 16),
+                ef_construction=body.get("ef_construction", 200),
+            )
+        self.indexes[name] = idx
+        return {"ok": True, "name": name, "kind": kind}
+
+    def _index_insert(self, body):
+        idx = self.indexes[body["name"]]
+        ids = np.asarray(body["ids"], np.int64)
+        vecs = np.asarray(body["vectors"], np.float32)
+        idx.insert(ids, vecs)
+        return {"ok": True, "count": len(idx)}
+
+    def _index_search(self, body):
+        idx = self.indexes[body["name"]]
+        q = np.asarray(body["queries"], np.float32)
+        kw = {}
+        if "ef_search" in body and hasattr(idx, "params"):
+            kw["ef_search"] = body["ef_search"]
+        ids, dists = idx.search(q, k=body.get("k", 10), **kw)
+        return {
+            "ids": np.asarray(ids).tolist(),
+            "distances": np.asarray(dists, np.float64).tolist(),
+        }
+
+    def _index_delete(self, body):
+        idx = self.indexes[body["name"]]
+        idx.delete(np.asarray(body["ids"], np.int64))
+        return {"ok": True, "count": len(idx)}
+
+    def _graph_create(self, body):
+        from muninn_tpu.graph import Graph
+
+        name = body["name"]
+        self.graphs[name] = Graph.from_edges(
+            body["src"], body["dst"], body.get("weights"),
+            timestamps=body.get("timestamps"),
+            time_start=body.get("time_start"),
+            time_end=body.get("time_end"),
+        )
+        g = self.graphs[name]
+        return {"ok": True, "nodes": g.num_nodes, "edges": g.num_edges}
+
+    def _graph_query(self, body):
+        g = self.graphs[body["name"]]
+        op = body["op"]
+        if op == "pagerank":
+            return g.pagerank(
+                damping=body.get("damping", 0.85),
+                iterations=body.get("iterations", 20),
+            )
+        if op == "components":
+            return {str(k): list(v) for k, v in g.connected_components().items()}
+        if op == "bfs":
+            return [
+                [n, d, p] for n, d, p in g.bfs(
+                    body["start"], body.get("max_depth"),
+                    body.get("direction", "forward"),
+                )
+            ]
+        if op == "shortest_path":
+            path, dist = g.shortest_path(
+                body["start"], body["end"],
+                weighted=body.get("weighted"),
+            )
+            return {"path": path, "distance": dist if np.isfinite(dist) else None}
+        if op == "degree":
+            return g.degree(
+                direction=body.get("direction", "both"),
+                weighted=body.get("weighted", False),
+                normalized=body.get("normalized", False),
+            )
+        if op == "betweenness":
+            return g.betweenness(normalized=body.get("normalized", False))
+        if op == "closeness":
+            return g.closeness(normalized=body.get("normalized", True))
+        if op == "leiden":
+            labels, q = g.leiden(
+                resolution=body.get("resolution", 1.0),
+                seed=body.get("seed", 0),
+            )
+            return {"communities": {str(k): v for k, v in labels.items()},
+                    "modularity": q}
+        if op == "select":
+            from muninn_tpu.graph.selector import select
+            return [[n, d, dir_] for n, d, dir_ in select(g, body["selector"])]
+        raise ValueError(f"unknown op {op!r}")
+
+    # ── http plumbing ──
+
+    def _handler(self):
+        server = self
+        routes = {
+            "/index/create": server._index_create,
+            "/index/insert": server._index_insert,
+            "/index/search": server._index_search,
+            "/index/delete": server._index_delete,
+            "/graph/create": server._graph_create,
+            "/graph/query": server._graph_query,
+        }
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._send(200, {
+                        "ok": True,
+                        "indexes": list(server.indexes),
+                        "graphs": list(server.graphs),
+                    })
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                fn = routes.get(self.path)
+                if fn is None:
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    with server._lock:
+                        self._send(200, fn(body))
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # pragma: no cover
+                    traceback.print_exc()
+                    self._send(500, {"error": str(e)})
+
+        return Handler
+
+    def start(self, port: int = 8800, host: str = "127.0.0.1") -> int:
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self._httpd.server_address[1]
+
+    def serve(self, port: int = 8800, host: str = "127.0.0.1") -> None:
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        print(f"muninn-tpu engine on http://{host}:{port}")
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None

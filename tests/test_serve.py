@@ -1,0 +1,98 @@
+"""HTTP serving layer + sharded index e2e."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from muninn_tpu.serve import EngineServer
+from muninn_tpu.parallel.sharded_index import ShardedFlatIndex
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_engine_server_vector_flow(rng):
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        st, r = _post(port, "/index/create",
+                      {"name": "v", "dim": 8, "metric": "l2", "kind": "flat"})
+        assert st == 200 and r["ok"]
+        vecs = rng.standard_normal((20, 8)).astype(np.float32)
+        st, r = _post(port, "/index/insert",
+                      {"name": "v", "ids": list(range(20)),
+                       "vectors": vecs.tolist()})
+        assert st == 200 and r["count"] == 20
+        st, r = _post(port, "/index/search",
+                      {"name": "v", "queries": [vecs[7].tolist()], "k": 3})
+        assert st == 200 and r["ids"][0][0] == 7
+        st, r = _post(port, "/index/delete", {"name": "v", "ids": [7]})
+        assert st == 200
+        st, r = _post(port, "/index/search",
+                      {"name": "v", "queries": [vecs[7].tolist()], "k": 3})
+        assert 7 not in r["ids"][0]
+        # probes
+        st, r = _post(port, "/index/create",
+                      {"name": "v", "dim": 8})
+        assert st == 400 and "exists" in r["error"]
+        st, r = _post(port, "/index/search", {"name": "nope", "queries": [[0]*8]})
+        assert st == 400
+    finally:
+        srv.stop()
+
+
+def test_engine_server_graph_flow():
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        st, r = _post(port, "/graph/create",
+                      {"name": "g", "src": ["a", "b", "c"], "dst": ["b", "c", "a"]})
+        assert st == 200 and r["nodes"] == 3
+        st, pr = _post(port, "/graph/query", {"name": "g", "op": "pagerank"})
+        assert st == 200 and abs(sum(pr.values()) - 1.0) < 1e-4
+        st, rows = _post(port, "/graph/query",
+                         {"name": "g", "op": "bfs", "start": "a"})
+        assert [row[0] for row in rows][0] == "a"
+        st, sp = _post(port, "/graph/query",
+                       {"name": "g", "op": "shortest_path", "start": "a", "end": "c"})
+        assert sp["path"] == ["a", "b", "c"]
+        st, sel = _post(port, "/graph/query",
+                        {"name": "g", "op": "select", "selector": "a+1"})
+        assert {row[0] for row in sel} == {"a", "b"}
+        st, r = _post(port, "/graph/query", {"name": "g", "op": "zzz"})
+        assert st == 400
+        # health reflects registered objects
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as resp:
+            h = json.loads(resp.read())
+        assert h["graphs"] == ["g"]
+    finally:
+        srv.stop()
+
+
+def test_sharded_flat_index(rng):
+    idx = ShardedFlatIndex(16, "l2")
+    assert idx.n_shards == 8
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    idx.insert(np.arange(100), vecs)
+    ids, d = idx.search(vecs[13], k=3)
+    assert ids[0] == 13 and d[0] < 1e-5
+    idx.delete([13])
+    ids, _ = idx.search(vecs[13], k=3)
+    assert 13 not in ids
+    with pytest.raises(ValueError):
+        idx.insert([14], vecs[:1])
+    # growth across shard boundary
+    idx.insert(np.arange(1000, 1200), rng.standard_normal((200, 16)).astype(np.float32))
+    assert len(idx) == 299
