@@ -211,6 +211,91 @@ def run_node2vec(out, sizes, rng):
         ))
 
 
+@treatment("embed")
+def run_embed(out, sizes, rng):
+    """Text embedding throughput (the reference's embed treatment runs
+    GGUF models; here the deterministic backend exercises the same
+    pipeline, and a real Flax encoder can be swapped via path=)."""
+    from muninn_tpu.models.embed import HashEmbedModel
+
+    model = HashEmbedModel(dim=128)
+    texts = [f"document number {i} about topic {i % 50}" for i in range(2000)]
+    t0 = time.time()
+    vecs = model.embed(texts)
+    s = time.time() - t0
+    _emit(out, Record(
+        "embed", {"n_texts": len(texts), "dim": 128, "backend": "hash"},
+        {"texts_per_s": len(texts) / s, "embed_s": s,
+         "unit_norm": bool(np.allclose(np.linalg.norm(vecs, axis=1), 1, atol=1e-4))},
+        s, _rss_mb(),
+    ))
+
+
+@treatment("kg_extract")
+def run_kg_extract(out, sizes, rng):
+    """NER/RE extraction throughput over the chat backend."""
+    from muninn_tpu.models.chat import load_chat_model
+    from muninn_tpu.models.registry import registry
+    from muninn_tpu.text import extract_ner_re_batch
+
+    if "harness-chat" not in registry.names():
+        load_chat_model("harness-chat")
+    docs = [
+        f"Person{i} Works at Company{i % 20} in City{i % 7}."
+        for i in range(200)
+    ]
+    t0 = time.time()
+    outs = extract_ner_re_batch("harness-chat", docs)
+    s = time.time() - t0
+    ents = sum(len(o["entities"]) for o in outs)
+    rels = sum(len(o["relations"]) for o in outs)
+    _emit(out, Record(
+        "kg_extract", {"n_docs": len(docs), "backend": "echo"},
+        {"docs_per_s": len(docs) / s, "entities": ents, "relations": rels},
+        s, _rss_mb(),
+    ))
+
+
+@treatment("kg_resolve")
+def run_kg_resolve(out, sizes, rng):
+    """Entity-resolution cascade end to end."""
+    from muninn_tpu.models.embed import HashEmbedModel
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.er import Entity, resolve_entities
+
+    n_base = 300
+    # distinct random company names (so only true variants are similar)
+    syll = ["zor", "mak", "tel", "vin", "qua", "rex", "bol", "nim",
+            "gar", "plu", "sev", "tro", "wik", "yam", "dex", "cor"]
+    def mk(i):
+        r = np.random.default_rng(i)
+        return ("".join(r.choice(syll, 3)).capitalize()
+                + " " + "".join(r.choice(syll, 2)).capitalize())
+    base = [f"{mk(i)} Holdings" for i in range(n_base)]
+    variants = [b.upper() for b in base] + [b.replace(" Holdings", " Hldgs") for b in base]
+    names = base + variants
+    ents = [Entity(id=str(i), name=n) for i, n in enumerate(names)]
+    model = HashEmbedModel(dim=96)
+    idx = FlatIndex(96, "cosine")
+    idx.insert(np.arange(len(names)), model.embed(names))
+    t0 = time.time()
+    res = resolve_entities(ents, idx, k=6, dist_threshold=0.45, jw_weight=0.7)
+    s = time.time() - t0
+    # quality: each base name should cluster with its two variants
+    clusters = res["clusters"]
+    good = sum(
+        1 for i in range(n_base)
+        if clusters[str(i)] == clusters[str(i + n_base)]
+        and clusters[str(i)] == clusters[str(i + 2 * n_base)]
+    )
+    _emit(out, Record(
+        "kg_resolve", {"n_entities": len(names)},
+        {"resolve_s": s, "entities_per_s": len(names) / s,
+         "triple_merge_rate": good / n_base},
+        s, _rss_mb(),
+    ))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("command", choices=["list", "run"])

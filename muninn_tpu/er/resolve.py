@@ -68,8 +68,14 @@ def resolve_entities(
     if n == 0:
         return {"clusters": {}}
 
-    # 1. KNN blocking — one batched search for every entity vector
-    vecs = np.stack([index.store.get_vector(_row_id(e, i)) for i, e in enumerate(ents)])
+    # 1. KNN blocking — one batched vector fetch + one batched search
+    # (the reference loops per-entity SQL queries; per-row device
+    # fetches would round-trip per entity)
+    import jax.numpy as jnp
+
+    row_ids = [_row_id(e, i) for i, e in enumerate(ents)]
+    slots = index.store.slots_of(row_ids)
+    vecs = np.asarray(index.store.vectors[jnp.asarray(slots)])
     ids, dists = index.search(vecs, k=k + 1)
 
     row_of = {_row_id(e, i): i for i, e in enumerate(ents)}

@@ -708,39 +708,51 @@ class HnswIndex:
             pool = np.nonzero(self.levels >= lv)[0].astype(np.int32)
             if len(pool) <= 1:
                 continue
-            # pad to shape buckets to bound recompilation
-            p_pad = -len(wave_members) % 64
             pool_pad = (1 << int(np.ceil(np.log2(max(len(pool), 64))))) - len(pool)
-            wm = np.pad(wave_members, (0, p_pad), constant_values=-1)
-            pl = np.pad(pool, (0, pool_pad), constant_values=-1)
-            sel = _upper_select(
-                self.store.vectors, jnp.asarray(wm), jnp.asarray(pl),
-                self.m, self.metric,
-            )                                          # [P_pad, m] slots
-            hi_rows = jnp.asarray(
-                np.where(wm >= 0, self._hi_index_np[np.maximum(wm, 0)], self.hi_neighbors.shape[0] - 1)
-            )
+            pl = jnp.asarray(np.pad(pool, (0, pool_pad), constant_values=-1))
             lv_row = jnp.int32(lv - 1)
-            live = jnp.asarray(wm >= 0)
-            cur = self.hi_neighbors[hi_rows, lv_row]
-            self.hi_neighbors = self.hi_neighbors.at[hi_rows, lv_row].set(
-                jnp.where(live[:, None], sel, cur)
-            )
-            # reverse edges: each chosen o gains the wave member s
-            o_arr = np.asarray(sel).reshape(-1)
-            s_arr = np.repeat(wm, self.m)
-            ok = (o_arr >= 0) & (s_arr >= 0)
-            o_arr = np.where(ok, o_arr, -1).astype(np.int32)
-            s_arr = np.where(ok, s_arr, -1).astype(np.int32)
-            pad = (-len(o_arr)) % 256
-            if pad:
-                o_arr = np.pad(o_arr, (0, pad), constant_values=-1)
-                s_arr = np.pad(s_arr, (0, pad), constant_values=-1)
-            self.hi_neighbors = _hi_reverse_wire(
-                self.hi_neighbors, self.hi_index, self.store.vectors,
-                jnp.asarray(o_arr), jnp.asarray(s_arr),
-                lv_row, self.m, self.metric,
-            )
+            # chunk members: the [P, pool] distance block must stay in
+            # HBM budget (level-1 at 1M nodes is ~62k members)
+            mchunk = max(256, min(4096, (1 << 26) // max(len(pool), 1)))
+            all_sel = []
+            for s0 in range(0, len(wave_members), mchunk):
+                wm = wave_members[s0 : s0 + mchunk]
+                p_pad = -len(wm) % 256
+                wm = np.pad(wm, (0, p_pad), constant_values=-1)
+                sel = _upper_select(
+                    self.store.vectors, jnp.asarray(wm), pl,
+                    self.m, self.metric,
+                )                                      # [P_pad, m] slots
+                hi_rows = jnp.asarray(
+                    np.where(wm >= 0, self._hi_index_np[np.maximum(wm, 0)],
+                             self.hi_neighbors.shape[0] - 1)
+                )
+                live = jnp.asarray(wm >= 0)
+                cur = self.hi_neighbors[hi_rows, lv_row]
+                self.hi_neighbors = self.hi_neighbors.at[hi_rows, lv_row].set(
+                    jnp.where(live[:, None], sel, cur)
+                )
+                all_sel.append((wm, np.asarray(sel)))
+            # reverse edges: each chosen o gains the wave member s;
+            # chunked so the prune's [E, 2m, d] gather stays bounded
+            o_list = np.concatenate([s.reshape(-1) for _, s in all_sel])
+            s_list = np.concatenate([np.repeat(w, self.m) for w, _ in all_sel])
+            ok = (o_list >= 0) & (s_list >= 0)
+            o_list = np.where(ok, o_list, -1).astype(np.int32)
+            s_list = np.where(ok, s_list, -1).astype(np.int32)
+            echunk = max(4096, min(65536, (1 << 28) // max(self.dim * 2 * self.m, 1)))
+            for s0 in range(0, len(o_list), echunk):
+                o_arr = o_list[s0 : s0 + echunk]
+                s_arr = s_list[s0 : s0 + echunk]
+                pad = (-len(o_arr)) % 4096
+                if pad:
+                    o_arr = np.pad(o_arr, (0, pad), constant_values=-1)
+                    s_arr = np.pad(s_arr, (0, pad), constant_values=-1)
+                self.hi_neighbors = _hi_reverse_wire(
+                    self.hi_neighbors, self.hi_index, self.store.vectors,
+                    jnp.asarray(o_arr), jnp.asarray(s_arr),
+                    lv_row, self.m, self.metric,
+                )
 
     def _host_dist(self, a: np.ndarray, b: np.ndarray) -> float:
         if self.metric is Metric.L2:

@@ -82,3 +82,20 @@ def test_merge_topk_random_vs_numpy(rng):
             allv = np.concatenate([da[b], db[b]])
             want = np.sort(allv)[:8]
             np.testing.assert_allclose(np.asarray(md)[b], want, rtol=1e-6)
+
+
+def test_merge_topk_flagged_keeps_expanded_copy():
+    from muninn_tpu.ops.topk import merge_topk_flagged
+    import jax.numpy as jnp
+
+    da = jnp.array([[1.0, 3.0]])
+    ia = jnp.array([[5, 7]], dtype=jnp.int32)
+    fa = jnp.array([[True, False]])
+    db = jnp.array([[1.0, 2.0]])
+    ib = jnp.array([[5, 9]], dtype=jnp.int32)   # id 5 duplicated, unexpanded
+    fb = jnp.array([[False, False]])
+    md, mi, mf = merge_topk_flagged(da, ia, fa, db, ib, fb)
+    np.testing.assert_array_equal(np.asarray(mi)[0], [5, 9])
+    # the surviving id-5 copy keeps its expanded flag
+    assert bool(np.asarray(mf)[0][0]) is True
+    np.testing.assert_allclose(np.asarray(md)[0], [1.0, 2.0])
