@@ -118,7 +118,7 @@ def flat_topk(
     metric: Metric | str = Metric.L2,
     corpus_valid: jax.Array | None = None,
     tb: int = 256,
-    tc: int = 512,
+    tc: int = 1024,
     interpret: bool = False,
     precision: str = "highest",
 ) -> tuple[jax.Array, jax.Array]:
@@ -128,6 +128,10 @@ def flat_topk(
     ``corpus_valid``: optional bool ``[N]`` — False rows (padding /
     soft-deleted, the ``deleted`` flag of ``src/hnsw_algo.h:24``) never
     appear in results.
+
+    ``precision``: "highest" (exact f32, 3-pass MXU), "default"
+    (f32 inputs, bf16 MXU passes), or "bfloat16" (bf16 inputs,
+    1-pass MXU, f32 accumulation; ranking-accurate for embeddings).
     """
     metric = parse_metric(metric)
     b, d = queries.shape
@@ -154,6 +158,10 @@ def flat_topk(
         valid = valid & _pad_to(corpus_valid.astype(bool), tc, 0, False)
     cn = jnp.where(valid, cn, jnp.inf)[None, :]      # [1, N_pad]
     qn = squared_norms(q)[:, None]                   # [B_pad, 1]
+
+    if precision == "bfloat16":
+        q = q.astype(jnp.bfloat16)
+        c = c.astype(jnp.bfloat16)
 
     bp, dp = q.shape
     np_, _ = c.shape
