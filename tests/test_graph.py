@@ -231,3 +231,27 @@ def test_unknown_node_raises(rng):
     mg = Graph.from_edges(["a"], ["b"])
     with pytest.raises(KeyError):
         mg.bfs("zzz")
+
+
+def test_closeness_weighted_matches_networkx(rng):
+    mg, g = random_graph(rng, n=30, p=0.15, weighted=True)
+    got = mg.closeness(direction="forward", weighted=True, normalized=True)
+    want = nx.closeness_centrality(g, distance="weight")
+    for k, v in want.items():
+        assert got[f"n{k}"] == pytest.approx(v, abs=1e-4), f"node {k}"
+
+
+def test_bfs_reverse_direction(rng):
+    mg = Graph.from_edges(["a", "b"], ["b", "c"])
+    fwd = {n for n, _, _ in mg.bfs("c", direction="forward")}
+    rev = {n for n, _, _ in mg.bfs("c", direction="reverse")}
+    assert fwd == {"c"}
+    assert rev == {"a", "b", "c"}
+
+
+def test_pagerank_weighted(rng):
+    mg, g = random_graph(rng, n=40, p=0.12, weighted=True)
+    got = mg.pagerank(damping=0.85, iterations=60, weighted=True)
+    want = nx.pagerank(g, alpha=0.85, weight="weight", tol=1e-10)
+    for k, v in want.items():
+        assert got[f"n{k}"] == pytest.approx(v, abs=3e-4)

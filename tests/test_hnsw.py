@@ -129,3 +129,23 @@ def test_hnsw_invalid_args():
     idx.insert([1], np.zeros((1, 16), np.float32))
     with pytest.raises(ValueError):
         idx.search(np.zeros(9), k=1)
+
+
+def test_hnsw_bulk_build_path(rng):
+    """Large batch into an empty index takes the exact-kNN bulk path."""
+    from muninn_tpu.index.flat import FlatIndex
+
+    n, dim = 900, 24
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HnswIndex(dim, "l2", m=8, ef_construction=60, wave_size=200, seed=3)
+    idx.insert(np.arange(n), vecs)  # n >= 4*wave_size -> bulk
+    flat = FlatIndex(dim, "l2", use_pallas=False)
+    flat.insert(np.arange(n), vecs)
+    q = rng.standard_normal((40, dim)).astype(np.float32)
+    r = recall_at_k(idx, flat, q, k=10, ef=64)
+    assert r >= 0.9, f"bulk recall {r}"
+    # incremental waves on top of a bulk-built graph
+    idx.insert(np.arange(n, n + 150), rng.standard_normal((150, dim)).astype(np.float32))
+    idx.delete(np.arange(0, 30))
+    ids, _ = idx.search(q, k=5, ef_search=32)
+    assert not np.isin(ids[ids >= 0], np.arange(30)).any()
