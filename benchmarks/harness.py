@@ -296,6 +296,48 @@ def run_kg_resolve(out, sizes, rng):
     ))
 
 
+@treatment("kg_graphrag")
+def run_kg_graphrag(out, sizes, rng):
+    """End-to-end GraphRAG: extract -> graph -> Leiden -> labels ->
+    embed -> community-aware retrieval (reference kg_graphrag)."""
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.models.chat import load_chat_model
+    from muninn_tpu.models.embed import HashEmbedModel
+    from muninn_tpu.models.registry import registry
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.text import extract_ner_re_batch, label_groups
+
+    if "harness-chat" not in registry.names():
+        load_chat_model("harness-chat")
+    docs = [
+        f"Alice{i} Works at Acme{i % 10} in Springfield{i % 4}."
+        for i in range(100)
+    ]
+    t0 = time.time()
+    outs = extract_ner_re_batch("harness-chat", docs)
+    src = [r["head"] for o in outs for r in o["relations"]]
+    dst = [r["tail"] for o in outs for r in o["relations"]]
+    g = Graph.from_edges(src, dst)
+    labels, q = g.leiden(seed=0)
+    members = {}
+    for node, comm in labels.items():
+        members.setdefault(comm, []).append(node)
+    named = label_groups("harness-chat", members)
+    model = HashEmbedModel(dim=64)
+    ents = list(labels)
+    idx = FlatIndex(64, "cosine")
+    idx.insert(np.arange(len(ents)), model.embed(ents))
+    ids, _ = idx.search(model.embed(["Acme3"]), k=5)
+    s_total = time.time() - t0
+    _emit(out, Record(
+        "kg_graphrag", {"n_docs": len(docs)},
+        {"pipeline_s": s_total, "communities": len(members),
+         "modularity": q, "labeled": len(named),
+         "retrieved": int((np.asarray(ids) >= 0).sum())},
+        s_total, _rss_mb(),
+    ))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("command", choices=["list", "run"])
