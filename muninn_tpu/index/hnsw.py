@@ -80,6 +80,12 @@ def _greedy_descent(
     Mirrors ``greedy_search_layer`` iterated from max_level down to
     ``level_of_query + 1`` (``src/hnsw_algo.c:257-282,679-681``). Returns
     the entry slot for level-0 (or the query's own top level) search.
+
+    NOTE: the production search path uses ``_route_entries`` (exact
+    routing over the promoted pool) instead — it is faster on TPU and
+    has no local-minimum failures on clustered data. This descent is
+    retained as the huge-N fallback for when the promoted pool itself
+    outgrows a single distance block (>~100M vectors).
     """
     b = queries.shape[0]
     m = hi_neighbors.shape[2]
