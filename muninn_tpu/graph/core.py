@@ -149,9 +149,22 @@ class Graph:
         reference's temporal WHERE filtering
         (``src/graph_load.c:164-212``): edges outside the window are
         dropped before interning.
+
+        Integer numpy id arrays take a vectorized interning fast path
+        (np.unique) — required at the 10M-edge scale; arbitrary
+        hashables go through the NodeTable dict.
         """
-        src_ids = list(src_ids)
-        dst_ids = list(dst_ids)
+        # numpy-integer fast path
+        np_fast = (
+            nodes is None
+            and isinstance(src_ids, np.ndarray)
+            and isinstance(dst_ids, np.ndarray)
+            and np.issubdtype(src_ids.dtype, np.integer)
+            and np.issubdtype(dst_ids.dtype, np.integer)
+        )
+        if not np_fast:
+            src_ids = list(src_ids)
+            dst_ids = list(dst_ids)
         if len(src_ids) != len(dst_ids):
             raise ValueError("src/dst length mismatch")
         keep = None
@@ -167,8 +180,21 @@ class Graph:
             if keep is not None:
                 weights = weights[keep]
         if keep is not None:
-            src_ids = [s for s, k in zip(src_ids, keep) if k]
-            dst_ids = [s for s, k in zip(dst_ids, keep) if k]
+            if np_fast:
+                src_ids = src_ids[keep]
+                dst_ids = dst_ids[keep]
+            else:
+                src_ids = [s for s, k in zip(src_ids, keep) if k]
+                dst_ids = [s for s, k in zip(dst_ids, keep) if k]
+        if np_fast:
+            combined = np.concatenate([src_ids, dst_ids])
+            uniq, inv = np.unique(combined, return_inverse=True)
+            table = NodeTable()
+            table._ids = [int(u) for u in uniq]
+            table._index = {int(u): i for i, u in enumerate(uniq)}
+            si = inv[: len(src_ids)].astype(np.int32)
+            di = inv[len(src_ids):].astype(np.int32)
+            return cls(table, si, di, weights)
         table = nodes if nodes is not None else NodeTable()
         si = table.intern_many(src_ids)
         di = table.intern_many(dst_ids)
