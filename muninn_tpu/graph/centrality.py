@@ -161,6 +161,10 @@ def betweenness(
     if n < 2:
         return np.zeros(n, np.float32), (np.zeros(len(src), np.float32) if want_edge else None)
     # NOTE: callers must pass a simple graph (use dedupe_parallel_edges)
+    # bound the source batch so the [S, E] sigma/delta temporaries stay
+    # within HBM (several E-sized f32 arrays per source)
+    per_source_bytes = max(len(src), n) * 4 * 6
+    batch = max(1, min(batch, (6 << 30) // per_source_bytes))
     all_sources = np.arange(n, dtype=np.int32)
     scale = 1.0
     if sample_sources is None and n > auto_approx_threshold:
