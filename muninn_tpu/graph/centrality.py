@@ -46,7 +46,10 @@ def _brandes_batch(
     s_count = sources.shape[0]
     e = src.shape[0]
     if max_iters <= 0:
-        max_iters = num_nodes
+        # shortest-path hop depth bounds every fixpoint here; cap it so
+        # a non-converging loop (fp noise at extreme scale) cannot run
+        # for num_nodes iterations and trip device watchdogs
+        max_iters = min(num_nodes, 1024)
 
     dist = multi_source_distances(src, dst, w, sources, num_nodes, max_iters)
 
