@@ -555,52 +555,39 @@ class HnswIndex:
             self._pool_dirty = True
 
         # exact kNN rows (level 0): query the corpus against itself in
-        # batches; +1 for the self-match which is dropped
+        # batches; +1 for the self-match which is dropped. Everything
+        # stays device-resident: per-chunk host syncs and bulk H2D
+        # transfers cost seconds each through slow interconnects.
         mark("promote")
         hw = self.store.high_watermark
         corpus = self.store.vectors[:hw]
         interp = jax.default_backend() != "tpu"
         qb = 8192
-        rows_i = np.empty((n, self.m0), np.int32)
-        rows_d = np.empty((n, self.m0), np.float32)
+        base = int(slots[0])  # bulk slots are contiguous
+        chunks_i, chunks_d = [], []
         for s in range(0, n, qb):
-            q = corpus[slots[s] : slots[s] + min(qb, n - s)]
+            q = corpus[base + s : base + s + min(qb, n - s)]
             dd, ii = flat_topk(
                 q, corpus, self.m0 + 1, metric=self.metric, interpret=interp
             )
-            dd, ii = np.asarray(dd), np.asarray(ii)
-            # drop self-matches: stable-sort the self column to the back
-            self_col = ii == slots[s : s + len(ii), None]
-            order = np.argsort(self_col, axis=1, kind="stable")[:, : self.m0]
-            rows_i[s : s + len(ii)] = np.take_along_axis(ii, order, 1)
-            rows_d[s : s + len(ii)] = np.take_along_axis(dd, order, 1)
-        mark("knn_sweep")
+            ci, cd = _drop_self_matches(dd, ii, jnp.int32(base + s), self.m0)
+            chunks_i.append(ci)
+            chunks_d.append(cd)
+        rows_i = jnp.concatenate(chunks_i)        # [n, m0] device
+        rows_d = jnp.concatenate(chunks_d)
+        mark("knn_sweep", rows_i)
         slots_j = jnp.asarray(slots)
-        self.neighbors0 = self.neighbors0.at[slots_j].set(jnp.asarray(rows_i))
-        self.dists0 = self.dists0.at[slots_j].set(jnp.asarray(rows_d))
+        self.neighbors0 = self.neighbors0.at[slots_j].set(rows_i)
+        self.dists0 = self.dists0.at[slots_j].set(rows_d)
         mark("forward_wire", self.neighbors0)
 
-        # symmetrize: one global reverse-append pass (host counting sort
-        # of the 3.2M edges), then a single prune sweep over all rows —
-        # far cheaper than per-chunk sort+prune
-        tgt = rows_i.reshape(-1)
-        srcr = np.repeat(slots, self.m0)
-        ddr = rows_d.reshape(-1)
-        order = np.argsort(tgt, kind="stable")
-        mark("rev_sort")
-        tgt_s, src_s, dd_s = tgt[order], srcr[order], ddr[order]
-        first = np.searchsorted(tgt_s, tgt_s, side="left")
-        pos = np.arange(len(tgt_s)) - first
-        a_max = self.m0
-        keep = (tgt_s >= 0) & (pos < a_max)
+        # symmetrize: one global device-side reverse-append pass, then a
+        # single prune sweep over all rows
         cap = self.neighbors0.shape[0]
-        flat_idx = np.where(keep, tgt_s.astype(np.int64) * a_max + pos, cap * a_max)
-        append_i = jnp.full((cap * a_max,), -1, jnp.int32).at[
-            jnp.asarray(flat_idx)
-        ].set(jnp.asarray(src_s), mode="drop").reshape(cap, a_max)
-        append_d = jnp.full((cap * a_max,), jnp.inf, jnp.float32).at[
-            jnp.asarray(flat_idx)
-        ].set(jnp.asarray(dd_s), mode="drop").reshape(cap, a_max)
+        a_max = self.m0
+        append_i, append_d = _reverse_append(
+            rows_i, rows_d, slots_j, cap, self.m0
+        )
         mark("rev_scatter", append_d)
         for s in range(0, n, qb):
             e = min(s + qb, n)
@@ -920,6 +907,59 @@ class HnswIndex:
         best = int(np.argmax(lv))
         self.entry_point = int(live[best])
         self.max_level = int(lv[best])
+
+
+@partial(jax.jit, static_argnames=("m0",))
+def _drop_self_matches(
+    dd: jax.Array,    # [b, m0+1] sorted distances
+    ii: jax.Array,    # [b, m0+1] ids
+    base: jax.Array,  # scalar: slot of row 0 (contiguous chunk)
+    m0: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Drop each row's self-match from its kNN list: stable-sort the
+    self column to the back, keep the first m0."""
+    b = ii.shape[0]
+    self_id = base + jnp.arange(b, dtype=jnp.int32)[:, None]
+    self_col = ii == self_id
+    order = jnp.argsort(self_col, axis=1, stable=True)[:, :m0]
+    return (
+        jnp.take_along_axis(ii, order, axis=1),
+        jnp.take_along_axis(dd, order, axis=1),
+    )
+
+
+@partial(jax.jit, static_argnames=("cap", "a_max"))
+def _reverse_append(
+    rows_i: jax.Array,   # [n, m0] forward kNN rows (device)
+    rows_d: jax.Array,   # [n, m0]
+    slots: jax.Array,    # [n] source slots
+    cap: int,
+    a_max: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Build bounded reverse-append buffers for the bulk symmetrization:
+    sort edges by target, take positions within each target group, flat
+    1D scatter — all device-side."""
+    m0 = rows_i.shape[1]
+    tgt = rows_i.reshape(-1)
+    srcr = jnp.repeat(slots, m0)
+    ddr = rows_d.reshape(-1)
+    order = jnp.argsort(jnp.where(tgt >= 0, tgt, jnp.int32(2**31 - 1)), stable=True)
+    tgt_s = tgt[order]
+    src_s = srcr[order]
+    dd_s = ddr[order]
+    first = jnp.searchsorted(tgt_s, tgt_s, side="left")
+    pos = jnp.arange(tgt_s.shape[0], dtype=jnp.int32) - first.astype(jnp.int32)
+    keep = (tgt_s >= 0) & (pos < a_max)
+    flat_idx = jnp.where(
+        keep, tgt_s * a_max + jnp.minimum(pos, a_max - 1), cap * a_max
+    )
+    append_i = jnp.full((cap * a_max,), -1, jnp.int32).at[flat_idx].set(
+        src_s, mode="drop"
+    ).reshape(cap, a_max)
+    append_d = jnp.full((cap * a_max,), jnp.inf, jnp.float32).at[flat_idx].set(
+        dd_s, mode="drop"
+    ).reshape(cap, a_max)
+    return append_i, append_d
 
 
 @partial(jax.jit, static_argnames=("m", "metric"))
