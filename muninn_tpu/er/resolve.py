@@ -24,7 +24,7 @@ JSON output (``:547-574``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

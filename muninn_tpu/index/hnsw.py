@@ -25,8 +25,10 @@ with MN-RU pruning and patience early termination) for TPU:
   closest-M), intra-wave candidate merge (a W x W matmul), forward wiring
   by scatter, reverse wiring by sort-by-target + bounded append, then
   distance-based pruning of over-full rows back to M_max
-  (``src/hnsw_algo.c:593-646``; MN-RU mutual-neighbor tie-breaking is
-  applied as a second sort key).
+  (``src/hnsw_algo.c:593-646``; the reference's MN-RU mutual-neighbor
+  tiebreak only affects exact-distance ties and is not yet applied —
+  see PARITY.md). Bulk builds skip all of this and construct the exact
+  kNN graph directly.
 - Delete: soft-delete + batched neighbor repair in the spirit of the
   reference's IP-DiskANN-style reconnection (``src/hnsw_algo.c:706-787``):
   survivors that lose edges to a deleted node get candidates from the
@@ -52,7 +54,6 @@ from muninn_tpu.ops.distance import (
 from muninn_tpu.ops.topk import (
     masked_topk,
     merge_topk,
-    merge_topk_flagged,
     sorted_topk_unique,
 )
 
@@ -178,16 +179,16 @@ def _beam_search_level0(
     - the beam is one distance-sorted array of width ``ef`` per query,
       with an ``expanded`` flag lane;
     - each iteration expands the best ``expand`` unexpanded entries,
-      gathers their neighbor rows, scores them with one batched matvec,
-      and merges through a flag-carrying id-dedup sort
-      (``merge_topk_flagged``) — the dedup plays the reference's
-      visited-set role (``visited_contains``, :378-433): a node can
-      occupy at most one beam slot and is expanded at most once, and
-      nodes that fall off the beam can never re-enter because the beam
-      frontier is monotone.
-      (An explicit per-query visited map was measured and rejected:
-      batched 2D element scatters/gathers over [B, cap] are
-      pathologically slow on TPU.)
+      gathers their neighbor rows, drops duplicates by equality
+      compares (vs the beam and within the iteration), scores the rest
+      with one batched matvec, and merges via one ``lax.top_k`` — the
+      dedup plays the reference's visited-set role
+      (``visited_contains``, :378-433): a node can occupy at most one
+      beam slot and is expanded at most once, and nodes that fall off
+      the beam can never re-enter because the beam frontier is
+      monotone. (Per-query visited maps and lexsort-based dedup merges
+      were both measured and rejected: batched 2D element scatters are
+      pathologically slow on TPU, and in-loop sorts cost ~4ms/iter.)
 
     Termination: no unexpanded entries, or ``patience`` non-improving
     *expansions* (reference patience: ``max(ef/4, 10)`` expansions,

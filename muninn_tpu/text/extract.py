@@ -15,8 +15,6 @@ unsupervised variants, like the reference's 6 system prompts.
 
 from __future__ import annotations
 
-import json
-
 from muninn_tpu.models.chat import json_output
 from muninn_tpu.models.registry import ModelType, registry
 
