@@ -179,6 +179,38 @@ def build_negative_table(
 
 
 @partial(
+    jax.jit,
+    static_argnames=("window", "neg_samples", "chunk"),
+    donate_argnums=(0, 1),
+)
+def sgns_walk_batch(
+    syn0: jax.Array,        # [V, D]
+    syn1: jax.Array,        # [V, D]
+    walks: jax.Array,       # [W, L+1] int32, W % chunk == 0
+    neg_table: jax.Array,   # [T] int32
+    key: jax.Array,
+    lr: jax.Array,
+    window: int,
+    neg_samples: int,
+    chunk: int,
+) -> tuple[jax.Array, jax.Array]:
+    """SGNS over a whole walk batch as one jitted ``lax.scan`` over
+    walker-row chunks (bounds the [P, K, D] peak like the chunked
+    eager loop, without one dispatch per chunk)."""
+    w, l1 = walks.shape
+    wchunks = walks.reshape(w // chunk, chunk, l1)
+
+    def body(carry, wk):
+        s0, s1, k = carry
+        k, kc = jax.random.split(k)
+        s0, s1 = _sgns_update(s0, s1, wk, neg_table, kc, lr, window, neg_samples)
+        return (s0, s1, k), None
+
+    (syn0, syn1, _), _ = jax.lax.scan(body, (syn0, syn1, key), wchunks)
+    return syn0, syn1
+
+
+@partial(
     jax.jit, static_argnames=("window", "neg_samples"), donate_argnums=(0, 1)
 )
 def sgns_step(
@@ -191,9 +223,18 @@ def sgns_step(
     window: int,
     neg_samples: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """One SGNS update over every (center, context) pair of a walk
-    batch. Pairs come from static window shifts; positives and sampled
-    negatives share one fused gather/scatter update."""
+    """One SGNS update over a walk batch (single-chunk form of
+    ``sgns_walk_batch``; kept as the unit-testable primitive)."""
+    return _sgns_update(
+        syn0, syn1, walks, neg_table, key, lr, window, neg_samples
+    )
+
+
+def _sgns_update(
+    syn0, syn1, walks, neg_table, key, lr, window, neg_samples
+):
+    """Fused gather/sigmoid/scatter SGNS update over every
+    (center, context) pair of the walk rows."""
     w_count, l1 = walks.shape
     centers = []
     contexts = []
@@ -328,18 +369,22 @@ def node2vec_train(
                 starts = jnp.arange(
                     s, min(s + walk_batch, v_count), dtype=jnp.int32
                 )
-                key, kw = jax.random.split(key)
+                key, kw, kn = jax.random.split(key, 3)
                 walks = biased_walks(
                     kw, offsets, dstj, cumw, starts, v_count,
                     walk_length, p, q,
                 )
-                # bound SGNS peak memory: feed walker-row chunks
-                for r in range(0, walks.shape[0], sgns_chunk):
-                    key, kn = jax.random.split(key)
-                    syn0, syn1 = sgns_step(
-                        syn0, syn1, walks[r : r + sgns_chunk],
-                        neg_table, kn, jnp.float32(lr), window, neg_samples,
-                    )
+                # one fused dispatch per walk batch; scan chunks inside
+                chunk = min(sgns_chunk, walks.shape[0])
+                pad = (-walks.shape[0]) % chunk
+                if pad:
+                    walks = jnp.concatenate(
+                        [walks, walks[:pad]], axis=0
+                    )  # harmless repeat of a few walkers
+                syn0, syn1 = sgns_walk_batch(
+                    syn0, syn1, walks, neg_table, kn,
+                    jnp.float32(lr), window, neg_samples, chunk,
+                )
 
     emb = np.asarray(syn0)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
