@@ -817,6 +817,12 @@ class HnswIndex:
         ids = np.asarray(ids, np.int64).reshape(-1)
         if len(ids) == 0:
             return
+        # large deletions process in waves: the repair pool grows with
+        # the wave (union of former neighborhoods)
+        if len(ids) > self.wave_size:
+            for s in range(0, len(ids), self.wave_size):
+                self.delete(ids[s : s + self.wave_size])
+            return
         slots = self.store.remove(ids)
         slots_j = jnp.asarray(slots)
 
@@ -870,18 +876,37 @@ class HnswIndex:
         pool = pool[pool >= 0]
         pool = pool[~np.isin(pool, np.asarray(dslots))]
         if len(pool):
+            # streaming repair: affected-row chunks against the pool via
+            # the flat kernel — an [A, P] distance matrix at a 10k-wave
+            # delete would be hundreds of GB
+            from muninn_tpu.ops.pallas_flat import flat_topk
+
             pool_j = jnp.asarray(pool.astype(np.int32))
-            av = self.store.vectors[aff_j]           # [A, d]
             pv = self.store.vectors[pool_j]          # [P, d]
-            pd = pairwise_distances(av, pv, self.metric)
-            self_m = aff_j[:, None] == pool_j[None, :]
-            pd = jnp.where(self_m, jnp.inf, pd)
-            kk = min(self.m0, len(pool))
-            cd, ci = masked_topk(pd, kk, ids=jnp.broadcast_to(pool_j[None, :], pd.shape))
-            # the reference reconnects only orphans (degree < M/2,
-            # src/hnsw_algo.c:706-787); with wave deletes we refill every
-            # affected row — closest-first merge, same edge quality
-            rows_d, rows_i = merge_topk(rows_d, rows_i, cd, ci)
+            kk = min(self.m0 + 1, len(pool))
+            interp = jax.default_backend() != "tpu"
+            qb = 4096
+            new_d_parts, new_i_parts = [], []
+            for s0 in range(0, len(aff), qb):
+                chunk = aff_j[s0 : s0 + qb]
+                av = self.store.vectors[chunk]
+                cd, ci = flat_topk(av, pv, kk, metric=self.metric, interpret=interp)
+                cand = pool_j[jnp.maximum(ci, 0)]
+                cand = jnp.where(ci >= 0, cand, -1)
+                # drop self-matches (affected rows may be pool members)
+                self_m = cand == chunk[:, None]
+                cd = jnp.where(self_m, jnp.inf, cd)
+                cand = jnp.where(self_m, -1, cand)
+                # the reference reconnects only orphans (degree < M/2,
+                # src/hnsw_algo.c:706-787); with wave deletes we refill
+                # every affected row — closest-first merge
+                rd, ri = merge_topk(
+                    rows_d[s0 : s0 + qb], rows_i[s0 : s0 + qb], cd, cand
+                )
+                new_d_parts.append(rd)
+                new_i_parts.append(ri)
+            rows_d = jnp.concatenate(new_d_parts)
+            rows_i = jnp.concatenate(new_i_parts)
 
         self.neighbors0 = self.neighbors0.at[aff_j].set(rows_i)
         self.dists0 = self.dists0.at[aff_j].set(rows_d)
