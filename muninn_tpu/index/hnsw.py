@@ -881,16 +881,33 @@ class HnswIndex:
             # delete would be hundreds of GB
             from muninn_tpu.ops.pallas_flat import flat_topk
 
-            pool_j = jnp.asarray(pool.astype(np.int32))
-            pv = self.store.vectors[pool_j]          # [P, d]
+            # pad the pool to a power-of-two bucket: every delete wave
+            # has a different pool size, and unbucketed shapes would
+            # recompile the repair kernel each wave
+            p_pad = (1 << int(np.ceil(np.log2(max(len(pool), 64))))) - len(pool)
+            pool_b = np.pad(pool.astype(np.int32), (0, p_pad), constant_values=-1)
+            pool_j = jnp.asarray(pool_b)
+            pool_valid = jnp.asarray(pool_b >= 0)
+            pv = self.store.vectors[jnp.maximum(pool_j, 0)]   # [P_pad, d]
             kk = min(self.m0 + 1, len(pool))
             interp = jax.default_backend() != "tpu"
-            qb = 4096
+            # bucket the affected-row chunks as well (sizes vary per wave)
+            qb = min(4096, 1 << int(np.ceil(np.log2(max(len(aff), 64)))))
+            a_pad = (-len(aff)) % qb
+            if a_pad:
+                aff_j = jnp.concatenate(
+                    [aff_j, jnp.full((a_pad,), int(aff[0]), jnp.int32)]
+                )
+                rows_i = jnp.concatenate([rows_i, jnp.repeat(rows_i[:1], a_pad, 0)])
+                rows_d = jnp.concatenate([rows_d, jnp.repeat(rows_d[:1], a_pad, 0)])
             new_d_parts, new_i_parts = [], []
-            for s0 in range(0, len(aff), qb):
+            for s0 in range(0, len(aff) + a_pad, qb):
                 chunk = aff_j[s0 : s0 + qb]
                 av = self.store.vectors[chunk]
-                cd, ci = flat_topk(av, pv, kk, metric=self.metric, interpret=interp)
+                cd, ci = flat_topk(
+                    av, pv, kk, metric=self.metric,
+                    corpus_valid=pool_valid, interpret=interp,
+                )
                 cand = pool_j[jnp.maximum(ci, 0)]
                 cand = jnp.where(ci >= 0, cand, -1)
                 # drop self-matches (affected rows may be pool members)
@@ -911,16 +928,12 @@ class HnswIndex:
         self.neighbors0 = self.neighbors0.at[aff_j].set(rows_i)
         self.dists0 = self.dists0.at[aff_j].set(rows_d)
 
-        # scrub deleted slots from surviving upper-level rows so greedy
-        # descent never dead-ends on a tombstone
-        hi_np = np.array(self.hi_neighbors)
-        dset = np.asarray(dslots)
-        used = hi_np[: self._hi_count]
-        mask = np.isin(used, dset)
-        if mask.any():
-            used[mask] = -1
-            hi_np[: self._hi_count] = used
-            self.hi_neighbors = jnp.asarray(hi_np)
+        # scrub deleted slots from surviving upper-level rows so routing
+        # never lands on a tombstone — on device (a host round trip of
+        # the hi table costs ~seconds per wave through slow links)
+        hi = self.hi_neighbors
+        dead_hi = (hi >= 0) & deleted_mask[jnp.maximum(hi, 0)]
+        self.hi_neighbors = jnp.where(dead_hi, -1, hi)
 
     def _rescan_entry_point(self) -> None:
         valid = np.asarray(self.store.valid)
