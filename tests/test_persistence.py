@@ -108,3 +108,26 @@ def test_graph_cache_explicit_rebuild_commands(rng):
     gc.add_edges(["c"], ["d"])
     gc.rebuild()
     assert gc.num_edges == 3
+
+
+def test_hnsw_checkpoint_after_churn(rng, tmp_path):
+    """Save/load must survive insert+delete churn, preserving the
+    routing pool and repair state."""
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    idx = HnswIndex(16, "l2", m=8, ef_construction=40, wave_size=100, seed=11)
+    idx.insert(np.arange(400), vecs)
+    idx.delete(np.arange(0, 80))
+    idx.insert(np.arange(1000, 1050), rng.standard_normal((50, 16)).astype(np.float32))
+    q = rng.standard_normal((10, 16)).astype(np.float32)
+    want_ids, _ = idx.search(q, k=5, ef_search=32)
+
+    save_hnsw(idx, tmp_path / "churn")
+    idx2 = load_hnsw(tmp_path / "churn")
+    got_ids, _ = idx2.search(q, k=5, ef_search=32)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    # deleted ids never reappear post-load
+    assert not np.isin(got_ids[got_ids >= 0], np.arange(80)).any()
+    # loaded index mutates further
+    idx2.delete([100])
+    ids3, _ = idx2.search(q, k=5, ef_search=32)
+    assert 100 not in ids3
