@@ -167,7 +167,7 @@ def betweenness(
     # bound the source batch so the [S, E] sigma/delta temporaries stay
     # within HBM (several E-sized f32 arrays per source)
     per_source_bytes = max(len(src), n) * 4 * 6
-    batch = max(1, min(batch, (6 << 30) // per_source_bytes))
+    batch = max(1, min(batch, (2 << 30) // per_source_bytes))
     all_sources = np.arange(n, dtype=np.int32)
     scale = 1.0
     if sample_sources is None and n > auto_approx_threshold:
