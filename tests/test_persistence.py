@@ -131,3 +131,18 @@ def test_hnsw_checkpoint_after_churn(rng, tmp_path):
     idx2.delete([100])
     ids3, _ = idx2.search(q, k=5, ef_search=32)
     assert 100 not in ids3
+
+
+def test_graph_cache_incremental_threshold_boundary(rng):
+    # delta <= max(10, E/10) -> incremental; more -> full rebuild.
+    # Both paths must converge to the same edge set.
+    gc = GraphCache.from_edges([f"n{i}" for i in range(200)],
+                               [f"n{i+1}" for i in range(200)])
+    gen0 = gc.generation
+    gc.add_edges(["n0"] * 10, [f"m{i}" for i in range(10)])   # == threshold min
+    g = gc.graph()
+    assert gc.generation == gen0 + 1
+    assert gc.num_edges == 210
+    gc.add_edges(["n1"] * 50, [f"q{i}" for i in range(50)])   # > E/10 -> full
+    g = gc.graph()
+    assert gc.num_edges == 260

@@ -88,3 +88,16 @@ def test_closure_includes_ancestor_of_descendant_direction(deps):
     rows = {n: dir_ for n, _, dir_ in select(deps, "@C")}
     assert rows["Y"] == "closure"
     assert rows["D"] == "descendant"
+
+
+def test_documented_precedence_example(deps):
+    # docs/graph-select.md precedence: "X,Y not Z" parses as
+    # (X ∩ Y) ∪ (not Z)
+    got = nodes_of(select(deps, "+C,+D not E"))
+    intersect = {"A", "B", "C"}            # +C ∩ +D
+    complement = {"A", "B", "C", "D", "F", "Y"}  # not E
+    assert got == intersect | complement
+
+
+def test_intersection_requires_both(deps):
+    assert nodes_of(select(deps, "C,D")) == set()  # disjoint singletons

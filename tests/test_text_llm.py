@@ -161,3 +161,16 @@ def test_er_same_source_guard():
     out = resolve_entities(ents, idx, k=2, type_guard="same_source")
     c = out["clusters"]
     assert c["0"] != c["1"]  # same source may not merge
+
+
+def test_json_output_nested_truncation_recovers_items():
+    out = chat_mod.json_output(
+        '{"entities": [{"name": "Alice", "type": "PERSON"}, {"name": "Bo'
+    )
+    ents = out.get("entities", [])
+    assert any(e.get("name") == "Alice" for e in ents if isinstance(e, dict))
+
+
+def test_json_output_think_then_json():
+    out = chat_mod.json_output('<think>hmm</think>{"entities": []}')
+    assert out == {"entities": []}
