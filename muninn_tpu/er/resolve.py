@@ -88,8 +88,7 @@ def resolve_entities(
             if j == i:
                 continue
             a, b = (i, j) if i < j else (j, i)
-            # cosine distance -> similarity
-            cos_sim = 1.0 - float(dist)
+            cos_sim = _similarity(float(dist), index)
             if (a, b) not in pairs or cos_sim > pairs[(a, b)]:
                 pairs[(a, b)] = cos_sim
 
@@ -99,16 +98,24 @@ def resolve_entities(
     # 2. guards + scoring cascade
     match_threshold = 1.0 - dist_threshold + borderline_delta
     keys = list(pairs.keys())
-    names_a = [ents[a].name for a, _ in keys]
-    names_b = [ents[b].name for _, b in keys]
+    # JW scores lowercased names (reference llama_er.c:320 compares
+    # name_lower vs name_lower), so mixed-case variants score the same
+    names_a = [ents[a].name.lower() for a, _ in keys]
+    names_b = [ents[b].name.lower() for _, b in keys]
     jw = jaro_winkler_batch(names_a, names_b)
 
     edges_src, edges_dst, edges_w = [], [], []
     for (a, b), jww in zip(keys, jw):
         ea, eb = ents[a], ents[b]
-        if type_guard == "same_source" and ea.source is not None and ea.source == eb.source:
+        # Both guards compare the `source` field (the reference's
+        # entities carry one field doubling as source/entity-type,
+        # llama_er.c:299-309); entities that populate only `type` fall
+        # back to it.
+        ga = ea.source if ea.source is not None else ea.type
+        gb = eb.source if eb.source is not None else eb.type
+        if type_guard == "same_source" and ga is not None and ga == gb:
             continue
-        if type_guard == "diff_type" and ea.type is not None and eb.type is not None and ea.type != eb.type:
+        if type_guard == "diff_type" and ga is not None and gb is not None and ga != gb:
             continue
         if ea.name == eb.name:
             score = 1.0
@@ -150,6 +157,25 @@ def resolve_entities(
             clusters[e.id] = next_cluster
             next_cluster += 1
     return {"clusters": clusters}
+
+
+def _similarity(dist: float, index) -> float:
+    """Index distance -> cosine-similarity-like score in the blended
+    cascade. The reference pipeline is cosine-only (``cosine_sim = 1 -
+    cosine_dist``, llama_er.c:311); for L2 / inner-product indexes the
+    conversion assumes unit-normalized vectors (squared L2 on unit
+    vectors = 2(1-cos); -dot on unit vectors = -cos), instead of
+    silently treating the raw distance as a cosine distance."""
+    from muninn_tpu.ops.distance import Metric
+
+    metric = getattr(index, "metric", Metric.COSINE)
+    if metric is Metric.COSINE:
+        return 1.0 - dist
+    if metric is Metric.L2:
+        return 1.0 - dist / 2.0
+    if metric is Metric.INNER_PRODUCT:
+        return -dist
+    raise ValueError(f"unsupported index metric for ER: {metric}")
 
 
 def _row_id(e: Entity, i: int) -> int:

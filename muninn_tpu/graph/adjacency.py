@@ -127,29 +127,40 @@ class GraphCache:
         self._graph = None
 
     def _apply_pending(self) -> None:
+        """Replay queued deltas IN ORDER; a delete removes only the
+        first live matching (src, dst) occurrence, so 'delete then
+        re-insert' within one batch keeps the edge and parallel
+        duplicate edges survive single deletes (reference
+        graph_csr.c:219-247 sequential apply)."""
         if not self._pending:
             return
-        ins = [r for r in self._pending if r["op"] == "insert"]
-        dels = [(r["src"], r["dst"]) for r in self._pending if r["op"] == "delete"]
-        if ins:
-            si = self.nodes.intern_many([r["src"] for r in ins])
-            di = self.nodes.intern_many([r["dst"] for r in ins])
-            wi = np.array([r["w"] for r in ins], np.float32)
-            self._src = np.concatenate([self._src, si])
-            self._dst = np.concatenate([self._dst, di])
-            self._w = np.concatenate([self._w, wi])
-        if dels:
-            keep = np.ones(len(self._src), bool)
-            for s, d in dels:
-                si = self.nodes.find(s)
-                di = self.nodes.find(d)
-                if si is None or di is None:
-                    continue
-                keep &= ~((self._src == si) & (self._dst == di))
-            self._src = self._src[keep]
-            self._dst = self._dst[keep]
-            self._w = self._w[keep]
-        self._pending.clear()
+        pending, self._pending = self._pending, []
+        nd = len(pending)
+        d_src = np.full(nd, -1, np.int32)
+        d_dst = np.full(nd, -1, np.int32)
+        d_w = np.ones(nd, np.float32)
+        d_op = np.zeros(nd, np.uint8)
+        ins_pos = [i for i, r in enumerate(pending) if r["op"] == "insert"]
+        if ins_pos:
+            si = self.nodes.intern_many([pending[i]["src"] for i in ins_pos])
+            di = self.nodes.intern_many([pending[i]["dst"] for i in ins_pos])
+            for j, i in enumerate(ins_pos):
+                d_src[i] = si[j]
+                d_dst[i] = di[j]
+                d_w[i] = pending[i].get("w", 1.0)
+        for i, r in enumerate(pending):
+            if r["op"] == "delete":
+                d_op[i] = 1
+                s = self.nodes.find(r["src"])
+                d = self.nodes.find(r["dst"])
+                if s is not None and d is not None:
+                    d_src[i] = s
+                    d_dst[i] = d
+        from muninn_tpu.native import csr_apply_delta
+
+        self._src, self._dst, self._w = csr_apply_delta(
+            self._src, self._dst, self._w, d_src, d_dst, d_w, d_op
+        )
 
     # ── reads ──
 

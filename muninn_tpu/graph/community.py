@@ -189,6 +189,11 @@ def leiden(
     )
     cur_n = num_nodes
     node_map = np.arange(num_nodes, dtype=np.int32)  # original node -> super node
+    # initial partition for phase-1 local moving; after aggregation this
+    # becomes the phase-1 partition projected onto the refined
+    # super-nodes (Traag 2019: the aggregate graph is initialized with
+    # the NON-refined partition, not singletons)
+    init_comm = np.arange(cur_n, dtype=np.int32)
 
     prev_q = -np.inf
     for _ in range(max_rounds):
@@ -201,7 +206,7 @@ def leiden(
 
         # phase 1: local moving from current (meta-)partition
         comm = _local_moving(
-            sj, dj, wj, np.arange(cur_n, dtype=np.int32), k, m,
+            sj, dj, wj, init_comm, k, m,
             resolution, no_restrict, cur_n, rng,
         )
         comm_np = _renumber(np.asarray(comm))
@@ -231,7 +236,12 @@ def leiden(
         if nc == cur_n:
             break
         # aggregate on the refined partition; next round starts from the
-        # phase-1 partition projected onto super-nodes
+        # phase-1 partition projected onto super-nodes (every member of
+        # a refined community shares one phase-1 community — refinement
+        # is restricted — so any representative works)
+        rep = np.zeros(nc, np.int64)
+        rep[use] = np.arange(cur_n)
+        init_comm = comm_np[rep].astype(np.int32)
         cur_src, cur_dst, cur_w = _aggregate(cur_src, cur_dst, cur_w, use)
         node_map = use[node_map]
         cur_n = nc

@@ -621,6 +621,14 @@ class HnswIndex:
         # visible) for level-0 candidates at ef_construction
         if not first:
             beam_d, beam_i = self._search_slots_chunked(qv, ef)
+            # beams route *through* soft-deleted nodes but must never
+            # select them as neighbors: the reference excludes deleted
+            # nodes from insert candidates (src/hnsw_algo.c:408-410).
+            # Without this, post-delete inserts wire edges to cleared
+            # tombstone rows, permanently wasting neighbor slots.
+            ok = (beam_i >= 0) & self.store.valid[jnp.maximum(beam_i, 0)]
+            beam_d = jnp.where(ok, beam_d, jnp.inf)
+            beam_i = jnp.where(ok, beam_i, -1)
         else:
             beam_d = jnp.full((w, ef), jnp.inf)
             beam_i = jnp.full((w, ef), -1, jnp.int32)
@@ -856,9 +864,16 @@ class HnswIndex:
         edges from the rest of the former neighborhood."""
         deleted_mask = jnp.zeros((self.neighbors0.shape[0],), bool).at[dslots].set(True)
 
-        # survivors whose rows reference a deleted node
-        aff = np.unique(np.asarray(former))
-        aff = aff[aff >= 0]
+        # ALL survivors whose rows reference a deleted node — one device
+        # scan of the neighbor table. (Scanning only the deleted nodes'
+        # former neighborhoods misses asymmetric edges X->D whose
+        # reverse D->X was pruned away, leaving dead-end stale edges.)
+        refs_dead = jnp.any(
+            (self.neighbors0 >= 0)
+            & deleted_mask[jnp.maximum(self.neighbors0, 0)],
+            axis=1,
+        )
+        aff = np.nonzero(np.asarray(refs_dead))[0].astype(np.int32)
         aff = aff[~np.isin(aff, np.asarray(dslots))]
         if len(aff) == 0:
             return

@@ -167,7 +167,12 @@ def csr_build(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None, num_nodes:
 
 
 def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
-    """Apply a delta (op 0=insert, 1=delete-all-matching) to an edge list."""
+    """Apply a delta (op 0=insert, 1=delete) to an edge list.
+
+    Deltas replay in order; a delete removes only the first live
+    matching (src, dst) occurrence — existing edges before same-batch
+    inserts (reference graph_csr.c:219-247: linear scan, remove one,
+    break)."""
     lib = _load()
     e, nd = len(src), len(d_src)
     src = np.ascontiguousarray(src, np.int32)
@@ -195,18 +200,42 @@ def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
             out_w.ctypes.data_as(f32p),
         )
         return out_s[:n], out_d[:n], out_w[:n]
-    # numpy fallback
-    dels = {(int(s), int(d)) for s, d, o in zip(d_src, d_dst, d_op) if o == 1}
-    if dels:
-        keep = np.array(
-            [(int(s), int(d)) not in dels for s, d in zip(src, dst)], bool
-        )
-        src, dst, w = src[keep], dst[keep], w[keep]
-    ins = d_op == 0
+    # numpy fallback: same in-order single-match replay as the C++
+    from collections import deque
+
+    existing: dict | None = None
+    removed = np.zeros(e, bool)
+    ns: list[int] = []
+    ndd: list[int] = []
+    nw: list[float] = []
+    nrem: list[bool] = []
+    fresh: dict[tuple[int, int], deque] = {}
+    for s, d, ww_, o in zip(d_src, d_dst, d_w, d_op):
+        key = (int(s), int(d))
+        if o == 0:
+            fresh.setdefault(key, deque()).append(len(ns))
+            ns.append(int(s))
+            ndd.append(int(d))
+            nw.append(float(ww_))
+            nrem.append(False)
+        else:
+            if existing is None:
+                existing = {}
+                for i, (es, ed) in enumerate(zip(src, dst)):
+                    existing.setdefault((int(es), int(ed)), deque()).append(i)
+            q = existing.get(key)
+            if q:
+                removed[q.popleft()] = True
+            else:
+                q = fresh.get(key)
+                if q:
+                    nrem[q.popleft()] = True
+    keep = ~removed
+    live = [i for i, r in enumerate(nrem) if not r]
     return (
-        np.concatenate([src, d_src[ins]]),
-        np.concatenate([dst, d_dst[ins]]),
-        np.concatenate([w, d_w[ins]]),
+        np.concatenate([src[keep], np.array([ns[i] for i in live], np.int32)]),
+        np.concatenate([dst[keep], np.array([ndd[i] for i in live], np.int32)]),
+        np.concatenate([w[keep], np.array([nw[i] for i in live], np.float32)]),
     )
 
 

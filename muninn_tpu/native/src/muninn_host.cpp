@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -113,43 +114,71 @@ void muninn_csr_build(const int32_t* src, const int32_t* dst, const float* w,
 }
 
 // Delta merge (graph_csr.c:175-325 role): edges (src,dst,w) plus ops
-// arrays; op 0 = insert, 1 = delete (delete removes every matching
-// (src,dst) pair). Returns new edge count; outputs must be sized
+// arrays; op 0 = insert, 1 = delete. Deltas replay IN ORDER and a
+// delete removes only the FIRST live matching (src,dst) occurrence —
+// existing edges scan before same-batch inserts — matching the
+// reference's sequential apply loop (graph_csr.c:219-247: linear scan,
+// remove one, break). Returns new edge count; outputs must be sized
 // e + n_ins.
 int64_t muninn_csr_apply_delta(
     const int32_t* src, const int32_t* dst, const float* w, int64_t e,
     const int32_t* d_src, const int32_t* d_dst, const float* d_w,
     const uint8_t* d_op, int64_t nd,
     int32_t* out_src, int32_t* out_dst, float* out_w) {
-    // collect deletions into a hash set of packed keys
-    std::unordered_map<int64_t, int32_t> dels;
+    auto pack = [](int32_t s, int32_t d) {
+        return (static_cast<int64_t>(s) << 32) | static_cast<uint32_t>(d);
+    };
+    // FIFO queues of live existing-edge indices, built lazily on the
+    // first delete (delete-free batches pay nothing).
+    std::unordered_map<int64_t, std::deque<int64_t>> existing;
+    bool existing_built = false;
+    std::vector<uint8_t> removed(static_cast<size_t>(e), 0);
+    // edges inserted by this batch, with their own removal flags
+    std::vector<int32_t> ns, ndst;
+    std::vector<float> nw;
+    std::vector<uint8_t> nrem;
+    std::unordered_map<int64_t, std::deque<int64_t>> fresh;
     for (int64_t i = 0; i < nd; i++) {
-        if (d_op[i] == 1) {
-            int64_t key = (static_cast<int64_t>(d_src[i]) << 32) |
-                          static_cast<uint32_t>(d_dst[i]);
-            dels[key]++;
+        int64_t key = pack(d_src[i], d_dst[i]);
+        if (d_op[i] == 0) {
+            fresh[key].push_back(static_cast<int64_t>(ns.size()));
+            ns.push_back(d_src[i]);
+            ndst.push_back(d_dst[i]);
+            nw.push_back(d_w ? d_w[i] : 1.0f);
+            nrem.push_back(0);
+        } else {
+            if (!existing_built) {
+                for (int64_t j = 0; j < e; j++)
+                    existing[pack(src[j], dst[j])].push_back(j);
+                existing_built = true;
+            }
+            auto it = existing.find(key);
+            if (it != existing.end() && !it->second.empty()) {
+                removed[static_cast<size_t>(it->second.front())] = 1;
+                it->second.pop_front();
+            } else {
+                auto jt = fresh.find(key);
+                if (jt != fresh.end() && !jt->second.empty()) {
+                    nrem[static_cast<size_t>(jt->second.front())] = 1;
+                    jt->second.pop_front();
+                }
+            }
         }
     }
     int64_t n = 0;
     for (int64_t i = 0; i < e; i++) {
-        int64_t key = (static_cast<int64_t>(src[i]) << 32) |
-                      static_cast<uint32_t>(dst[i]);
-        auto it = dels.find(key);
-        if (it != dels.end() && it->second != 0) {
-            continue;  // drop every matching pair (reference semantics)
-        }
+        if (removed[static_cast<size_t>(i)]) continue;
         out_src[n] = src[i];
         out_dst[n] = dst[i];
         out_w[n] = w ? w[i] : 1.0f;
         n++;
     }
-    for (int64_t i = 0; i < nd; i++) {
-        if (d_op[i] == 0) {
-            out_src[n] = d_src[i];
-            out_dst[n] = d_dst[i];
-            out_w[n] = d_w ? d_w[i] : 1.0f;
-            n++;
-        }
+    for (size_t i = 0; i < ns.size(); i++) {
+        if (nrem[i]) continue;
+        out_src[n] = ns[i];
+        out_dst[n] = ndst[i];
+        out_w[n] = nw[i];
+        n++;
     }
     return n;
 }

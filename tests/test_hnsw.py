@@ -81,6 +81,28 @@ def test_hnsw_recall_after_delete_wave(rng):
     assert not np.isin(ids[ids >= 0], dead).any()
 
 
+def test_hnsw_no_edges_to_tombstones_after_churn(rng):
+    """Delete repair scrubs every stale edge, and post-delete inserts
+    never select soft-deleted slots as neighbors (reference excludes
+    deleted nodes from insert candidates, src/hnsw_algo.c:408-410)."""
+    idx, vecs = build_index(rng, n=600, wave=128)
+    idx.delete(np.arange(0, 200))
+    idx.insert(
+        np.arange(1000, 1100),
+        rng.standard_normal((100, 24)).astype(np.float32),
+    )
+    nb = np.asarray(idx.neighbors0)
+    valid = np.asarray(idx.store.valid)
+    live = np.nonzero(valid)[0]
+    refs = nb[live]
+    stale = int(((refs >= 0) & ~valid[np.maximum(refs, 0)]).sum())
+    assert stale == 0, f"{stale} live edges point at tombstone slots"
+    # upper levels too
+    hi = np.asarray(idx.hi_neighbors)
+    stale_hi = int(((hi >= 0) & ~valid[np.maximum(hi, 0)]).sum())
+    assert stale_hi == 0, f"{stale_hi} hi-level edges point at tombstones"
+
+
 def test_hnsw_incremental_insert_keeps_recall(rng):
     dim = 24
     vecs = rng.standard_normal((600, dim)).astype(np.float32)

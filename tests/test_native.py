@@ -51,15 +51,59 @@ def test_csr_apply_delta():
     src = np.array([0, 1, 2, 1], np.int32)
     dst = np.array([1, 2, 0, 2], np.int32)
     w = np.ones(4, np.float32)
-    # delete all (1,2) pairs, insert (3,0)
+    # delete ONE (1,2) pair (the other parallel duplicate survives,
+    # graph_csr.c:219-247 removes a single match), insert (3,0)
     d_src = np.array([1, 3], np.int32)
     d_dst = np.array([2, 0], np.int32)
     d_w = np.array([0, 2.5], np.float32)
     d_op = np.array([1, 0], np.uint8)
     s, d, ww = native.csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op)
-    pairs = set(zip(s.tolist(), d.tolist()))
-    assert pairs == {(0, 1), (2, 0), (3, 0)}
+    pairs = sorted(zip(s.tolist(), d.tolist()))
+    assert pairs == [(0, 1), (1, 2), (2, 0), (3, 0)]
     assert ww[list(zip(s, d)).index((3, 0))] == 2.5
+
+
+def test_csr_apply_delta_in_order_replay():
+    """Deltas replay in order: delete-then-insert of the same edge in
+    one batch keeps the edge; insert-then-delete cancels out; a delete
+    of a never-present edge is a no-op."""
+    src = np.array([0], np.int32)
+    dst = np.array([1], np.int32)
+    w = np.array([1.0], np.float32)
+    d_src = np.array([0, 0, 5, 5, 9], np.int32)
+    d_dst = np.array([1, 1, 6, 6, 9], np.int32)
+    d_w = np.array([0.0, 7.0, 3.0, 0.0, 0.0], np.float32)
+    # delete (0,1); re-insert (0,1) w=7; insert (5,6); delete (5,6);
+    # delete (9,9) never present
+    d_op = np.array([1, 0, 0, 1, 1], np.uint8)
+    s, d, ww = native.csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op)
+    assert list(zip(s.tolist(), d.tolist())) == [(0, 1)]
+    assert ww[0] == 7.0
+
+
+def test_csr_apply_delta_fallback_matches_native(rng, monkeypatch):
+    if not native.HAVE_NATIVE and native._load() is None:
+        pytest.skip("no native lib")
+    e, nd, v = 200, 120, 12
+    src = rng.integers(0, v, e).astype(np.int32)
+    dst = rng.integers(0, v, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    d_src = rng.integers(0, v, nd).astype(np.int32)
+    d_dst = rng.integers(0, v, nd).astype(np.int32)
+    d_w = rng.random(nd).astype(np.float32)
+    d_op = rng.integers(0, 2, nd).astype(np.uint8)
+    ns, ndd, nw = native.csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op)
+
+    def no_lib():
+        return None
+
+    monkeypatch.setattr(native, "_load", no_lib)
+    ps, pd, pw = native.csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op)
+    # multiset equality is not enough: in-order single-match semantics
+    # make the surviving-edge order deterministic too
+    np.testing.assert_array_equal(ns, ps)
+    np.testing.assert_array_equal(ndd, pd)
+    np.testing.assert_allclose(nw, pw)
 
 
 @pytest.mark.parametrize(

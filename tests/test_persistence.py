@@ -78,6 +78,26 @@ def test_graph_cache_delete_edges(rng):
     assert gc.num_edges == 2
 
 
+def test_graph_cache_in_order_delta_replay(rng):
+    """Deltas replay sequentially: delete-then-re-add in one pending
+    batch keeps the edge, and one delete removes only one of two
+    parallel duplicate edges (reference graph_csr.c:219-247)."""
+    gc = GraphCache.from_edges(["a", "a"], ["b", "b"])  # duplicate edge
+    gc.remove_edges(["a"], ["b"])
+    assert gc.graph() is not None
+    assert gc.num_edges == 1  # one duplicate survives
+
+    gc.remove_edges(["a"], ["b"])
+    gc.add_edges(["a"], ["b"])
+    gc.graph()
+    assert gc.num_edges == 1  # delete-then-re-add keeps the edge
+
+    gc.add_edges(["x"], ["y"])
+    gc.remove_edges(["x"], ["y"])
+    gc.graph()
+    assert gc.num_edges == 1  # same-batch insert+delete cancels
+
+
 def test_graph_cache_degrees(rng):
     gc = GraphCache.from_edges(
         ["a", "a", "b"], ["b", "c", "c"], weights=[2.0, 3.0, 4.0]
