@@ -243,6 +243,11 @@ def closeness(
     that edges point *toward* the measured node (reverse direction) for
     the standard definition on directed graphs."""
     n = num_nodes
+    # bound the source batch exactly like betweenness: the Bellman-Ford
+    # relax step materializes [S, E] f32 temporaries, so an unbounded
+    # batch at 10M edges (~10 GB/array) crashes the TPU worker
+    per_source_bytes = max(len(src), n) * 4 * 6
+    batch = max(1, min(batch, (2 << 30) // per_source_bytes))
     sj, dj, wj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
     out = np.zeros(n, np.float32)
     for i in range(0, n, batch):

@@ -24,11 +24,11 @@ with MN-RU pruning and patience early termination) for TPU:
   (``select_neighbors_heuristic``, ``src/hnsw_algo.c:497-516`` is simple
   closest-M), intra-wave candidate merge (a W x W matmul), forward wiring
   by scatter, reverse wiring by sort-by-target + bounded append, then
-  distance-based pruning of over-full rows back to M_max
-  (``src/hnsw_algo.c:593-646``; the reference's MN-RU mutual-neighbor
-  tiebreak only affects exact-distance ties and is not yet applied —
-  see PARITY.md). Bulk builds skip all of this and construct the exact
-  kNN graph directly.
+  pruning over-full rows back to M_max by (distance asc,
+  mutual-neighbor-count desc) — the MN-RU rule
+  (``src/hnsw_algo.c:593-646``, arXiv:2407.07871), with the pairwise
+  set intersections batched as per-row sorted-membership counts. Bulk
+  builds skip all of this and construct the exact kNN graph directly.
 - Delete: soft-delete + batched neighbor repair in the spirit of the
   reference's IP-DiskANN-style reconnection (``src/hnsw_algo.c:706-787``):
   survivors that lose edges to a deleted node get candidates from the
@@ -322,6 +322,7 @@ class HnswIndex:
         seed: int = 42,
         expand: int = 4,
         wave_size: int = 1024,
+        mn_ru: bool = True,
     ):
         if m < 2:
             raise ValueError("m must be >= 2")
@@ -332,6 +333,9 @@ class HnswIndex:
         self.ef_construction = int(ef_construction)
         self.expand = int(expand)
         self.wave_size = int(wave_size)
+        # MN-RU tiebreak in incremental prunes (arXiv:2407.07871); the
+        # bulk path builds the exact kNN graph so ties don't arise there
+        self.mn_ru = bool(mn_ru)
         self._rng = np.random.default_rng(seed)  # level sampling, seeded
         # the reference's seeded xorshift32 (src/hnsw_algo.c:222-224)
         self.level_mult = 1.0 / np.log(m)
@@ -810,7 +814,8 @@ class HnswIndex:
         aff_j = jnp.where(tgt >= 0, tgt, tgt_s[0])  # any valid row as filler
         aff_j = jnp.maximum(aff_j, 0)
         self.neighbors0, self.dists0 = _prune_rows(
-            self.neighbors0, self.dists0, append_i, append_d, aff_j, self.m0
+            self.neighbors0, self.dists0, append_i, append_d, aff_j, self.m0,
+            mn_tiebreak=self.mn_ru,
         )
 
     # ── delete ──
@@ -1083,19 +1088,63 @@ def _hi_reverse_wire(
     return hi_neighbors.at[ho_aff, lvl_c].set(safe_rows)
 
 
-@partial(jax.jit, static_argnames=("m_max",), donate_argnums=(0, 1))
-def _prune_rows(neighbors0, dists0, append_i, append_d, aff, m_max):
+@partial(
+    jax.jit, static_argnames=("m_max", "mn_tiebreak"), donate_argnums=(0, 1)
+)
+def _prune_rows(neighbors0, dists0, append_i, append_d, aff, m_max,
+                mn_tiebreak: bool = False):
     """Merge appended reverse edges into affected rows and keep the
-    closest M_max (distance-ascending prune; reference adds
-    mutual-neighbor-count as a tiebreak, src/hnsw_algo.c:593-646)."""
+    closest M_max.
+
+    With ``mn_tiebreak`` the prune is the MN-RU rule
+    (src/hnsw_algo.c:593-646, arXiv:2407.07871): primary key distance
+    ascending, secondary key mutual-neighbor count *descending* — among
+    equidistant candidates, the ones sharing more neighbors with the
+    row's candidate list are structurally redundant links worth keeping.
+    The reference's O(nc^2 * M) pairwise set intersections become one
+    per-row sorted-membership pass: mn[a, c] = |N(c) ∩ candlist(a)|
+    via binary search of each candidate's neighbor row against the
+    sorted candidate list (count_mutual_neighbors, :460-475).
+    """
     rows_i = neighbors0[aff]                     # [A, m_max]
     rows_d = dists0[aff]
     app_i = append_i[aff]
     app_d = append_d[aff]
     cat_i = jnp.concatenate([rows_i, app_i], axis=1)
     cat_d = jnp.concatenate([rows_d, app_d], axis=1)
-    # self-loops shouldn't exist; dedup + sort + truncate
-    new_d, new_i = sorted_topk_unique(cat_d, cat_i, m_max)
+    if not mn_tiebreak:
+        # self-loops shouldn't exist; dedup + sort + truncate
+        new_d, new_i = sorted_topk_unique(cat_d, cat_i, m_max)
+    else:
+        a, c = cat_i.shape
+        cand_rows = neighbors0[jnp.maximum(cat_i, 0)]        # [A, C, m0]
+        m0 = cand_rows.shape[-1]
+        big = jnp.int32(2**31 - 1)
+        sorted_cand = jnp.sort(jnp.where(cat_i >= 0, cat_i, big), axis=1)
+        q = cand_rows.reshape(a, c * m0)
+        pos = jax.vmap(jnp.searchsorted)(sorted_cand, q)     # [A, C*m0]
+        hit = (
+            jnp.take_along_axis(sorted_cand, jnp.minimum(pos, c - 1), axis=1)
+            == q
+        ) & (q >= 0)
+        mn = hit.reshape(a, c, m0).sum(axis=2).astype(jnp.int32)
+        mn = jnp.where(cat_i >= 0, mn, -1)
+        # id-dedup with the mn payload carried through the sort
+        order = jnp.lexsort((cat_d, cat_i), axis=-1)
+        sd = jnp.take_along_axis(cat_d, order, axis=-1)
+        si = jnp.take_along_axis(cat_i, order, axis=-1)
+        smn = jnp.take_along_axis(mn, order, axis=-1)
+        prev = jnp.concatenate(
+            [jnp.full_like(si[:, :1], -2), si[:, :-1]], axis=-1
+        )
+        dup = (si == prev) & (si >= 0)
+        sd = jnp.where(dup, jnp.inf, sd)
+        si = jnp.where(dup, -1, si)
+        smn = jnp.where(dup, -1, smn)
+        # final order: (distance asc, mutual-neighbor count desc)
+        order2 = jnp.lexsort((-smn, sd), axis=-1)
+        new_d = jnp.take_along_axis(sd, order2, axis=-1)[:, :m_max]
+        new_i = jnp.take_along_axis(si, order2, axis=-1)[:, :m_max]
     new_d = jnp.where(new_i >= 0, new_d, jnp.inf)
     neighbors0 = neighbors0.at[aff].set(new_i)
     dists0 = dists0.at[aff].set(new_d)

@@ -103,6 +103,48 @@ def test_hnsw_no_edges_to_tombstones_after_churn(rng):
     assert stale_hi == 0, f"{stale_hi} hi-level edges point at tombstones"
 
 
+def test_prune_rows_mn_ru_tiebreak():
+    """Among exactly equidistant candidates, MN-RU keeps the one
+    sharing more neighbors with the candidate list
+    (src/hnsw_algo.c:593-646)."""
+    import jax.numpy as jnp
+    from muninn_tpu.index.hnsw import _prune_rows
+
+    cap, m_max = 8, 2
+    # row 0's candidates after append: ids 1,2 (current) + 3,4 (appended),
+    # all at distance 1.0 except id 1 at 0.5 -> one slot left for a tie
+    # among {2, 3, 4}. Neighbor rows: node 3 shares two candidates
+    # (1, 2); nodes 2 and 4 share none.
+    neighbors0 = jnp.full((cap, m_max), -1, jnp.int32)
+    dists0 = jnp.full((cap, m_max), jnp.inf, jnp.float32)
+    neighbors0 = neighbors0.at[0].set(jnp.array([1, 2], jnp.int32))
+    dists0 = dists0.at[0].set(jnp.array([0.5, 1.0], jnp.float32))
+    neighbors0 = neighbors0.at[3].set(jnp.array([1, 2], jnp.int32))
+    neighbors0 = neighbors0.at[2].set(jnp.array([6, 7], jnp.int32))
+    neighbors0 = neighbors0.at[4].set(jnp.array([6, 7], jnp.int32))
+    append_i = jnp.full((cap, m_max), -1, jnp.int32)
+    append_d = jnp.full((cap, m_max), jnp.inf, jnp.float32)
+    append_i = append_i.at[0].set(jnp.array([3, 4], jnp.int32))
+    append_d = append_d.at[0].set(jnp.array([1.0, 1.0], jnp.float32))
+    aff = jnp.array([0], jnp.int32)
+    # _prune_rows donates its first two args; keep copies for call #2
+    nb_copy = jnp.array(neighbors0)
+    dd_copy = jnp.array(dists0)
+
+    nb, dd = _prune_rows(
+        neighbors0, dists0, append_i, append_d, aff, m_max, mn_tiebreak=True
+    )
+    row = np.asarray(nb[0])
+    assert row[0] == 1                      # closest always first
+    assert row[1] == 3, row                 # MN-RU picks the mutual-rich tie
+
+    # distance-only prune must still respect the primary key
+    nb2, _ = _prune_rows(
+        nb_copy, dd_copy, append_i, append_d, aff, m_max, mn_tiebreak=False,
+    )
+    assert np.asarray(nb2[0])[0] == 1
+
+
 def test_hnsw_incremental_insert_keeps_recall(rng):
     dim = 24
     vecs = rng.standard_normal((600, dim)).astype(np.float32)
