@@ -353,6 +353,7 @@ class HnswIndex:
             (hi_cap, self.hi_levels_width, self.m), -1, jnp.int32
         )
         self._hi_count = 0
+        self._hi_pending: list[tuple[np.ndarray, np.ndarray]] = []
         self.entry_point = -1   # slot, not external id
         self.max_level = -1
         self.route_entries = 8  # beam seeds from the exact router
@@ -616,83 +617,104 @@ class HnswIndex:
                 print(f"    bulk {b}: {tb - ta:.1f}s", file=_sys.stderr, flush=True)
 
     def _insert_wave(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        """One insertion wave = ONE fused jitted dispatch.
+
+        Every separate dispatch through this environment's TPU tunnel
+        costs ~0.2-0.4 s, so search + tombstone masking + intra-wave
+        merge + selection + forward/reverse wiring + MN-RU prune all
+        live in ``_insert_wave_fused``; only id bookkeeping, level
+        sampling, and promotion queueing stay on host. Upper-level
+        wiring is deferred (``_flush_hi_wiring``): production search
+        routes via the exact promoted pool, so the hi tables are only
+        needed lazily (checkpoint / greedy-descent fallback), and
+        deferral batches many waves into one exact wiring pass.
+        """
         w = len(ids)
-        qv = jnp.asarray(vecs)
         first = self.entry_point < 0
         ef = max(self.ef_construction, self.m0 + 1)
+        r = min(self.route_entries, ef)
+        bucket = 1 << int(np.ceil(np.log2(max(w, 64))))
 
-        # 1. search the *existing* graph (before this wave becomes
-        # visible) for level-0 candidates at ef_construction
-        if not first:
-            beam_d, beam_i = self._search_slots_chunked(qv, ef)
-            # beams route *through* soft-deleted nodes but must never
-            # select them as neighbors: the reference excludes deleted
-            # nodes from insert candidates (src/hnsw_algo.c:408-410).
-            # Without this, post-delete inserts wire edges to cleared
-            # tombstone rows, permanently wasting neighbor slots.
-            ok = (beam_i >= 0) & self.store.valid[jnp.maximum(beam_i, 0)]
-            beam_d = jnp.where(ok, beam_d, jnp.inf)
-            beam_i = jnp.where(ok, beam_i, -1)
-        else:
-            beam_d = jnp.full((w, ef), jnp.inf)
-            beam_i = jnp.full((w, ef), -1, jnp.int32)
+        # routing pool of the PRE-wave graph (this wave's promotions
+        # only become routable next wave, matching search-before-insert)
+        pool = None if first else self._routing_pool()
+        if pool is None:
+            p = np.full(64, -1, np.int32)
+            if not first:
+                p[0] = self.entry_point
+            pool = jnp.asarray(p)
 
-        slots = self.store.add(ids, vecs)
+        slots = self.store.register(ids, reserve_extra=bucket - w)
         self._sync_capacity()
         levels = self._sample_levels(w)
         self.levels[slots] = levels
 
-        if first:
-            self.entry_point = int(slots[0])
-            self.max_level = int(levels[0])
-
-        # promote nodes with level >= 1 into the hi table
+        # queue promotions; device hi tables are wired lazily in batch
         promoted = np.nonzero(levels >= 1)[0]
         if len(promoted):
-            hi_rows = np.arange(self._hi_count, self._hi_count + len(promoted), dtype=np.int32)
+            hi_rows = np.arange(
+                self._hi_count, self._hi_count + len(promoted), dtype=np.int32
+            )
             self._hi_count += len(promoted)
-            if self._hi_count > self.hi_neighbors.shape[0]:
-                grow = self._hi_count * 2 - self.hi_neighbors.shape[0]
-                self.hi_neighbors = jnp.pad(
-                    self.hi_neighbors, ((0, grow), (0, 0), (0, 0)), constant_values=-1
-                )
-            self.hi_index = self.hi_index.at[slots[promoted]].set(jnp.asarray(hi_rows))
             self._hi_index_np[slots[promoted]] = hi_rows
+            self._hi_pending.append(
+                (slots[promoted].astype(np.int32), levels[promoted].astype(np.int32))
+            )
             self._pool_dirty = True
 
-        # 2. intra-wave candidates: W x W distances so wave members can
-        # link to each other (the sequential reference gets this for free)
-        intra = pairwise_distances(qv, qv, self.metric)
-        eye = jnp.eye(w, dtype=bool)
-        intra = jnp.where(eye, jnp.inf, intra)
-        kk = min(self.m0, max(w - 1, 1))
-        id_, ii = masked_topk(intra, kk, ids=jnp.asarray(slots)[None, :].repeat(w, 0))
-        beam_d, beam_i = merge_topk(beam_d, beam_i, id_, ii)
+        # pad the wave to its pow2 bucket (one compiled shape per bucket)
+        if isinstance(vecs, jax.Array):
+            qv = vecs if w == bucket else jnp.pad(vecs, ((0, bucket - w), (0, 0)))
+        else:
+            qp = np.zeros((bucket, self.dim), np.float32)
+            qp[:w] = vecs
+            qv = jnp.asarray(qp)
 
-        # 3. select M_max0 closest as level-0 neighbors (closest-M
-        # heuristic, src/hnsw_algo.c:497-516)
-        sel_d, sel_i = sorted_topk_unique(beam_d, beam_i, self.m0)
+        (
+            self.store.vectors,
+            self.store.valid,
+            self.neighbors0,
+            self.dists0,
+        ) = _insert_wave_fused(
+            self.store.vectors, self.store.valid,
+            self.neighbors0, self.dists0,
+            pool, qv, np.int32(slots[0]), np.int32(w),
+            metric=self.metric, ef=ef, expand=self.expand,
+            r=r, m0=self.m0, mn=self.mn_ru,
+        )
 
-        # 4. forward wiring
-        self.neighbors0 = self.neighbors0.at[slots].set(sel_i)
-        self.dists0 = self.dists0.at[slots].set(jnp.where(sel_i >= 0, sel_d, jnp.inf))
-
-        # upper-level wiring for promoted nodes: exact closest-M among
-        # *all* nodes of that level — the level populations shrink
-        # geometrically (P(level>=l) = M^-l), so one MXU matmul per wave
-        # wires them exactly, which the reference can only approximate
-        # with per-level beam searches (src/hnsw_algo.c:572-576)
-        if len(promoted):
-            self._wire_upper_levels(slots, levels, promoted)
-
-        # 5. reverse wiring + prune
-        self._reverse_wire(jnp.asarray(slots), sel_i, sel_d)
-
-        # 6. entry point update: highest level wins (src/hnsw_algo.c:660-663)
+        # entry point update: highest level wins (src/hnsw_algo.c:660-663)
         top = int(np.argmax(levels))
-        if int(levels[top]) > self.max_level:
+        if first or int(levels[top]) > self.max_level:
             self.max_level = int(levels[top])
             self.entry_point = int(slots[top])
+
+    def _flush_hi_wiring(self) -> None:
+        """Wire all queued promotions into the upper-level tables in one
+        batched exact pass. Deferral is semantically clean because upper
+        levels are wired *exactly* over the full level pool — the result
+        is the same (or better-connected) graph wherever the flush
+        lands. Called lazily: before checkpointing, and by any consumer
+        of ``hi_neighbors``/``hi_index`` (the greedy-descent fallback).
+        """
+        if not self._hi_pending:
+            return
+        slots = np.concatenate([s for s, _ in self._hi_pending])
+        levels = np.concatenate([l for _, l in self._hi_pending])
+        self._hi_pending = []
+        alive = self.levels[slots] >= 1  # drop nodes deleted since queuing
+        slots, levels = slots[alive], levels[alive]
+        if len(slots) == 0:
+            return
+        if self._hi_count > self.hi_neighbors.shape[0]:
+            grow = self._hi_count * 2 - self.hi_neighbors.shape[0]
+            self.hi_neighbors = jnp.pad(
+                self.hi_neighbors, ((0, grow), (0, 0), (0, 0)),
+                constant_values=-1,
+            )
+        rows = self._hi_index_np[slots]
+        self.hi_index = self.hi_index.at[jnp.asarray(slots)].set(jnp.asarray(rows))
+        self._wire_upper_levels(slots, levels, np.arange(len(slots)))
 
     def _wire_upper_levels(self, slots, levels, promoted) -> None:
         """Wire this wave's promoted nodes at every level 1..their
@@ -760,72 +782,20 @@ class HnswIndex:
                     lv_row, self.m, self.metric,
                 )
 
-    def _host_dist(self, a: np.ndarray, b: np.ndarray) -> float:
-        if self.metric is Metric.L2:
-            d = a - b
-            return float(d @ d)
-        if self.metric is Metric.INNER_PRODUCT:
-            return float(-(a @ b))
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        if na * nb < 1e-30:
-            return 1.0
-        return float(1.0 - (a @ b) / (na * nb))
-
-    def _reverse_wire(self, new_slots: jax.Array, sel_i: jax.Array, sel_d: jax.Array) -> None:
-        """Append reverse edges new->nbr into nbr rows, then prune
-        over-full rows to M_max0 by (distance asc, mutual-neighbor-count
-        desc) — the MN-RU rule (src/hnsw_algo.c:593-646)."""
-        w, m0 = sel_i.shape
-        tgt = sel_i.reshape(-1)                       # [W*m0] target slots
-        src = jnp.repeat(new_slots, m0)               # [W*m0] new slots
-        dd = sel_d.reshape(-1)
-        valid = tgt >= 0
-
-        # group edges by target via sort; bounded appends per target
-        order = jnp.argsort(jnp.where(valid, tgt, jnp.int32(2**31 - 1)))
-        tgt_s = tgt[order]
-        src_s = src[order]
-        dd_s = dd[order]
-        valid_s = valid[order]
-        # position within group
-        idx = jnp.arange(tgt_s.shape[0])
-        first_of_group = jnp.searchsorted(tgt_s, tgt_s, side="left")
-        pos = idx - first_of_group
-        a_max = self.m0  # appends beyond M_max0 can't all survive pruning anyway
-        keep = valid_s & (pos < a_max)
-
-        cap = self.neighbors0.shape[0]
-        # flat 1D scatter (batched 2D scatters are pathologically slow on
-        # TPU); dropped entries get an out-of-bounds index
-        flat_idx = jnp.where(
-            keep, tgt_s * a_max + jnp.minimum(pos, a_max - 1), cap * a_max
-        )
-        append_i = jnp.full((cap * a_max,), -1, jnp.int32).at[flat_idx].set(
-            src_s, mode="drop"
-        ).reshape(cap, a_max)
-        append_d = jnp.full((cap * a_max,), jnp.inf, jnp.float32).at[flat_idx].set(
-            dd_s, mode="drop"
-        ).reshape(cap, a_max)
-
-        # affected rows: all targets, duplicates included — the prune is
-        # a deterministic function of pre-update row content, so
-        # duplicate writes are idempotent and no host-side unique/sync
-        # is needed
-        aff_j = jnp.where(tgt >= 0, tgt, tgt_s[0])  # any valid row as filler
-        aff_j = jnp.maximum(aff_j, 0)
-        self.neighbors0, self.dists0 = _prune_rows(
-            self.neighbors0, self.dists0, append_i, append_d, aff_j, self.m0,
-            mn_tiebreak=self.mn_ru,
-        )
-
     # ── delete ──
 
     def delete(self, ids) -> None:
-        """Soft-delete + batched neighbor repair.
+        """Soft-delete + batched neighbor repair in THREE fused
+        dispatches + one host sync per wave.
 
         Reference behavior (``hnsw_delete``, src/hnsw_algo.c:706-802):
         soft-delete flag, reconnect orphaned neighbors among the deleted
-        node's former neighborhood, re-scan entry point if deleted.
+        node's former neighborhood, re-scan entry point if deleted. Here
+        the repair covers ALL survivors whose rows reference a deleted
+        node (a device scan of the whole neighbor table — scanning only
+        the deleted nodes' former neighborhoods misses asymmetric edges
+        X->D whose reverse was pruned away), with repair candidates
+        drawn from the union of former neighborhoods.
         """
         ids = np.asarray(ids, np.int64).reshape(-1)
         if len(ids) == 0:
@@ -836,124 +806,62 @@ class HnswIndex:
             for s in range(0, len(ids), self.wave_size):
                 self.delete(ids[s : s + self.wave_size])
             return
-        slots = self.store.remove(ids)
-        slots_j = jnp.asarray(slots)
-
-        # former neighborhoods of the deleted nodes
-        former = self.neighbors0[slots_j]            # [D, m0]
-        # survivors among former neighbors get repair candidates =
-        # (deleted's former neighbors) minus deleted nodes
-        self._repair_after_delete(slots_j, former)
-
-        # clear deleted rows
-        self.neighbors0 = self.neighbors0.at[slots_j].set(-1)
-        self.dists0 = self.dists0.at[slots_j].set(jnp.inf)
-        for s in slots:
-            self.levels[s] = -1
-        # drop from hi tables
-        hi_rows = self.hi_index[slots_j]
-        live_rows = hi_rows[hi_rows >= 0]
-        if live_rows.shape[0]:
-            self.hi_neighbors = self.hi_neighbors.at[live_rows].set(-1)
-        self.hi_index = self.hi_index.at[slots_j].set(-1)
+        slots = self.store.unregister(ids)
+        self.levels[slots] = -1
         self._hi_index_np[slots] = -1
+        if self._hi_pending:  # unwired promotions of deleted nodes die here
+            self._hi_pending = [
+                (sl[~np.isin(sl, slots)], lv[~np.isin(sl, slots)])
+                for sl, lv in self._hi_pending
+            ]
         self._pool_dirty = True
+
+        # dispatch 1: mark invalid + gather former rows + find survivors
+        # referencing a deleted slot; one D2H sync brings the (small)
+        # former table and the affected bitmap back for bucketing
+        dpad = (1 << int(np.ceil(np.log2(max(len(slots), 64))))) - len(slots)
+        slots_b = np.pad(slots, (0, dpad), mode="edge")  # dup scatters idempotent
+        slots_j = jnp.asarray(slots_b)
+        self.store.valid, dmask, former, refs_dead = _delete_mark(
+            self.store.valid, self.neighbors0, slots_j
+        )
+        former_np = np.asarray(former)
+        aff = np.nonzero(np.asarray(refs_dead))[0].astype(np.int32)
+        aff = aff[~np.isin(aff, slots)]
+
+        # dispatch 2 (per affected-row bucket): drop dead edges + refill
+        # from the former-neighborhood pool via the streaming flat kernel
+        pool = np.unique(former_np)
+        pool = pool[pool >= 0]
+        pool = pool[~np.isin(pool, slots)]
+        if len(aff) and len(pool):
+            p_pad = (1 << int(np.ceil(np.log2(max(len(pool), 64))))) - len(pool)
+            pool_b = np.pad(pool.astype(np.int32), (0, p_pad), constant_values=-1)
+            pool_j = jnp.asarray(pool_b)
+            kk = min(self.m0 + 1, len(pool_b))
+            interp = jax.default_backend() != "tpu"
+            qb = min(4096, 1 << int(np.ceil(np.log2(max(len(aff), 64)))))
+            a_pad = (-len(aff)) % qb
+            aff_b = np.pad(aff, (0, a_pad), mode="edge")
+            for s0 in range(0, len(aff_b), qb):
+                self.neighbors0, self.dists0 = _delete_repair_rows(
+                    self.neighbors0, self.dists0, self.store.vectors,
+                    jnp.asarray(aff_b[s0 : s0 + qb]), pool_j, dmask,
+                    metric=self.metric, kk=kk, interp=interp,
+                )
+
+        # dispatch 3: clear deleted rows + scrub hi tables
+        (
+            self.neighbors0, self.dists0,
+            self.hi_neighbors, self.hi_index,
+        ) = _delete_finalize(
+            self.neighbors0, self.dists0,
+            self.hi_neighbors, self.hi_index, slots_j, dmask,
+        )
 
         # entry point re-scan (src/hnsw_algo.c:790-802)
         if self.entry_point in set(int(s) for s in slots):
             self._rescan_entry_point()
-
-    def _repair_after_delete(self, dslots: jax.Array, former: jax.Array) -> None:
-        """Remove edges pointing at deleted nodes; orphans (degree < M/2,
-        src/hnsw_algo.c:706-787) among former neighbors get candidate
-        edges from the rest of the former neighborhood."""
-        deleted_mask = jnp.zeros((self.neighbors0.shape[0],), bool).at[dslots].set(True)
-
-        # ALL survivors whose rows reference a deleted node — one device
-        # scan of the neighbor table. (Scanning only the deleted nodes'
-        # former neighborhoods misses asymmetric edges X->D whose
-        # reverse D->X was pruned away, leaving dead-end stale edges.)
-        refs_dead = jnp.any(
-            (self.neighbors0 >= 0)
-            & deleted_mask[jnp.maximum(self.neighbors0, 0)],
-            axis=1,
-        )
-        aff = np.nonzero(np.asarray(refs_dead))[0].astype(np.int32)
-        aff = aff[~np.isin(aff, np.asarray(dslots))]
-        if len(aff) == 0:
-            return
-        aff_j = jnp.asarray(aff.astype(np.int32))
-        rows_i = self.neighbors0[aff_j]
-        rows_d = self.dists0[aff_j]
-        dead = (rows_i >= 0) & deleted_mask[jnp.maximum(rows_i, 0)]
-        rows_i = jnp.where(dead, -1, rows_i)
-        rows_d = jnp.where(dead, jnp.inf, rows_d)
-
-        # candidate pool per affected node: union of former neighborhoods
-        # of the deleted nodes it pointed to — approximate with the full
-        # union across the delete wave (waves are small)
-        pool = np.unique(np.asarray(former))
-        pool = pool[pool >= 0]
-        pool = pool[~np.isin(pool, np.asarray(dslots))]
-        if len(pool):
-            # streaming repair: affected-row chunks against the pool via
-            # the flat kernel — an [A, P] distance matrix at a 10k-wave
-            # delete would be hundreds of GB
-            from muninn_tpu.ops.pallas_flat import flat_topk
-
-            # pad the pool to a power-of-two bucket: every delete wave
-            # has a different pool size, and unbucketed shapes would
-            # recompile the repair kernel each wave
-            p_pad = (1 << int(np.ceil(np.log2(max(len(pool), 64))))) - len(pool)
-            pool_b = np.pad(pool.astype(np.int32), (0, p_pad), constant_values=-1)
-            pool_j = jnp.asarray(pool_b)
-            pool_valid = jnp.asarray(pool_b >= 0)
-            pv = self.store.vectors[jnp.maximum(pool_j, 0)]   # [P_pad, d]
-            kk = min(self.m0 + 1, len(pool))
-            interp = jax.default_backend() != "tpu"
-            # bucket the affected-row chunks as well (sizes vary per wave)
-            qb = min(4096, 1 << int(np.ceil(np.log2(max(len(aff), 64)))))
-            a_pad = (-len(aff)) % qb
-            if a_pad:
-                aff_j = jnp.concatenate(
-                    [aff_j, jnp.full((a_pad,), int(aff[0]), jnp.int32)]
-                )
-                rows_i = jnp.concatenate([rows_i, jnp.repeat(rows_i[:1], a_pad, 0)])
-                rows_d = jnp.concatenate([rows_d, jnp.repeat(rows_d[:1], a_pad, 0)])
-            new_d_parts, new_i_parts = [], []
-            for s0 in range(0, len(aff) + a_pad, qb):
-                chunk = aff_j[s0 : s0 + qb]
-                av = self.store.vectors[chunk]
-                cd, ci = flat_topk(
-                    av, pv, kk, metric=self.metric,
-                    corpus_valid=pool_valid, interpret=interp,
-                )
-                cand = pool_j[jnp.maximum(ci, 0)]
-                cand = jnp.where(ci >= 0, cand, -1)
-                # drop self-matches (affected rows may be pool members)
-                self_m = cand == chunk[:, None]
-                cd = jnp.where(self_m, jnp.inf, cd)
-                cand = jnp.where(self_m, -1, cand)
-                # the reference reconnects only orphans (degree < M/2,
-                # src/hnsw_algo.c:706-787); with wave deletes we refill
-                # every affected row — closest-first merge
-                rd, ri = merge_topk(
-                    rows_d[s0 : s0 + qb], rows_i[s0 : s0 + qb], cd, cand
-                )
-                new_d_parts.append(rd)
-                new_i_parts.append(ri)
-            rows_d = jnp.concatenate(new_d_parts)
-            rows_i = jnp.concatenate(new_i_parts)
-
-        self.neighbors0 = self.neighbors0.at[aff_j].set(rows_i)
-        self.dists0 = self.dists0.at[aff_j].set(rows_d)
-
-        # scrub deleted slots from surviving upper-level rows so routing
-        # never lands on a tombstone — on device (a host round trip of
-        # the hi table costs ~seconds per wave through slow links)
-        hi = self.hi_neighbors
-        dead_hi = (hi >= 0) & deleted_mask[jnp.maximum(hi, 0)]
-        self.hi_neighbors = jnp.where(dead_hi, -1, hi)
 
     def _rescan_entry_point(self) -> None:
         valid = np.asarray(self.store.valid)
@@ -1088,11 +996,8 @@ def _hi_reverse_wire(
     return hi_neighbors.at[ho_aff, lvl_c].set(safe_rows)
 
 
-@partial(
-    jax.jit, static_argnames=("m_max", "mn_tiebreak"), donate_argnums=(0, 1)
-)
-def _prune_rows(neighbors0, dists0, append_i, append_d, aff, m_max,
-                mn_tiebreak: bool = False):
+def _prune_rows_impl(neighbors0, dists0, append_i, append_d, aff, m_max,
+                     mn_tiebreak: bool = False):
     """Merge appended reverse edges into affected rows and keep the
     closest M_max.
 
@@ -1118,16 +1023,16 @@ def _prune_rows(neighbors0, dists0, append_i, append_d, aff, m_max,
     else:
         a, c = cat_i.shape
         cand_rows = neighbors0[jnp.maximum(cat_i, 0)]        # [A, C, m0]
-        m0 = cand_rows.shape[-1]
-        big = jnp.int32(2**31 - 1)
-        sorted_cand = jnp.sort(jnp.where(cat_i >= 0, cat_i, big), axis=1)
-        q = cand_rows.reshape(a, c * m0)
-        pos = jax.vmap(jnp.searchsorted)(sorted_cand, q)     # [A, C*m0]
-        hit = (
-            jnp.take_along_axis(sorted_cand, jnp.minimum(pos, c - 1), axis=1)
-            == q
-        ) & (q >= 0)
-        mn = hit.reshape(a, c, m0).sum(axis=2).astype(jnp.int32)
+        # membership of each candidate's neighbors in the row's own
+        # candidate list, as a broadcast compare reduced on the fly —
+        # XLA fuses the virtual [A, C, m0, C] compare into the
+        # reduction (a vmapped searchsorted here lowered to serial
+        # gather loops and cost ~50x the rest of the prune)
+        row_ok = (cat_i >= 0)[:, None, None, :]              # [A, 1, 1, C]
+        member = (
+            cand_rows[:, :, :, None] == cat_i[:, None, None, :]
+        ) & row_ok & (cand_rows >= 0)[:, :, :, None]
+        mn = member.any(-1).sum(-1).astype(jnp.int32)        # [A, C]
         mn = jnp.where(cat_i >= 0, mn, -1)
         # id-dedup with the mn payload carried through the sort
         order = jnp.lexsort((cat_d, cat_i), axis=-1)
@@ -1149,3 +1054,197 @@ def _prune_rows(neighbors0, dists0, append_i, append_d, aff, m_max,
     neighbors0 = neighbors0.at[aff].set(new_i)
     dists0 = dists0.at[aff].set(new_d)
     return neighbors0, dists0
+
+
+_prune_rows = partial(
+    jax.jit, static_argnames=("m_max", "mn_tiebreak"), donate_argnums=(0, 1)
+)(_prune_rows_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "ef", "expand", "r", "m0", "mn"),
+    donate_argnums=(0, 1, 2, 3),
+)
+def _insert_wave_fused(
+    vectors: jax.Array,      # [cap, d]   pre-wave vectors (donated)
+    valid: jax.Array,        # [cap]      pre-wave validity (donated)
+    neighbors0: jax.Array,   # [cap, m0]  (donated)
+    dists0: jax.Array,       # [cap, m0]  (donated)
+    pool: jax.Array,         # [Mp]       pre-wave promoted slots, -1 pad
+    qv: jax.Array,           # [W, d]     new vectors, zero-padded to W
+    base: jax.Array,         # scalar     first assigned slot
+    n_new: jax.Array,        # scalar     live rows in the wave
+    *,
+    metric: Metric,
+    ef: int,
+    expand: int,
+    r: int,
+    m0: int,
+    mn: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One full insertion wave as a single XLA program: write vectors,
+    route + beam-search the pre-wave graph at ef_construction, mask
+    soft-deleted candidates, merge intra-wave candidates, select the
+    closest M_max0, forward-wire, reverse-wire with bounded appends, and
+    MN-RU-prune over-full rows (the batched analogue of
+    src/hnsw_algo.c:520-663, fused because each separate dispatch costs
+    ~0.2-0.4 s through this environment's TPU tunnel)."""
+    cap, d = vectors.shape
+    w = qv.shape[0]
+    pos = jnp.arange(w, dtype=jnp.int32)
+    live = pos < n_new
+    slots = base + pos
+
+    # 0. write the wave (slots are a fresh contiguous block — the new
+    # rows are unwired and absent from the routing pool, so the search
+    # below still sees exactly the pre-wave graph)
+    vectors = jax.lax.dynamic_update_slice(vectors, qv, (base, 0))
+    valid = jax.lax.dynamic_update_slice(valid, live, (base,))
+
+    # 1. search at ef_construction
+    entries = _route_entries(qv, vectors, pool, metric, r)
+    beam_d, beam_i = _beam_search_level0(
+        qv, entries, vectors, neighbors0, metric, ef, expand
+    )
+    # beams route *through* soft-deleted nodes but must never select
+    # them as neighbors (src/hnsw_algo.c:408-410); wave rows cannot
+    # appear in beams, so the post-write validity mask is equivalent to
+    # the pre-wave one here
+    ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
+    beam_d = jnp.where(ok, beam_d, jnp.inf)
+    beam_i = jnp.where(ok, beam_i, -1)
+
+    # 2. intra-wave candidates: W x W distances so wave members can link
+    # to each other (the sequential reference gets this for free)
+    intra = pairwise_distances(qv, qv, metric)
+    imask = live[None, :] & live[:, None] & ~jnp.eye(w, dtype=bool)
+    kk = min(m0, max(w - 1, 1))
+    id_, ii = masked_topk(
+        intra, kk, mask=imask,
+        ids=jnp.broadcast_to(slots[None, :], (w, w)),
+    )
+    beam_d, beam_i = merge_topk(beam_d, beam_i, id_, ii)
+
+    # 3. closest-M_max0 selection (src/hnsw_algo.c:497-516)
+    sel_d, sel_i = sorted_topk_unique(beam_d, beam_i, m0)
+    sel_i = jnp.where(live[:, None], sel_i, -1)
+    sel_d = jnp.where(sel_i >= 0, sel_d, jnp.inf)
+
+    # 4. forward wiring (padding rows scatter-dropped)
+    row_idx = jnp.where(live, slots, cap)
+    neighbors0 = neighbors0.at[row_idx].set(sel_i, mode="drop")
+    dists0 = dists0.at[row_idx].set(sel_d, mode="drop")
+
+    # 5. reverse wiring: group new->nbr edges by target via sort,
+    # bounded appends via flat 1D scatter (batched 2D scatters are
+    # pathologically slow on TPU), then prune affected rows
+    tgt = sel_i.reshape(-1)
+    srcr = jnp.repeat(slots, m0)
+    ddr = sel_d.reshape(-1)
+    valid_e = tgt >= 0
+    order = jnp.argsort(jnp.where(valid_e, tgt, jnp.int32(2**31 - 1)))
+    tgt_s = tgt[order]
+    src_s = srcr[order]
+    dd_s = ddr[order]
+    valid_s = valid_e[order]
+    first_of = jnp.searchsorted(tgt_s, tgt_s, side="left")
+    p = jnp.arange(tgt_s.shape[0], dtype=jnp.int32) - first_of.astype(jnp.int32)
+    keep = valid_s & (p < m0)
+    flat_idx = jnp.where(
+        keep, tgt_s * m0 + jnp.minimum(p, m0 - 1), cap * m0
+    )
+    append_i = jnp.full((cap * m0,), -1, jnp.int32).at[flat_idx].set(
+        src_s, mode="drop"
+    ).reshape(cap, m0)
+    append_d = jnp.full((cap * m0,), jnp.inf, jnp.float32).at[flat_idx].set(
+        dd_s, mode="drop"
+    ).reshape(cap, m0)
+    # affected rows: all targets, duplicates included — the prune is a
+    # deterministic function of pre-update row content, so duplicate
+    # writes are idempotent
+    aff = jnp.maximum(jnp.where(tgt >= 0, tgt, tgt_s[0]), 0)
+    neighbors0, dists0 = _prune_rows_impl(
+        neighbors0, dists0, append_i, append_d, aff, m0, mn_tiebreak=mn
+    )
+    return vectors, valid, neighbors0, dists0
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _delete_mark(
+    valid: jax.Array,        # [cap] (donated)
+    neighbors0: jax.Array,   # [cap, m0]
+    dslots: jax.Array,       # [Dp] deleted slots (edge-padded)
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Delete dispatch 1: invalidate slots, gather former neighborhoods
+    (the repair candidate pool), and flag every row referencing a
+    deleted slot."""
+    valid = valid.at[dslots].set(False)
+    dmask = jnp.zeros((neighbors0.shape[0],), bool).at[dslots].set(True)
+    former = neighbors0[dslots]
+    refs_dead = jnp.any(
+        (neighbors0 >= 0) & dmask[jnp.maximum(neighbors0, 0)], axis=1
+    )
+    return valid, dmask, former, refs_dead
+
+
+@partial(
+    jax.jit, static_argnames=("metric", "kk", "interp"), donate_argnums=(0, 1)
+)
+def _delete_repair_rows(
+    neighbors0: jax.Array,   # (donated)
+    dists0: jax.Array,       # (donated)
+    vectors: jax.Array,
+    aff: jax.Array,          # [A] affected rows (edge-padded)
+    pool: jax.Array,         # [Pp] repair candidates, -1 pad
+    dmask: jax.Array,        # [cap] deleted mask
+    *,
+    metric: Metric,
+    kk: int,
+    interp: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Delete dispatch 2: drop edges to deleted nodes from the affected
+    rows and refill closest-first from the former-neighborhood pool via
+    the streaming flat kernel (the batched analogue of the reference's
+    IP-DiskANN-style reconnection, src/hnsw_algo.c:706-787)."""
+    from muninn_tpu.ops.pallas_flat import flat_topk
+
+    rows_i = neighbors0[aff]
+    rows_d = dists0[aff]
+    dead = (rows_i >= 0) & dmask[jnp.maximum(rows_i, 0)]
+    rows_i = jnp.where(dead, -1, rows_i)
+    rows_d = jnp.where(dead, jnp.inf, rows_d)
+
+    pv = vectors[jnp.maximum(pool, 0)]
+    av = vectors[aff]
+    cd, ci = flat_topk(
+        av, pv, kk, metric=metric, corpus_valid=pool >= 0, interpret=interp
+    )
+    cand = jnp.where(ci >= 0, pool[jnp.maximum(ci, 0)], -1)
+    self_m = cand == aff[:, None]
+    cd = jnp.where(self_m, jnp.inf, cd)
+    cand = jnp.where(self_m, -1, cand)
+    rd, ri = merge_topk(rows_d, rows_i, cd, cand)
+    neighbors0 = neighbors0.at[aff].set(ri)
+    dists0 = dists0.at[aff].set(rd)
+    return neighbors0, dists0
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _delete_finalize(
+    neighbors0: jax.Array,
+    dists0: jax.Array,
+    hi_neighbors: jax.Array,
+    hi_index: jax.Array,
+    dslots: jax.Array,
+    dmask: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Delete dispatch 3: clear the deleted rows and scrub deleted slots
+    from surviving upper-level rows so routing never lands on a
+    tombstone."""
+    neighbors0 = neighbors0.at[dslots].set(-1)
+    dists0 = dists0.at[dslots].set(jnp.inf)
+    dead_hi = (hi_neighbors >= 0) & dmask[jnp.maximum(hi_neighbors, 0)]
+    hi_neighbors = jnp.where(dead_hi, -1, hi_neighbors)
+    hi_index = hi_index.at[dslots].set(-1)
+    return neighbors0, dists0, hi_neighbors, hi_index

@@ -58,6 +58,28 @@ class VectorStore:
         if self._high + n > self.capacity:
             self._grow(self._high + n)
 
+    def register(self, ids: np.ndarray, reserve_extra: int = 0) -> np.ndarray:
+        """Host-only bookkeeping of an append: assigns contiguous slots
+        and records the id mapping WITHOUT device writes — the caller
+        folds the vector/validity updates into its own fused device step
+        (each separate dispatch costs ~0.2-0.4 s through the tunnel).
+        Reserves capacity for ``n + reserve_extra`` rows."""
+        ids = np.asarray(ids, np.int64)
+        n = ids.shape[0]
+        id_list = ids.tolist()
+        dups = self._slot_of.keys() & set(id_list)
+        if dups:
+            raise ValueError(f"duplicate id {next(iter(dups))}")
+        if len(set(id_list)) != n:
+            raise ValueError("duplicate id within batch")
+        self.reserve(n + reserve_extra)
+        slots = np.arange(self._high, self._high + n, dtype=np.int32)
+        self._slot_of.update(zip(id_list, slots.tolist()))
+        self._id_of[slots] = ids
+        self._high += n
+        self._count += n
+        return slots
+
     def add(self, ids: np.ndarray, vectors: np.ndarray | jax.Array) -> np.ndarray:
         """Append a batch. ``ids`` int64 [n]; returns assigned slots int32 [n].
         Duplicate ids raise (reference: SQLITE_CONSTRAINT on dup rowid)."""
@@ -83,6 +105,19 @@ class VectorStore:
         self._id_of[slots] = ids
         self._high += n
         self._count += n
+        return slots
+
+    def unregister(self, ids: np.ndarray) -> np.ndarray:
+        """Host-only bookkeeping of a soft-delete (the ``register``
+        counterpart): drops the id mapping and returns the freed slots
+        WITHOUT touching the device validity mask — the caller folds
+        that into its own fused device step."""
+        ids = np.asarray(ids, np.int64)
+        slots = np.array([self._slot_of[int(i)] for i in ids], np.int32)
+        for i in ids.tolist():
+            del self._slot_of[i]
+        self._id_of[slots] = -1
+        self._count -= len(slots)
         return slots
 
     def remove(self, ids: np.ndarray) -> np.ndarray:

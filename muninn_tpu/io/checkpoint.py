@@ -45,6 +45,7 @@ def save_hnsw(index, path: str | os.PathLike) -> None:
     levels, hi tables, id mapping, params) to a directory."""
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
+    index._flush_hi_wiring()  # materialize lazily-deferred upper levels
     store = index.store
     ids = np.full(store.capacity, -1, np.int64)
     for ext_id, slot in store._slot_of.items():
