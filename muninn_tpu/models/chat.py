@@ -66,6 +66,30 @@ def json_output(text: str, wrap_key: str = "items") -> dict:
     return {wrap_key: [val]}
 
 
+def _apply_grammar_contract(out: str, grammar: str | None) -> str:
+    """For string-level backends (Echo), honor a GBNF ``grammar`` by
+    validation: output that the grammar rejects is replaced with the
+    grammar's shortest accepted string, so callers get the same
+    valid-by-construction contract as token-level constrained decode."""
+    if grammar is None:
+        return out
+    from muninn_tpu.text.grammar import compile_gbnf
+
+    dfa = _dfa_cache_get(grammar, compile_gbnf)
+    if dfa.accepts(out):
+        return out
+    return dfa.shortest_accepted().decode("utf-8", errors="replace")
+
+
+_DFA_CACHE: dict[str, object] = {}
+
+
+def _dfa_cache_get(grammar: str, compiler):
+    if grammar not in _DFA_CACHE:
+        _DFA_CACHE[grammar] = compiler(grammar)
+    return _DFA_CACHE[grammar]
+
+
 class EchoChatModel:
     """Deterministic chat backend for tests: recognizes the extraction
     prompt shapes and emits rule-based JSON (capitalized spans as
@@ -112,29 +136,32 @@ class EchoChatModel:
         max_tokens: int = 512,
         system_prompt: str | None = None,
         skip_think: bool = True,
+        grammar_eos_bias: float = 0.0,  # token-level knob; no-op here
     ) -> str:
         task = (system_prompt or "") + " " + prompt
         if "entities" in task.lower() and "relation" in task.lower():
-            return json.dumps(
+            out = json.dumps(
                 {
                     "entities": self._entities(prompt),
                     "relations": self._relations(prompt),
                 }
             )
-        if "entities" in task.lower():
-            return json.dumps({"entities": self._entities(prompt)})
-        if "relation" in task.lower():
-            return json.dumps({"relations": self._relations(prompt)})
-        if "label" in task.lower():
+        elif "entities" in task.lower():
+            out = json.dumps({"entities": self._entities(prompt)})
+        elif "relation" in task.lower():
+            out = json.dumps({"relations": self._relations(prompt)})
+        elif "label" in task.lower():
             ents = [
                 e for e in self._entities(prompt)
                 if e["name"].lower() != "items"
             ]
-            return ents[0]["name"] if ents else "group"
-        if "summar" in task.lower():
+            out = ents[0]["name"] if ents else "group"
+        elif "summar" in task.lower():
             words = prompt.split()
-            return " ".join(words[: min(len(words), max_tokens // 4)])
-        return prompt[: max_tokens * 4]
+            out = " ".join(words[: min(len(words), max_tokens // 4)])
+        else:
+            out = prompt[: max_tokens * 4]
+        return _apply_grammar_contract(out, grammar)
 
     def generate_batch(self, prompts, **kw) -> list[str]:
         """Batched generation (reference: <= 8 seqs share one KV cache,
@@ -142,12 +169,72 @@ class EchoChatModel:
         return [self.generate(p, **kw) for p in prompts]
 
 
+class _GrammarLogitsProcessor:
+    """Token-level grammar constraint as a pure logit mask.
+
+    Stateless across decode steps: the DFA state is recomputed each step
+    by scanning the generated suffix of ``input_ids`` (a [B]-wide gather
+    chain under ``lax.scan``), so the processor composes with
+    transformers' jitted KV-cache greedy loop without threading custom
+    state. This is the TPU-native form of the reference's GBNF sampler
+    chain (``src/llama_chat.c:110-210``): llama.cpp re-evaluates the
+    grammar on host per step; here the compiled mask/transition tables
+    live on device and the whole decode stays one XLA program.
+    """
+
+    def __init__(self, tg, prompt_len: int, vocab_size: int,
+                 eos_bias: float = 0.0):
+        import numpy as np
+        import jax.numpy as jnp
+
+        s, v = tg.trans.shape
+        trans = np.full((s, vocab_size), -1, np.int32)
+        trans[:, : min(v, vocab_size)] = tg.trans[:, :vocab_size]
+        mask = np.zeros((s, vocab_size), bool)
+        mask[:, : min(v, vocab_size)] = tg.mask[:, :vocab_size]
+        self.trans = jnp.asarray(trans)
+        self.mask = jnp.asarray(mask)
+        self.prompt_len = int(prompt_len)
+        self.eos_id = int(tg.eos_id)
+        # added to the EOS logit; the EOS column is unmasked exactly in
+        # accepting states, so a positive bias means "prefer finishing
+        # as soon as the output is a complete sentence of the grammar"
+        self.eos_bias = float(eos_bias)
+
+    def __call__(self, input_ids, scores, cur_len):
+        import jax
+        import jax.numpy as jnp
+
+        b, length = input_ids.shape
+
+        def body(st, t):
+            tok = input_ids[:, t]
+            act = (t >= self.prompt_len) & (t < cur_len)
+            nst = self.trans[st, tok]
+            return jnp.where(act, jnp.maximum(nst, 0), st), None
+
+        st, _ = jax.lax.scan(
+            body, jnp.zeros((b,), jnp.int32), jnp.arange(length)
+        )
+        allowed = self.mask[st]
+        neg = jnp.finfo(scores.dtype).min
+        out = jnp.where(allowed, scores, neg)
+        if self.eos_bias and self.eos_id < out.shape[-1]:
+            bump = jnp.where(allowed[:, self.eos_id], self.eos_bias, 0.0)
+            out = out.at[:, self.eos_id].add(bump)
+        return out
+
+
 class FlaxChatModel:
-    """Transformers Flax causal LM from a local path; greedy decode.
+    """Transformers Flax causal LM from a local path; batched greedy
+    decode with optional token-level grammar constraints.
 
     Templating: uses the tokenizer's chat template when present
     (the reference calls ``llama_chat_apply_template`` with model
-    specific special cases, ``src/llama_chat.c:424-494``).
+    specific special cases, ``src/llama_chat.c:424-494``). Batched
+    generation left-pads prompts and decodes all sequences through one
+    KV cache per step — the true batch-axis analogue of the reference's
+    seq-id multiplexed ``llama_decode`` (``src/llama_chat.c:224-415``).
     """
 
     model_type = ModelType.CHAT
@@ -163,6 +250,18 @@ class FlaxChatModel:
         from muninn_tpu.text.tokenize import HfTokenizer
 
         self.tokenizer = HfTokenizer(path)
+        self._token_bytes = None
+        self._tg_cache: dict[str, object] = {}
+
+    def _token_grammar(self, gbnf: str):
+        if gbnf not in self._tg_cache:
+            from muninn_tpu.text.grammar import TokenGrammar, token_bytes_from_hf
+
+            if self._token_bytes is None:
+                self._token_bytes = token_bytes_from_hf(self._tok)
+            tb, eos = self._token_bytes
+            self._tg_cache[gbnf] = TokenGrammar.from_gbnf(gbnf, tb, eos)
+        return self._tg_cache[gbnf]
 
     def _render(self, prompt: str, system_prompt: str | None) -> str:
         msgs = []
@@ -176,27 +275,52 @@ class FlaxChatModel:
         parts = [f"{m['role']}: {m['content']}" for m in msgs]
         return "\n".join(parts) + "\nassistant:"
 
-    def generate(
+    def generate(self, prompt: str, **kw) -> str:
+        return self.generate_batch([prompt], **kw)[0]
+
+    def generate_batch(
         self,
-        prompt: str,
+        prompts,
         *,
         grammar: str | None = None,
         max_tokens: int = 512,
         system_prompt: str | None = None,
         skip_think: bool = True,
-    ) -> str:
-        text = self._render(prompt, system_prompt)
-        enc = self._tok(text, return_tensors="np")
-        out = self._model.generate(
-            enc["input_ids"], max_new_tokens=max_tokens, do_sample=False,
-            pad_token_id=self._tok.eos_token_id,
-        )
-        seq = out.sequences[0][enc["input_ids"].shape[1] :]
-        decoded = self._tok.decode(seq, skip_special_tokens=True)
-        return strip_think_block(decoded) if skip_think else decoded
+        grammar_eos_bias: float = 0.0,
+    ) -> list[str]:
+        """Decode all prompts together: left-padded batch, one greedy
+        decode step advances every live sequence (the reference packs
+        <= 8 seqs into one ``llama_decode``; on TPU the batch axis is
+        that, unbounded). ``grammar_eos_bias > 0`` makes the decode
+        finish at the first grammar-acceptance point."""
+        texts = [self._render(p, system_prompt) for p in prompts]
+        self._tok.padding_side = "left"
+        if self._tok.pad_token is None:
+            self._tok.pad_token = self._tok.eos_token
+        enc = self._tok(texts, return_tensors="np", padding=True)
+        in_len = enc["input_ids"].shape[1]
+        processor = None
+        if grammar is not None:
+            from transformers import FlaxLogitsProcessorList
 
-    def generate_batch(self, prompts, **kw) -> list[str]:
-        return [self.generate(p, **kw) for p in prompts]
+            tg = self._token_grammar(grammar)
+            processor = FlaxLogitsProcessorList(
+                [_GrammarLogitsProcessor(
+                    tg, in_len, self._model.config.vocab_size,
+                    eos_bias=grammar_eos_bias,
+                )]
+            )
+        out = self._model.generate(
+            enc["input_ids"],
+            attention_mask=enc["attention_mask"],
+            max_new_tokens=max_tokens,
+            do_sample=False,
+            pad_token_id=self._tok.pad_token_id,
+            logits_processor=processor,
+        )
+        seqs = out.sequences[:, in_len:]
+        outs = [self._tok.decode(s, skip_special_tokens=True) for s in seqs]
+        return [strip_think_block(o) if skip_think else o for o in outs]
 
 
 def load_chat_model(name: str, path: str | None = None, *, n_ctx: int | None = None):

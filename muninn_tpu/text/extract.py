@@ -5,9 +5,10 @@ Mirrors the reference's extraction SQL functions
 ``muninn_extract_ner_re[_batch]``, ``muninn_summarize`` —
 ``src/llama_chat.c`` + prompts/grammars in ``src/llama_constants.h``).
 The reference constrains output at the token level with GBNF JSON
-grammars; here the same contract (always-valid JSON of a fixed shape)
-is enforced by schema-shaped prompts plus the ``json_output`` repair
-path, with per-key validation.
+grammars; the same applies here: extraction passes the matching grammar
+(``text/grammar.py``) to the model — token-level logit masking on Flax
+backends, validate-or-replace on string backends — with the
+``json_output`` repair path and per-key validation as the final net.
 
 Prompts come in supervised (caller supplies entity/relation types) and
 unsupervised variants, like the reference's 6 system prompts.
@@ -17,6 +18,7 @@ from __future__ import annotations
 
 from muninn_tpu.models.chat import json_output
 from muninn_tpu.models.registry import ModelType, registry
+from muninn_tpu.text.grammar import GRAMMAR_NER, GRAMMAR_NER_RE, GRAMMAR_RE
 
 NER_PROMPT_UNSUPERVISED = (
     "Extract every named entity from the text. Respond with JSON only, "
@@ -98,7 +100,7 @@ def extract_entities(
         else NER_PROMPT_UNSUPERVISED
     )
     raw = _chat_model(model_name).generate(
-        text, system_prompt=sp, max_tokens=max_tokens
+        text, system_prompt=sp, max_tokens=max_tokens, grammar=GRAMMAR_NER
     )
     val = json_output(raw, wrap_key="entities")
     ents = _clean_entities(val.get("entities"))
@@ -119,7 +121,7 @@ def extract_relations(
         else RE_PROMPT_UNSUPERVISED
     )
     raw = _chat_model(model_name).generate(
-        text, system_prompt=sp, max_tokens=max_tokens
+        text, system_prompt=sp, max_tokens=max_tokens, grammar=GRAMMAR_RE
     )
     val = json_output(raw, wrap_key="relations")
     return {"relations": _clean_relations(val.get("relations"))}
@@ -128,7 +130,8 @@ def extract_relations(
 def extract_ner_re(model_name: str, text: str, *, max_tokens: int = 2048) -> dict:
     """``muninn_extract_ner_re`` -> {"entities": [...], "relations": [...]}."""
     raw = _chat_model(model_name).generate(
-        text, system_prompt=NER_RE_PROMPT_UNSUPERVISED, max_tokens=max_tokens
+        text, system_prompt=NER_RE_PROMPT_UNSUPERVISED, max_tokens=max_tokens,
+        grammar=GRAMMAR_NER_RE,
     )
     val = json_output(raw, wrap_key="entities")
     return {
@@ -137,14 +140,46 @@ def extract_ner_re(model_name: str, text: str, *, max_tokens: int = 2048) -> dic
     }
 
 
-def extract_entities_batch(model_name: str, texts, **kw) -> list[dict]:
-    """``muninn_extract_entities_batch`` — batched decode
-    (``src/llama_chat.c:224-415``)."""
-    return [extract_entities(model_name, t, **kw) for t in texts]
+def extract_entities_batch(
+    model_name: str, texts, *, entity_types: list[str] | None = None,
+    max_tokens: int = 1024,
+) -> list[dict]:
+    """``muninn_extract_entities_batch`` — ONE batched decode for all
+    texts (``src/llama_chat.c:224-415``): every prompt advances one
+    token per step through the shared batch axis."""
+    sp = (
+        NER_PROMPT_SUPERVISED.format(types=", ".join(entity_types))
+        if entity_types
+        else NER_PROMPT_UNSUPERVISED
+    )
+    raws = _chat_model(model_name).generate_batch(
+        list(texts), system_prompt=sp, max_tokens=max_tokens,
+        grammar=GRAMMAR_NER,
+    )
+    out = []
+    for raw in raws:
+        val = json_output(raw, wrap_key="entities")
+        ents = _clean_entities(val.get("entities"))
+        if entity_types:
+            allowed = {t.upper() for t in entity_types}
+            ents = [e for e in ents if e["type"].upper() in allowed] or ents
+        out.append({"entities": ents})
+    return out
 
 
-def extract_ner_re_batch(model_name: str, texts, **kw) -> list[dict]:
-    return [extract_ner_re(model_name, t, **kw) for t in texts]
+def extract_ner_re_batch(model_name: str, texts, *, max_tokens: int = 2048) -> list[dict]:
+    """``muninn_extract_ner_re_batch`` — one batched decode."""
+    raws = _chat_model(model_name).generate_batch(
+        list(texts), system_prompt=NER_RE_PROMPT_UNSUPERVISED,
+        max_tokens=max_tokens, grammar=GRAMMAR_NER_RE,
+    )
+    return [
+        {
+            "entities": _clean_entities(json_output(r, wrap_key="entities").get("entities")),
+            "relations": _clean_relations(json_output(r, wrap_key="entities").get("relations")),
+        }
+        for r in raws
+    ]
 
 
 def summarize(model_name: str, text: str, *, max_words: int = 80) -> str:

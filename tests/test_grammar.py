@@ -1,0 +1,284 @@
+"""Grammar-constrained decoding: GBNF compiler, token lifting, and
+end-to-end constrained generation.
+
+Mirrors the reference's GBNF guarantee (``src/llama_constants.h:29-65``,
+``src/llama_chat.c:110-210``): output is valid JSON of the grammar's
+shape at the *token* level. The end-to-end test builds a tiny
+randomly-initialized GPT-2 + ByteLevel BPE tokenizer locally (the
+zero-egress analogue of the reference's downloaded-GGUF gated tests,
+``pytests/test_embed_gguf.py:23-37``) — with random weights, ONLY the
+grammar constraint can make the output valid, which is exactly the
+guarantee under test.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from muninn_tpu.text.grammar import (
+    GRAMMAR_NER,
+    GRAMMAR_NER_RE,
+    GRAMMAR_RE,
+    TokenGrammar,
+    compile_gbnf,
+)
+
+
+class TestCharDFA:
+    def test_ner_shape(self):
+        dfa = compile_gbnf(GRAMMAR_NER)
+        good = [
+            '{"entities": [{"name": "Ada", "type": "PERSON"}]}',
+            '{"entities": []}',
+            '[{"name": "X", "type": "T"}]',
+            '{"entities": [{"name": "A", "type": "B"}, {"name": "C", "type": "D"}]}',
+            '{"entities": [{"name": "naïve — ünïcode", "type": "X"}]}',
+            '{\n"entities"\t: [  ]\n}',
+        ]
+        bad = [
+            '{"entities": [{"name": "Ada"}]}',          # missing key
+            '{"entities"',                               # truncated
+            "hello",
+            '{"entities": [{"name": Ada, "type": "T"}]}',  # unquoted
+            '{"entities": [],}',                         # trailing comma
+        ]
+        for s in good:
+            assert dfa.accepts(s), s
+        for s in bad:
+            assert not dfa.accepts(s), s
+
+    def test_re_and_ner_re_shapes(self):
+        dre = compile_gbnf(GRAMMAR_RE)
+        assert dre.accepts('{"relations": [{"head": "A", "relation": "r", "tail": "B"}]}')
+        assert not dre.accepts('{"relations": [{"head": "A", "tail": "B"}]}')
+        dnr = compile_gbnf(GRAMMAR_NER_RE)
+        assert dnr.accepts('{"entities": [], "relations": []}')
+        assert not dnr.accepts('{"entities": []}')
+
+    def test_recursive_rule_rejected(self):
+        with pytest.raises(ValueError, match="recursive"):
+            compile_gbnf('root ::= "a" root | "b"\n')
+
+    def test_shortest_accepted_parses(self):
+        for g in (GRAMMAR_NER, GRAMMAR_RE, GRAMMAR_NER_RE):
+            dfa = compile_gbnf(g)
+            s = dfa.shortest_accepted().decode()
+            assert dfa.accepts(s)
+            json.loads(s)
+
+    def test_user_supplied_grammar(self):
+        # muninn_chat accepts arbitrary GBNF via its 3rd arg
+        dfa = compile_gbnf('root ::= "yes" | "no"\n')
+        assert dfa.accepts("yes") and dfa.accepts("no")
+        assert not dfa.accepts("maybe")
+
+
+class TestTokenGrammar:
+    def test_token_walk_and_eos(self):
+        dfa = compile_gbnf(GRAMMAR_NER)
+        vocab = [
+            b"{", b"}", b"[", b"]", b'"', b":", b",", b" ",
+            b'"entities"', b'"name"', b'"type"', b"Ada", b'"Ada"', None,
+        ]
+        tg = TokenGrammar(dfa, vocab, eos_id=13)
+        s = 0
+        for tok in [0, 8, 5, 2, 3, 1]:  # { "entities" : [ ] }
+            assert tg.mask[s, tok]
+            s = tg.trans[s, tok]
+        assert tg.mask[s, 13], "EOS allowed exactly at acceptance"
+        assert not tg.mask[0, 13], "EOS forbidden before acceptance"
+        # a token that can never fit the grammar start is masked
+        assert not tg.mask[0, 11]  # bare 'Ada' at start
+
+    def test_known_sequence_walk_and_random_liveness(self):
+        dfa = compile_gbnf(GRAMMAR_NER)
+        vocab = [bytes([b]) for b in range(32, 127)] + [None]
+        eos = len(vocab) - 1
+        tg = TokenGrammar(dfa, vocab, eos_id=eos)
+
+        # every byte of a valid sentence is allowed, and EOS fires only
+        # at the end
+        good = '{"entities": [{"name": "Ada", "type": "P"}]}'
+        s = 0
+        for ch in good:
+            t = ord(ch) - 32
+            assert tg.mask[s, t], (s, ch)
+            assert not tg.mask[s, eos], "eos allowed on a strict prefix"
+            s = int(tg.trans[s, t])
+        assert tg.mask[s, eos]
+
+        # random walks never dead-end (live DFA invariant), and any walk
+        # that takes EOS has produced an accepted string
+        rng = np.random.default_rng(0)
+        done = 0
+        for _ in range(20):
+            s, out = 0, bytearray()
+            for _ in range(300):
+                allowed = np.nonzero(tg.mask[s])[0]
+                assert len(allowed), "dead end reached"
+                if tg.mask[s, eos] and rng.random() < 0.5:
+                    assert dfa.accepts(bytes(out)), bytes(out)
+                    done += 1
+                    break
+                choices = allowed[allowed != eos]
+                if len(choices) == 0:
+                    assert dfa.accepts(bytes(out))
+                    done += 1
+                    break
+                t = int(rng.choice(choices))
+                out.extend(vocab[t])
+                s = int(tg.trans[s, t])
+        assert done >= 3, "random walks should terminate at acceptance sometimes"
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    """A tiny random GPT-2 + locally-trained ByteLevel BPE tokenizer,
+    saved as a real HF model directory (no network)."""
+    d = tmp_path_factory.mktemp("tiny_gpt2")
+    from tokenizers import ByteLevelBPETokenizer
+    from transformers import GPT2Config, GPT2TokenizerFast, FlaxGPT2LMHeadModel
+
+    corpus = [
+        '{"entities": [{"name": "Ada Lovelace", "type": "PERSON"}]}',
+        '{"relations": [{"head": "Ada", "relation": "wrote", "tail": "Notes"}]}',
+        "Ada Lovelace wrote the first program. Turing founded the field.",
+        'json {} [] "name" "type" "head" "relation" "tail" entities relations',
+    ]
+    bt = ByteLevelBPETokenizer()
+    bt.train_from_iterator(corpus, vocab_size=384, min_frequency=1,
+                           special_tokens=["<|endoftext|>"])
+    bt.save_model(str(d))
+    tok = GPT2TokenizerFast(
+        vocab_file=str(d / "vocab.json"), merges_file=str(d / "merges.txt"),
+        bos_token="<|endoftext|>", eos_token="<|endoftext|>",
+        unk_token="<|endoftext|>",
+    )
+    tok.save_pretrained(str(d))
+    cfg = GPT2Config(
+        vocab_size=tok.vocab_size, n_positions=512, n_embd=32,
+        n_layer=2, n_head=2,
+        bos_token_id=tok.bos_token_id, eos_token_id=tok.eos_token_id,
+    )
+    model = FlaxGPT2LMHeadModel(cfg, seed=0)
+    model.save_pretrained(str(d))
+    return str(d)
+
+
+class TestFlaxConstrainedDecode:
+    def test_grammar_forces_valid_json_from_random_weights(self, tiny_model_dir):
+        from muninn_tpu.models.chat import FlaxChatModel
+
+        m = FlaxChatModel(tiny_model_dir)
+        dfa = compile_gbnf(GRAMMAR_NER)
+        # eos_bias > 0: finish at the first grammar-acceptance point, so
+        # even a random-weight model must emit COMPLETE valid JSON
+        out = m.generate(
+            "Extract entities: Ada Lovelace wrote programs.",
+            grammar=GRAMMAR_NER, max_tokens=96, grammar_eos_bias=100.0,
+        )
+        assert dfa.accepts(out), out
+        json.loads(out)
+        # sanity: the unconstrained model does NOT reliably emit valid
+        # JSON (random weights) — proves the constraint is doing the work
+        free = m.generate("Extract entities.", max_tokens=48)
+        assert not dfa.accepts(free) or free != out
+
+    def test_unbiased_decode_never_violates_grammar(self, tiny_model_dir):
+        """Without the EOS bias a random model may pad until the token
+        budget — the invariant is then prefix-validity: the DFA never
+        rejects, and the repair path still yields a dict."""
+        from muninn_tpu.models.chat import FlaxChatModel, json_output
+
+        m = FlaxChatModel(tiny_model_dir)
+        dfa = compile_gbnf(GRAMMAR_NER)
+        out = m.generate("Extract: Ada.", grammar=GRAMMAR_NER, max_tokens=48)
+        assert dfa.alive(out), out
+        assert isinstance(json_output(out, wrap_key="entities"), dict)
+
+    def test_batched_decode_never_violates(self, tiny_model_dir):
+        """4 prompts through ONE left-padded batch decode: every output
+        is grammar-prefix-valid (a random model may wander inside
+        unbounded string content until the token budget, so completion
+        is only guaranteed for bounded grammars — next test)."""
+        from muninn_tpu.models.chat import FlaxChatModel, json_output
+
+        m = FlaxChatModel(tiny_model_dir)
+        dfa = compile_gbnf(GRAMMAR_NER)
+        prompts = [
+            "Extract entities: Ada.",
+            "Extract entities: Turing founded the field of computing.",
+            "Extract entities: nothing here",
+            "Extract entities: Berlin is in Germany.",
+        ]
+        outs = m.generate_batch(
+            prompts, grammar=GRAMMAR_NER, max_tokens=96,
+            grammar_eos_bias=100.0,
+        )
+        assert len(outs) == 4
+        for o in outs:
+            assert dfa.alive(o), o
+            assert isinstance(json_output(o, wrap_key="entities"), dict)
+
+    def test_batched_bounded_grammar_completes(self, tiny_model_dir):
+        """With a fully bounded grammar + EOS bias, every sequence in
+        the batch must produce COMPLETE valid JSON — token-level parity
+        with the reference's GBNF guarantee."""
+        from muninn_tpu.models.chat import FlaxChatModel
+
+        g = (
+            'root ::= "{" ws "\\"verdict\\"" ws ":" ws val ws "}"\n'
+            'val ::= "\\"yes\\"" | "\\"no\\"" | "\\"unsure\\""\n'
+            "ws ::= [ ]?\n"
+        )
+        dfa = compile_gbnf(g)
+        m = FlaxChatModel(tiny_model_dir)
+        prompts = ["Is Ada a person?", "Is Berlin a person?",
+                   "Was Turing a founder?", "Is this JSON?"]
+        outs = m.generate_batch(prompts, grammar=g, max_tokens=32,
+                                grammar_eos_bias=100.0)
+        assert len(outs) == 4
+        for o in outs:
+            assert dfa.accepts(o), o
+            v = json.loads(o)["verdict"]
+            assert v in ("yes", "no", "unsure")
+
+    def test_extraction_pipeline_on_real_model(self, tiny_model_dir):
+        """extract_entities through a registered Flax model returns the
+        schema shape even from random weights (grammar + cleaners)."""
+        from muninn_tpu.models.chat import load_chat_model
+        from muninn_tpu.models.registry import registry
+        from muninn_tpu.text.extract import extract_entities
+
+        load_chat_model("tiny-flax", tiny_model_dir)
+        try:
+            out = extract_entities("tiny-flax", "Ada met Turing.", max_tokens=96)
+            assert isinstance(out["entities"], list)
+            for e in out["entities"]:
+                assert set(e) == {"name", "type"}
+        finally:
+            registry.remove("tiny-flax")
+
+
+class TestEchoGrammarContract:
+    def test_echo_honors_grammar(self):
+        from muninn_tpu.models.chat import EchoChatModel
+
+        m = EchoChatModel()
+        dfa = compile_gbnf(GRAMMAR_NER)
+        out = m.generate(
+            "Ada Lovelace wrote programs in London.",
+            grammar=GRAMMAR_NER,
+            system_prompt="Extract entities as JSON.",
+        )
+        assert dfa.accepts(out), out
+
+    def test_echo_invalid_output_replaced(self):
+        from muninn_tpu.models.chat import EchoChatModel
+
+        m = EchoChatModel()
+        g = 'root ::= "ok"\n'
+        out = m.generate("summarize: blah blah", grammar=g,
+                         system_prompt="summarize")
+        assert out == "ok"
