@@ -122,8 +122,9 @@ class Graph(core.Graph):
         ``src/graph_tvf.c:1631-1717``). Returns node_id -> rank."""
         c = self.csr(direction)
         if weighted:
+            hs, _, hw = c.host_coo()
             deg = np.zeros(self.num_nodes, np.float32)
-            np.add.at(deg, np.asarray(c.src), np.asarray(c.weights))
+            np.add.at(deg, hs, hw)
             deg_j = jnp.asarray(deg)
         else:
             deg_j = c.degrees().astype(jnp.float32)
@@ -156,10 +157,9 @@ class Graph(core.Graph):
         """Brandes node betweenness (``src/graph_centrality.c:393-512``).
         sqrt(N)-source sampling above ``auto_approx_threshold``."""
         c = self.csr(direction)
-        w = np.asarray(c.weights) if weighted else np.ones(c.num_edges, np.float32)
-        s, d, w = ctr.dedupe_parallel_edges(
-            np.asarray(c.src), np.asarray(c.dst), w, self.num_nodes
-        )
+        hs, hd, hw = c.host_coo()
+        w = hw if weighted else np.ones(c.num_edges, np.float32)
+        s, d, w = ctr.dedupe_parallel_edges(hs, hd, w, self.num_nodes)
         cb, _ = ctr.betweenness(
             s, d, w, self.num_nodes,
             undirected=(direction == "both"), normalized=normalized,
@@ -177,10 +177,9 @@ class Graph(core.Graph):
         """Edge betweenness keyed by (src_id, dst_id). For 'both', the
         two orientations of an input edge are combined."""
         c = self.csr(direction)
-        w = np.asarray(c.weights) if weighted else np.ones(c.num_edges, np.float32)
-        srcs, dsts, w = ctr.dedupe_parallel_edges(
-            np.asarray(c.src), np.asarray(c.dst), w, self.num_nodes
-        )
+        hs, hd, hw = c.host_coo()
+        w = hw if weighted else np.ones(c.num_edges, np.float32)
+        srcs, dsts, w = ctr.dedupe_parallel_edges(hs, hd, w, self.num_nodes)
         _, eb = ctr.betweenness(
             srcs, dsts, w, self.num_nodes,
             undirected=(direction == "both"), normalized=normalized,
@@ -208,11 +207,9 @@ class Graph(core.Graph):
             "both" if direction == "both"
             else ("reverse" if direction == "forward" else "forward")
         )
-        w = np.asarray(c.weights) if weighted else np.ones(c.num_edges, np.float32)
-        vals = ctr.closeness(
-            np.asarray(c.src), np.asarray(c.dst), w, self.num_nodes,
-            normalized=normalized,
-        )
+        hs, hd, hw = c.host_coo()
+        w = hw if weighted else np.ones(c.num_edges, np.float32)
+        vals = ctr.closeness(hs, hd, w, self.num_nodes, normalized=normalized)
         return {self.nodes.id_of(i): float(vals[i]) for i in range(self.num_nodes)}
 
     # ── communities ──
@@ -225,9 +222,9 @@ class Graph(core.Graph):
         modularity) — the reference TVF emits (node, community_id,
         modularity) rows (``src/graph_community.c``)."""
         c = self.csr("both")
+        hs, hd, hw = c.host_coo()
         labels, q = cmty.leiden(
-            np.asarray(c.src), np.asarray(c.dst), np.asarray(c.weights),
-            self.num_nodes, resolution=resolution, seed=seed,
+            hs, hd, hw, self.num_nodes, resolution=resolution, seed=seed,
             max_rounds=max_rounds,
         )
         return (
@@ -237,11 +234,9 @@ class Graph(core.Graph):
 
     def modularity(self, labels: dict, resolution: float = 1.0) -> float:
         c = self.csr("both")
+        hs, hd, hw = c.host_coo()
         lab = np.array(
             [labels[self.nodes.id_of(i)] for i in range(self.num_nodes)],
             np.int32,
         )
-        return cmty.modularity(
-            np.asarray(c.src), np.asarray(c.dst), np.asarray(c.weights),
-            lab, resolution,
-        )
+        return cmty.modularity(hs, hd, hw, lab, resolution)

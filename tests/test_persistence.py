@@ -78,6 +78,66 @@ def test_graph_cache_delete_edges(rng):
     assert gc.num_edges == 2
 
 
+def test_graph_cache_incremental_patches_device_csr(rng):
+    """incremental_rebuild applies a mixed delta to the device-resident
+    CSRs in place (core.csr_delta_device) and the result is
+    bit-identical to a from-scratch build of the post-delta COO — the
+    TPU-native form of the reference's affected-block rewrite
+    (src/graph_adjacency.c:649-1005)."""
+    from muninn_tpu import Graph
+
+    V, E = 150, 900
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    w = rng.random(E).astype(np.float32)
+    gc = GraphCache.from_edges(src.tolist(), dst.tolist(), w)
+    g = gc.graph()
+    g.pagerank(iterations=2)      # materialize fwd
+    g.bfs(int(src[0]))            # materialize... (uses csr too)
+    g.connected_components()      # materialize both
+
+    gc.add_edges(
+        rng.integers(0, V, 50).tolist(), rng.integers(0, V, 50).tolist(),
+        rng.random(50).astype(np.float32),
+    )
+    di = rng.choice(E, 30, replace=False)
+    gc.remove_edges(src[di].tolist(), dst[di].tolist())
+    gc.remove_edges([int(src[0])], [int(dst[0])])
+    gc.add_edges([int(src[0])], [int(dst[0])], [9.0])  # delete-then-re-add
+    gc.incremental_rebuild()
+    g2 = gc.graph()
+    assert g2 is g, "incremental keeps the live graph object"
+
+    ref = Graph(gc.nodes, gc._src.copy(), gc._dst.copy(), gc._w.copy())
+    ref.__class__ = type(g)
+    for direction in ("forward", "reverse", "both"):
+        ca, cb = g2.csr(direction), ref.csr(direction)
+        assert ca.e_valid == cb.e_valid
+        np.testing.assert_array_equal(
+            np.asarray(ca.offsets), np.asarray(cb.offsets)
+        )
+        e = ca.e_valid
+        np.testing.assert_array_equal(
+            np.asarray(ca.src[:e]), np.asarray(cb.src[:e])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ca.dst[:e]), np.asarray(cb.dst[:e])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ca.weights[:e]), np.asarray(cb.weights[:e])
+        )
+
+    pr, pr_ref = g2.pagerank(), ref.pagerank()
+    for k in pr:
+        assert abs(pr[k] - pr_ref[k]) < 1e-6
+
+    # a delta that adds a new node falls back to full rebuild
+    gc.add_edges(["fresh-node"], [int(src[1])])
+    gc.incremental_rebuild()
+    assert gc.num_nodes == V + 1
+    assert gc.graph().num_nodes == V + 1
+
+
 def test_graph_cache_in_order_delta_replay(rng):
     """Deltas replay sequentially: delete-then-re-add in one pending
     batch keeps the edge, and one delete removes only one of two
