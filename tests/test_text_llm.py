@@ -174,3 +174,40 @@ def test_json_output_nested_truncation_recovers_items():
 def test_json_output_think_then_json():
     out = chat_mod.json_output('<think>hmm</think>{"entities": []}')
     assert out == {"entities": []}
+
+
+# ── ER quality metrics + worked pipeline (reference examples/er_v3) ──
+
+
+def test_bcubed_and_pairwise_known_values():
+    from muninn_tpu.er import bcubed_f1, pairwise_f1
+
+    # perfect clustering
+    pred = {"a": 0, "b": 0, "c": 1}
+    assert bcubed_f1(pred, pred)["f1"] == 1.0
+    assert pairwise_f1(pred, pred)["f1"] == 1.0
+    # everything merged: recall 1, precision low
+    merged = {k: 0 for k in pred}
+    bc = bcubed_f1(merged, pred)
+    assert bc["recall"] == 1.0 and bc["precision"] < 1.0
+    # hand-checked: pred {ab}{c} vs gold {ac}{b}
+    pred2 = {"a": 0, "b": 0, "c": 1}
+    gold2 = {"a": 0, "b": 1, "c": 0}
+    bc2 = bcubed_f1(pred2, gold2)
+    # per-element precision: a:1/2 b:1/2 c:1 -> 2/3; symmetric recall
+    assert abs(bc2["precision"] - 2 / 3) < 1e-3
+    assert abs(bc2["recall"] - 2 / 3) < 1e-3
+    pw2 = pairwise_f1(pred2, gold2)
+    assert pw2["precision"] == 0.0 and pw2["recall"] == 0.0
+    # disjoint element sets -> zeros
+    assert bcubed_f1({"x": 0}, {"y": 0})["f1"] == 0.0
+
+
+def test_er_pipeline_example_quality():
+    """The worked example resolves the labeled org dataset with
+    measured quality (the reference asserts F1 on its er_v3 fixture)."""
+    from examples.er_pipeline.pipeline import run
+
+    out = run(verbose=False)
+    assert out["bcubed"]["f1"] >= 0.85, out["bcubed"]
+    assert out["pairwise"]["f1"] >= 0.75, out["pairwise"]
