@@ -1,0 +1,230 @@
+"""Chart generation + benchmark doc rendering from harness JSONL.
+
+The reference commits Plotly figure JSONs (``benchmarks/charts/*.json``)
+and renders markdown benchmark pages (``docs/benchmarks/*.md``) from its
+harness records (``benchmarks/harness/README.md:177-222``). Same here:
+
+- ``analyse`` reads one or more JSONL files produced by
+  ``python -m benchmarks.harness run --out results.jsonl``,
+- writes Plotly-schema figure JSONs (plain dicts with ``data`` +
+  ``layout`` — loadable by any Plotly runtime; no plotly dependency)
+  under ``benchmarks/charts/``,
+- renders per-treatment markdown pages with record tables under
+  ``docs/benchmarks/``.
+
+Usage:
+    python -m benchmarks.harness analyse results.jsonl [--charts-dir D]
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from pathlib import Path
+
+PALETTE = ["#4269d0", "#efb118", "#ff725c", "#6cc5b0", "#3ca951",
+           "#ff8ab7", "#a463f2", "#97bbf5"]
+
+
+def load_records(paths) -> list[dict]:
+    recs = []
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    recs.append(json.loads(line))
+    return recs
+
+
+def _fig(title: str, xtitle: str, ytitle: str, traces: list[dict],
+         log_x: bool = False, log_y: bool = False) -> dict:
+    for i, t in enumerate(traces):
+        t.setdefault("type", "scatter")
+        t.setdefault("mode", "lines+markers")
+        t.setdefault("line", {"color": PALETTE[i % len(PALETTE)]})
+    return {
+        "data": traces,
+        "layout": {
+            "title": {"text": title},
+            "xaxis": {"title": {"text": xtitle},
+                      **({"type": "log"} if log_x else {})},
+            "yaxis": {"title": {"text": ytitle},
+                      **({"type": "log"} if log_y else {})},
+            "template": "plotly_white",
+        },
+    }
+
+
+def _series(recs, group_keys, x_key, y_key):
+    """Group records by permutation keys -> sorted (x, y) series."""
+    groups = defaultdict(list)
+    for r in recs:
+        perm, met = r["permutation"], r["metrics"]
+        if x_key not in perm or y_key not in met:
+            continue
+        gname = ",".join(f"{k}={perm[k]}" for k in group_keys if k in perm)
+        groups[gname].append((perm[x_key], met[y_key]))
+    out = {}
+    for g, pts in groups.items():
+        pts.sort()
+        out[g] = ([p[0] for p in pts], [p[1] for p in pts])
+    return out
+
+
+def build_charts(recs: list[dict]) -> dict[str, dict]:
+    """Returns chart-name -> plotly figure dict."""
+    by_treatment = defaultdict(list)
+    for r in recs:
+        by_treatment[r["treatment"]].append(r)
+    charts: dict[str, dict] = {}
+
+    vss = by_treatment.get("vss", [])
+    if vss:
+        sr = _series(vss, ["engine"], "n", "recall_at_k")
+        charts["vss_recall"] = _fig(
+            "Recall@k vs corpus size", "N vectors", "recall@k",
+            [{"name": g, "x": x, "y": y} for g, (x, y) in sr.items()],
+            log_x=True,
+        )
+        sq = _series(vss, ["engine"], "n", "query_qps")
+        charts["vss_query_qps"] = _fig(
+            "Query throughput vs corpus size", "N vectors", "queries/s",
+            [{"name": g, "x": x, "y": y} for g, (x, y) in sq.items()],
+            log_x=True, log_y=True,
+        )
+        sb = _series(vss, ["engine"], "n", "build_vec_per_s")
+        charts["vss_build"] = _fig(
+            "Build throughput vs corpus size", "N vectors", "vectors/s",
+            [{"name": g, "x": x, "y": y} for g, (x, y) in sb.items()],
+            log_x=True, log_y=True,
+        )
+        # recall-QPS operating curve (hnsw ef sweep, one trace per N)
+        sweep = [r for r in vss if r["permutation"].get("engine") == "hnsw"
+                 and "ef" in r["permutation"]]
+        if sweep:
+            by_n = defaultdict(list)
+            for r in sweep:
+                by_n[r["permutation"]["n"]].append(
+                    (r["metrics"]["recall_at_k"], r["metrics"]["query_qps"],
+                     r["permutation"]["ef"])
+                )
+            traces = []
+            for n, pts in sorted(by_n.items()):
+                pts.sort()
+                traces.append({
+                    "name": f"n={n}",
+                    "x": [p[0] for p in pts], "y": [p[1] for p in pts],
+                    "text": [f"ef={p[2]}" for p in pts],
+                })
+            charts["vss_recall_qps"] = _fig(
+                "HNSW recall-QPS operating curve (ef sweep)",
+                "recall@k", "queries/s", traces, log_y=True,
+            )
+
+    tr = by_treatment.get("graph_traversal", [])
+    if tr:
+        traces = []
+        for metric in ("csr_build_ms", "bfs_ms", "components_ms",
+                       "shortest_path_ms"):
+            s = _series(tr, [], "n", metric)
+            for _, (x, y) in s.items():
+                traces.append({"name": metric, "x": x, "y": y})
+        charts["graph_traversal"] = _fig(
+            "Graph traversal times", "N nodes", "ms", traces,
+            log_x=True, log_y=True,
+        )
+
+    ct = by_treatment.get("graph_centrality", [])
+    if ct:
+        traces = []
+        for metric in ("pagerank_ms", "betweenness_ms", "degree_ms"):
+            s = _series(ct, [], "n", metric)
+            for _, (x, y) in s.items():
+                traces.append({"name": metric, "x": x, "y": y})
+        charts["graph_centrality"] = _fig(
+            "Centrality times", "N nodes", "ms", traces,
+            log_x=True, log_y=True,
+        )
+
+    cm = by_treatment.get("graph_community", [])
+    if cm:
+        s = _series(cm, [], "n", "leiden_ms")
+        q = _series(cm, [], "n", "modularity")
+        traces = [{"name": "leiden_ms", "x": x, "y": y} for _, (x, y) in s.items()]
+        traces += [{"name": "modularity", "x": x, "y": y, "yaxis": "y2"}
+                   for _, (x, y) in q.items()]
+        fig = _fig("Leiden time + modularity", "N nodes", "ms", traces,
+                   log_x=True)
+        fig["layout"]["yaxis2"] = {
+            "title": {"text": "modularity"}, "overlaying": "y", "side": "right",
+        }
+        charts["graph_community"] = fig
+
+    gv = by_treatment.get("graph_vt", [])
+    if gv:
+        traces = []
+        for metric in ("full_build_ms", "incremental_ms"):
+            s = _series(gv, [], "n", metric)
+            for _, (x, y) in s.items():
+                traces.append({"name": metric, "x": x, "y": y})
+        charts["graph_vt_incremental"] = _fig(
+            "CSR cache: full rebuild vs incremental delta", "N nodes",
+            "ms", traces, log_x=True, log_y=True,
+        )
+    return charts
+
+
+def render_docs(recs: list[dict], charts: dict[str, dict],
+                docs_dir: Path) -> list[Path]:
+    """One markdown page per treatment: record table + chart links."""
+    docs_dir.mkdir(parents=True, exist_ok=True)
+    by_treatment = defaultdict(list)
+    for r in recs:
+        by_treatment[r["treatment"]].append(r)
+    written = []
+    index_lines = ["# Benchmarks", "",
+                   "Generated by `python -m benchmarks.harness analyse`.", ""]
+    for name, rows in sorted(by_treatment.items()):
+        perm_keys = sorted({k for r in rows for k in r["permutation"]})
+        met_keys = sorted({k for r in rows for k in r["metrics"]})
+        lines = [f"# {name}", ""]
+        rel_charts = [c for c in charts if c.startswith(name.split("_")[0])]
+        for c in rel_charts:
+            lines.append(f"- chart: [`{c}.json`](../../benchmarks/charts/{c}.json)")
+        if rel_charts:
+            lines.append("")
+        header = perm_keys + met_keys + ["wall_s", "platform"]
+        lines.append("| " + " | ".join(header) + " |")
+        lines.append("|" + "---|" * len(header))
+        for r in rows:
+            cells = [str(r["permutation"].get(k, "")) for k in perm_keys]
+            cells += [
+                (f"{v:.4g}" if isinstance(v, float) else str(v))
+                for v in (r["metrics"].get(k, "") for k in met_keys)
+            ]
+            cells += [f"{r['wall_s']:.3g}", r.get("platform", "")]
+            lines.append("| " + " | ".join(cells) + " |")
+        page = docs_dir / f"{name}.md"
+        page.write_text("\n".join(lines) + "\n")
+        written.append(page)
+        index_lines.append(f"- [{name}]({name}.md) — {len(rows)} records")
+    idx = docs_dir / "index.md"
+    idx.write_text("\n".join(index_lines) + "\n")
+    written.append(idx)
+    return written
+
+
+def analyse(jsonl_paths, charts_dir="benchmarks/charts",
+            docs_dir="docs/benchmarks") -> tuple[list[Path], list[Path]]:
+    recs = load_records(jsonl_paths)
+    charts = build_charts(recs)
+    cdir = Path(charts_dir)
+    cdir.mkdir(parents=True, exist_ok=True)
+    chart_paths = []
+    for name, fig in charts.items():
+        p = cdir / f"{name}.json"
+        p.write_text(json.dumps(fig, indent=1))
+        chart_paths.append(p)
+    doc_paths = render_docs(recs, charts, Path(docs_dir))
+    return chart_paths, doc_paths

@@ -11,6 +11,11 @@ Usage:
     python -m benchmarks.harness list
     python -m benchmarks.harness run [treatment ...] [--out results.jsonl]
     python -m benchmarks.harness run vss --sizes 1000,10000
+    python -m benchmarks.harness analyse results.jsonl
+
+``analyse`` regenerates Plotly figure JSONs under ``benchmarks/charts/``
+and markdown pages under ``docs/benchmarks/`` (the reference's committed
+chart + rendered-doc pipeline, ``benchmarks/harness/README.md:177-222``).
 """
 
 from __future__ import annotations
@@ -103,15 +108,33 @@ def run_vss(out, sizes, rng):
             flat = FlatIndex(dim, "cosine")
             flat.insert(np.arange(n), x)
             tid, _ = flat.search(q, k=k)
-            recall = float(np.mean([
-                len(set(a[a >= 0]) & set(b[b >= 0])) / k for a, b in zip(ids, tid)
-            ]))
+
+            def _recall(a_ids):
+                return float(np.mean([
+                    len(set(a[a >= 0]) & set(b[b >= 0])) / k
+                    for a, b in zip(a_ids, tid)
+                ]))
+
             _emit(out, Record(
                 "vss", {"engine": engine, "n": n, "dim": dim, "k": k},
                 {"build_s": build_s, "build_vec_per_s": n / build_s,
-                 "query_qps": n_q / query_s, "recall_at_k": recall},
+                 "query_qps": n_q / query_s, "recall_at_k": _recall(ids)},
                 build_s + query_s, _rss_mb(),
             ))
+            if engine == "hnsw":
+                # ef_search sweep -> the recall-QPS operating curve
+                # (reference sweep space: efS in {10,50,100,200,400})
+                for ef in (10, 16, 32, 64, 128):
+                    idx.search(q, k=k, ef_search=ef)  # warm
+                    t0 = time.time()
+                    sids, _ = idx.search(q, k=k, ef_search=ef)
+                    qs = time.time() - t0
+                    _emit(out, Record(
+                        "vss",
+                        {"engine": "hnsw", "n": n, "dim": dim, "k": k, "ef": ef},
+                        {"query_qps": n_q / qs, "recall_at_k": _recall(sids)},
+                        qs, _rss_mb(),
+                    ))
 
 
 @treatment("graph_traversal")
@@ -340,16 +363,27 @@ def run_kg_graphrag(out, sizes, rng):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("command", choices=["list", "run"])
+    ap.add_argument("command", choices=["list", "run", "analyse"])
     ap.add_argument("treatments", nargs="*", default=[])
     ap.add_argument("--sizes", default="1000,5000")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--charts-dir", default="benchmarks/charts")
+    ap.add_argument("--docs-dir", default="docs/benchmarks")
     args = ap.parse_args(argv)
 
     if args.command == "list":
         for name in REGISTRY:
             print(name)
+        return
+
+    if args.command == "analyse":
+        from benchmarks.charts import analyse
+
+        paths = args.treatments or ["results.jsonl"]
+        charts, docs = analyse(paths, args.charts_dir, args.docs_dir)
+        for p in charts + docs:
+            print(p)
         return
 
     names = args.treatments or list(REGISTRY)

@@ -231,9 +231,14 @@ class GraphCache:
         pid[: len(ins_s)] = ins_d[order]
         piw[: len(ins_s)] = ins_w[order]
         dkey = np.full(kd, 2**62, np.int64)
-        dkey[: len(del_s)] = np.sort(
-            del_s.astype(np.int64) * (v + 1) + del_d
-        )
+        skeys = np.sort(del_s.astype(np.int64) * (v + 1) + del_d)
+        dkey[: len(del_s)] = skeys
+        # rounds = max multiplicity of one key in this delete batch
+        if len(skeys):
+            _, cnt = np.unique(skeys, return_counts=True)
+            del_rounds = int(cnt.max())
+        else:
+            del_rounds = 1
         import jax
 
         # packed (src,dst) delete keys need 64-bit ints (V can exceed
@@ -243,6 +248,7 @@ class GraphCache:
                 c.offsets, c.src, c.dst, c.weights, np.int32(c.e_valid),
                 jnp.asarray(dkey, jnp.int64), jnp.asarray(pis),
                 jnp.asarray(pid), jnp.asarray(piw), num_nodes=v,
+                del_rounds=del_rounds,
             )
         # the host replay already knows the exact new edge count (no
         # device sync needed): host COO is the source of truth

@@ -309,7 +309,7 @@ def _to_device_csr(
 # H2D traffic, instead of a full host re-sort + re-upload of [E] arrays.
 
 
-@partial(jax.jit, static_argnames=("num_nodes",))
+@partial(jax.jit, static_argnames=("num_nodes", "del_rounds"))
 def csr_delta_device(
     offsets: jax.Array,   # [V+1] int32
     src: jax.Array,       # [E_cap] int32 sorted, pads = V
@@ -322,33 +322,47 @@ def csr_delta_device(
     ins_dst: jax.Array,   # [Ki] int32; pads = V
     ins_w: jax.Array,     # [Ki] f32
     num_nodes: int,
+    del_rounds: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Apply (deletes, inserts) to a sorted padded CSR in place.
 
     Delete semantics match the host replay (graph_csr.c:219-247): each
     delete key removes its first live occurrence in CSR order — which,
     by counting-sort stability, is COO insertion order, so host and
-    device stay bit-identical. Inserts append after existing equal-src
-    edges. Returns (offsets, src, dst, w, new_e_valid)."""
+    device stay bit-identical. The first-occurrence pick is sort-free:
+    ``del_rounds`` segment-min sweeps (= the max multiplicity of a key
+    in the delete batch, usually 1), because a full-array stable sort
+    of emulated int64 keys measured ~4x slower than a host rebuild at
+    10M edges. Inserts append after existing equal-src edges. Returns
+    (offsets, src, dst, w, new_e_valid)."""
     e_cap = src.shape[0]
+    kd = del_key.shape[0]
     nn1 = jnp.int64(num_nodes + 1)
     pos_e = jnp.arange(e_cap, dtype=jnp.int32)
     valid_e = pos_e < e_valid
 
-    # ── deletes: first dcount occurrences of each key go ──
+    # ── deletes: per key, its first `multiplicity` occurrences go ──
     key_e = jnp.where(
         valid_e, src.astype(jnp.int64) * nn1 + dst, jnp.int64(2**62)
     )
-    dcount = (
-        jnp.searchsorted(del_key, key_e, side="right")
-        - jnp.searchsorted(del_key, key_e, side="left")
-    ).astype(jnp.int32)
-    order = jnp.argsort(key_e, stable=True)
-    key_s = key_e[order]
-    first = jnp.searchsorted(key_s, key_s, side="left")
-    rank_sorted = jnp.arange(e_cap, dtype=jnp.int32) - first.astype(jnp.int32)
-    rank = jnp.zeros(e_cap, jnp.int32).at[order].set(rank_sorted)
-    remove = valid_e & (rank < dcount)
+    lo = jnp.searchsorted(del_key, key_e, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(del_key, key_e, side="right").astype(jnp.int32)
+    quota = hi - lo                       # deletes targeting this key
+    matched = valid_e & (quota > 0)
+    slot = jnp.minimum(lo, kd)           # group id per delete key
+    remove = jnp.zeros((e_cap,), bool)
+    taken = jnp.zeros((kd + 1,), jnp.int32)
+    big = jnp.int32(2**31 - 1)
+    for _ in range(del_rounds):
+        cand = jnp.where(matched & ~remove, pos_e, big)
+        earliest = jax.ops.segment_min(cand, slot, num_segments=kd + 1)
+        pick = (
+            matched & ~remove & (pos_e == earliest[slot]) & (taken[slot] < quota)
+        )
+        remove = remove | pick
+        taken = taken + jax.ops.segment_sum(
+            pick.astype(jnp.int32), slot, num_segments=kd + 1
+        )
     keep = valid_e & ~remove
     new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     tgt = jnp.where(keep, new_pos, e_cap)

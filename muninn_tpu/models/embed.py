@@ -70,6 +70,8 @@ class FlaxEmbedModel:
         from transformers import AutoTokenizer, FlaxAutoModel
 
         self._hf_tok = AutoTokenizer.from_pretrained(path)
+        if self._hf_tok.pad_token is None:  # decoder tokenizers (GPT-2)
+            self._hf_tok.pad_token = self._hf_tok.eos_token
         self._model = FlaxAutoModel.from_pretrained(path)
         cfg_ctx = getattr(self._model.config, "max_position_embeddings", 512)
         self.n_ctx = min(n_ctx or cfg_ctx, 8192)  # src/llama_embed.c:70-80

@@ -211,3 +211,45 @@ def test_er_pipeline_example_quality():
     out = run(verbose=False)
     assert out["bcubed"]["f1"] >= 0.85, out["bcubed"]
     assert out["pairwise"]["f1"] >= 0.75, out["pairwise"]
+
+
+# ── real Flax model paths (tiny local model, conftest fixture) ──
+
+
+def test_flax_embed_model_end_to_end(tiny_model_dir, rng):
+    """FlaxEmbedModel loads a real HF dir, embeds batched + normalized,
+    deterministically, and its vectors drive an index search — the
+    reference's gated GGUF embed test role (pytests/test_embed_gguf.py)."""
+    import numpy as np
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.models.embed import embed, load_embed_model, model_dim
+    from muninn_tpu.models.registry import registry
+
+    m = load_embed_model("tiny-embed", tiny_model_dir)
+    try:
+        texts = ["Ada wrote programs", "Turing founded the field",
+                 "Ada wrote programs"]
+        v = embed("tiny-embed", texts)
+        assert v.shape == (3, model_dim("tiny-embed"))
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-4)
+        np.testing.assert_allclose(v[0], v[2], atol=1e-5)  # deterministic
+        idx = FlatIndex(v.shape[1], "cosine")
+        idx.insert(np.arange(3), v)
+        ids, _ = idx.search(v[1], k=1)
+        assert ids[0] == 1
+    finally:
+        registry.remove("tiny-embed")
+
+
+def test_flax_tokenizer_functions(tiny_model_dir):
+    from muninn_tpu.models.embed import load_embed_model
+    from muninn_tpu.models.registry import registry
+    from muninn_tpu.text.tokenize import token_count, tokenize, tokenize_text
+
+    m = load_embed_model("tiny-embed2", tiny_model_dir)
+    try:
+        ids = tokenize(m, "Ada Lovelace wrote")
+        assert len(ids) == token_count(m, "Ada Lovelace wrote") > 0
+        assert len(tokenize_text(m, "Ada Lovelace wrote")) == len(ids)
+    finally:
+        registry.remove("tiny-embed2")
