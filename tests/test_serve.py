@@ -81,6 +81,67 @@ def test_engine_server_graph_flow():
         srv.stop()
 
 
+def test_client_sdk_vector_flow(rng):
+    from muninn_tpu.client import EngineClient, MuninnRequestError
+
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        c = EngineClient(f"http://127.0.0.1:{port}", retries=1, backoff=0.01)
+        c.wait_ready(timeout=5)
+        idx = c.create_index("v", dim=8, kind="flat")
+        vecs = rng.standard_normal((20, 8)).astype(np.float32)
+        assert idx.insert(range(20), vecs) == 20
+        # batch search
+        ids, dists = idx.search(vecs[:2], k=3)
+        assert ids[0][0] == 0 and ids[1][0] == 1
+        # single-query auto-wrap returns flat lists
+        ids, dists = idx.search(vecs[7], k=3)
+        assert ids[0] == 7 and dists[0] < 1e-5
+        assert idx.delete([7]) == 19
+        ids, _ = idx.search(vecs[7], k=3)
+        assert 7 not in ids
+        # typed 4xx error, not retried
+        with pytest.raises(MuninnRequestError) as ei:
+            c.create_index("v", dim=8)
+        assert ei.value.status == 400 and "exists" in ei.value.message
+        with pytest.raises(MuninnRequestError):
+            c.index("nope").search(vecs[0], k=1)
+    finally:
+        srv.stop()
+
+
+def test_client_sdk_graph_flow():
+    from muninn_tpu.client import EngineClient
+
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        c = EngineClient(f"http://127.0.0.1:{port}")
+        g = c.create_graph("g", src=["a", "b", "c"], dst=["b", "c", "a"])
+        pr = g.pagerank()
+        assert abs(sum(pr.values()) - 1.0) < 1e-4
+        sp = g.shortest_path("a", "c")
+        assert sp["path"] == ["a", "b", "c"]
+        assert {row[0] for row in g.select("a+1")} == {"a", "b"}
+        labels = g.leiden()
+        assert set(labels["communities"]) == {"a", "b", "c"}
+        assert c.health()["graphs"] == ["g"]
+    finally:
+        srv.stop()
+
+
+def test_client_connection_error_retries():
+    from muninn_tpu.client import EngineClient, MuninnConnectionError
+
+    c = EngineClient("http://127.0.0.1:1", retries=2, backoff=0.01, timeout=0.5)
+    assert not c.ping()
+    with pytest.raises(MuninnConnectionError):
+        c.health()
+    with pytest.raises(MuninnConnectionError):
+        c.wait_ready(timeout=0.3, interval=0.05)
+
+
 def test_sharded_flat_index(rng):
     idx = ShardedFlatIndex(16, "l2")
     assert idx.n_shards == 8
