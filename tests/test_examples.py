@@ -1,0 +1,122 @@
+"""Every example runs end-to-end and produces a meaningful result.
+
+The reference ships runnable example dirs exercised in CI
+(`/root/reference/examples/`); these tests are that gate: each
+example's main() returns a result dict whose key facts are asserted,
+so the examples can't silently rot into smoke scripts.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_semantic_search():
+    from examples.semantic_search.main import main
+
+    r = main()
+    assert r["recall"] >= 0.9
+    assert r["reload_ok"]
+
+
+def test_movie_recommendations():
+    from examples.movie_recommendations.main import main
+
+    r = main()
+    # sci-fi cluster stays sci-fi: no romance titles near 'matrix'
+    romance = {"notebook", "titanic", "ghost"}
+    assert r["similar_to_matrix"], "expected similar movies"
+    assert not romance & set(r["similar_to_matrix"])
+    assert "notebook" not in r["recs"]["u1"]
+
+
+def test_social_network():
+    from examples.social_network.main import main
+
+    r = main()
+    assert r["split_ok"]
+    assert set(r["bridge"]) == {"dana", "gil"}
+    assert r["bridge_nodes"] == {"dana", "gil"}
+
+
+def test_transit_routes():
+    from examples.transit_routes.main import main
+
+    r = main()
+    assert r["fast_path"] == ["airport", "central", "museum", "harbor"]
+    assert r["total_min"] == pytest.approx(27.0)
+    assert r["hub"] in ("central", "harbor")
+    # 2015 network lacks the stadium line but routing still works
+    assert "stadium" not in r["old_path"]
+
+
+def test_research_papers():
+    from examples.research_papers.main import main
+
+    r = main()
+    assert set(r["top"]) & {"perceptron", "relational_model", "backprop"}
+    assert "attention" in r["foundations"]
+    assert {"transformer", "bert", "gpt"} <= set(r["enabled"])
+    assert set(r["fringe"]) == {"gpt", "postgres"}
+    assert r["similar"]
+
+
+def test_text_embeddings():
+    from examples.text_embeddings.main import main
+
+    r = main()
+    assert r["n_clusters"] >= 2
+
+
+def test_build_lineage():
+    from examples.build_lineage.main import main
+
+    r = main()
+    assert "dash_revenue" in r["rebuild"] and "dash_growth" in r["rebuild"]
+    assert "raw_orders" in r["deploy"]
+    assert "raw_events" not in r["deploy"]
+
+
+def test_llm_tokenize():
+    from examples.llm_tokenize.main import main
+
+    r = main()
+    assert r["n_tokens"] > 10
+    assert all(isinstance(i, int) for i in np.asarray(r["ids"]).tolist())
+
+
+def test_llm_chat():
+    from examples.llm_chat.main import main
+
+    r = main()
+    assert r["batch_n"] == 4
+    assert isinstance(r["json"], (dict, list))
+
+
+def test_llm_extract():
+    from examples.llm_extract.main import main
+
+    r = main()
+    assert r["n_edges"] >= 3
+    assert r["n_components"] >= 2
+
+
+def test_llm_summarize():
+    from examples.llm_summarize.main import main
+
+    r = main()
+    assert r["n_groups"] >= 2
+
+
+def test_graphrag():
+    from examples.graphrag.main import main
+
+    r = main()
+    assert r["n_communities"] >= 2
+    assert any(r["contexts"])
+
+
+def test_er_pipeline():
+    from examples.er_pipeline.pipeline import run
+
+    r = run(verbose=False)
+    assert r["bcubed"]["f1"] >= 0.85
