@@ -320,6 +320,21 @@ class FlaxChatModel:
         )
         seqs = out.sequences[:, in_len:]
         outs = [self._tok.decode(s, skip_special_tokens=True) for s in seqs]
+        if grammar is not None:
+            # the token budget can truncate mid-sentence; the output is
+            # still a live DFA prefix, so close it with the shortest
+            # accepted suffix (grammar-exact analogue of the reference's
+            # fallback JSON on truncation, src/llama_chat.c:538+)
+            dfa = self._token_grammar(grammar).dfa
+            fixed = []
+            for o in outs:
+                if not dfa.accepts(o):
+                    try:
+                        o = o + dfa.complete(o).decode("utf-8", "replace")
+                    except ValueError:
+                        o = dfa.shortest_accepted().decode("utf-8", "replace")
+                fixed.append(o)
+            outs = fixed
         return [strip_think_block(o) if skip_think else o for o in outs]
 
 

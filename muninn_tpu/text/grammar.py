@@ -382,10 +382,30 @@ class CharDFA:
         """BFS for the shortest (lexicographically-smallest) accepted
         string — the fallback emission when a non-token backend's output
         fails the grammar."""
-        if self.accept[0]:
+        return self.complete(b"")
+
+    def complete(self, data: bytes | str) -> bytes:
+        """Shortest (lexicographically-smallest) suffix that extends
+        ``data`` to an accepted string. The truncation repair for
+        constrained decode: a token budget can cut output mid-sentence,
+        but the cut is always at a live DFA state, so appending this
+        suffix yields grammar-valid output — the grammar-exact form of
+        the reference's fallback-JSON-on-truncation
+        (``src/llama_chat.c:538+``).
+
+        Raises ValueError if ``data`` is not a live prefix or no
+        accepting state is reachable."""
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        start = 0
+        for b in data:
+            start = int(self.trans[start, b])
+            if start < 0:
+                raise ValueError("data is not a live prefix of the grammar")
+        if self.accept[start]:
             return b""
-        prev: dict[int, tuple[int, int]] = {0: (-1, -1)}
-        frontier = [0]
+        prev: dict[int, tuple[int, int]] = {start: (-1, -1)}
+        frontier = [start]
         while frontier:
             nxt: list[int] = []
             for st in frontier:
@@ -396,14 +416,14 @@ class CharDFA:
                         if self.accept[t]:
                             out = bytearray()
                             cur = t
-                            while cur != 0:
+                            while cur != start:
                                 p, byte = prev[cur]
                                 out.append(byte)
                                 cur = p
                             return bytes(reversed(out))
                         nxt.append(t)
             frontier = nxt
-        raise ValueError("grammar accepts no strings")
+        raise ValueError("no accepting state reachable")
 
 
 def compile_gbnf(text: str) -> CharDFA:
