@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-from muninn_tpu.graph.traversal import bfs_device
+from muninn_tpu.graph.traversal import bfs_device, seeded_bfs_depths
 
 _IDENT_RE = re.compile(r"[A-Za-z0-9_.\-]+")
 
@@ -147,6 +147,11 @@ def _bfs_depths(csr, start: int, num_nodes: int, max_depth: int) -> np.ndarray:
 def _eval_atom(graph, a: Atom) -> dict[int, tuple[int, str]]:
     """Returns node_idx -> (depth, direction)."""
     idx = graph.nodes.find(a.ident)
+    if idx is None and a.ident.lstrip("-").isdigit():
+        # graphs built from integer edge lists intern int ids; selector
+        # text like "@5" should still resolve (the reference's SQL
+        # surface is untyped text, so "5" matches INTEGER 5 there)
+        idx = graph.nodes.find(int(a.ident))
     if idx is None:
         return {}
     n = graph.num_nodes
@@ -162,17 +167,20 @@ def _eval_atom(graph, a: Atom) -> dict[int, tuple[int, str]]:
                 out[int(v)] = (d, direction)
 
     if a.closure:
-        # descendants, then ancestors of every descendant (including self)
+        # descendants, then ancestors of every descendant (including
+        # self). The per-descendant ancestor walks collapse into ONE
+        # seeded multi-source BFS on the reverse graph: seeding each
+        # descendant v at depth down[v] yields exactly
+        # min_v(down[v] + hops_rev(v, u)) per node u.
         down = _bfs_depths(graph.csr("forward"), idx, n, n)
         add(down, "descendant")
-        desc = np.nonzero(down < 2**30)[0]
         rev = graph.csr("reverse")
-        for v in desc:
-            up = _bfs_depths(rev, int(v), n, n)
-            reached = np.nonzero(up < 2**30)[0]
-            for u in reached:
-                if int(u) not in out:
-                    out[int(u)] = (int(up[u] + down[v]), "closure")
+        up = np.asarray(seeded_bfs_depths(
+            rev.src, rev.dst, jnp.asarray(down), n
+        ))
+        for u in np.nonzero(up < 2**30)[0]:
+            if int(u) not in out:
+                out[int(u)] = (int(up[u]), "closure")
         return out
 
     if a.up is not None:

@@ -61,6 +61,43 @@ def bfs_device(
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
+def seeded_bfs_depths(
+    src: jax.Array,
+    dst: jax.Array,
+    init: jax.Array,        # int32 [V]; INT_INF = not a seed
+    num_nodes: int,
+    max_iters: int = 0,
+) -> jax.Array:
+    """Multi-source BFS from *seeded* integer depths: returns
+    ``d[u] = min_v (init[v] + hops(v, u))`` over all seeds v. One
+    device fixpoint replaces a per-seed BFS launch loop (each eager
+    dispatch costs ~0.2-0.4s through this environment's TPU tunnel) —
+    used by the selector's closure atoms where the reference walks each
+    descendant's ancestor set separately
+    (``src/graph_selector_eval.c:153-232``)."""
+    if max_iters <= 0:
+        max_iters = num_nodes
+
+    def cond(state):
+        d, it, changed = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        d, it, _ = state
+        ds = d[src]
+        relax = jnp.where(ds < INT_INF, ds + 1, INT_INF)      # [E]
+        new = jnp.minimum(
+            d, jax.ops.segment_min(relax, dst, num_segments=num_nodes)
+        )
+        return new, it + 1, jnp.any(new < d)
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (init.astype(jnp.int32), jnp.int32(0), jnp.bool_(True))
+    )
+    return dist
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
 def multi_source_distances(
     src: jax.Array,
     dst: jax.Array,

@@ -101,3 +101,43 @@ def test_documented_precedence_example(deps):
 
 def test_intersection_requires_both(deps):
     assert nodes_of(select(deps, "C,D")) == set()  # disjoint singletons
+
+
+def test_closure_depths_match_bruteforce():
+    """Closure depth = min over descendants v of (down[v] + hops_rev(v,u));
+    the seeded multi-source BFS must agree with an explicit per-descendant
+    walk on a random DAG."""
+    import numpy as np
+    import networkx as nx
+
+    rng = np.random.default_rng(7)
+    n = 60
+    g_nx = nx.gnp_random_graph(n, 0.06, seed=3, directed=True)
+    dag_edges = [(u, v) for u, v in g_nx.edges() if u < v]
+    if not dag_edges:
+        dag_edges = [(0, 1)]
+    src = [f"n{u}" for u, _ in dag_edges]
+    dst = [f"n{v}" for _, v in dag_edges]
+    g = Graph.from_edges(src, dst)
+
+    start = src[0]
+    rows = {node: (d, direction) for node, d, direction in select(g, f"@{start}")}
+
+    # brute force with networkx
+    dg = nx.DiGraph(dag_edges)
+    s = int(start[1:])
+    down = nx.single_source_shortest_path_length(dg, s)
+    closure: dict = {}
+    for v, dv in down.items():
+        up = nx.single_source_shortest_path_length(dg.reverse(copy=False), v)
+        for u, du in up.items():
+            tot = dv + du
+            if u not in closure or tot < closure[u]:
+                closure[u] = tot
+    assert set(rows) == {f"n{u}" for u in closure}
+    for u, tot in closure.items():
+        # descendants report their down-depth (direction wins over the
+        # possibly-shorter down-then-up path); pure closure nodes report
+        # the min over descendants of (down[v] + hops_rev(v, u))
+        want = down[u] if u in down else tot
+        assert rows[f"n{u}"][0] == want, (u, rows[f"n{u}"], want)
