@@ -7,18 +7,22 @@ on the MXU, and folds each tile into a running per-query top-k held in
 VMEM scratch — the full ``[B, N]`` distance matrix is never
 materialized in HBM.
 
-Grid layout is **corpus-major**: the corpus chunk index is the outer
-grid dimension and the query tile the inner one, so the corpus (the
-big array) is DMA'd from HBM exactly once per call regardless of the
-query count; query tiles (small) re-stream per chunk. The running
-top-k for *all* queries lives in one persistent VMEM scratch indexed
-by the inner grid position. This keeps the kernel MXU-bound: at
-1M x 768 x 4096 queries the corpus read is ~2 ms while the matmul work
-is ~30 ms.
+Grid layout is query-major (query tile outer, corpus chunk inner): the
+running top-k lives in one small ``[TB, k]`` scratch that is reset per
+query tile, and the corpus re-streams once per query tile. Measured on
+v5e, the re-stream is fully hidden behind the matmul (corpus DMA ≈
+0.8×, compute ≥ 1×), and a corpus-major variant with a ``[B, k]``
+scratch indexed by dynamic slices benchmarked *slower* — the dynamic
+scratch addressing cost exceeded the DMA it saved.
 
-Top-k maintenance is k rounds of (row-min, replace-current-worst): at
-most k values from any tile can enter the global top-k, so this is
-exact. Results come back unsorted; callers sort the tiny ``[B, k]``
+Per-tile top-k maintenance is (row-min, replace-current-worst) rounds
+inside a ``while_loop`` that exits as soon as no row can improve: over
+a full stream each row admits ~k·ln(nj)/nj entries per tile, so the
+loop almost always runs 1-3 rounds, not k. At most k values from any
+tile can enter the global top-k, so this is exact. Masking
+(padding/soft-deletes) and the metric's corpus-norm term are folded
+into ONE precomputed additive penalty row — no in-kernel where/clamp
+passes. Results come back unsorted; callers sort the tiny ``[B, k]``
 output.
 """
 
@@ -40,28 +44,25 @@ _MODE = {Metric.L2: 0, Metric.COSINE: 1, Metric.INNER_PRODUCT: 2}
 def _flat_topk_kernel(
     q_ref,      # [TB, d] f32/bf16 (query tile i)
     c_ref,      # [TC, d] f32/bf16 (corpus chunk j)
-    cn_ref,     # [1, TC] f32  corpus sqnorms (inf -> masked slot)
+    cp_ref,     # [1, TC] f32  additive penalty: sqnorm (l2) / 0, +BIG masked
     qn_ref,     # [TB, 1] f32  query sqnorms
     od_ref,     # [TB, k] f32  out dists (unsorted)
     oi_ref,     # [TB, k] i32  out ids   (global corpus ids)
-    sd_ref,     # [BP, k] f32  scratch dists (all query tiles)
-    si_ref,     # [BP, k] i32  scratch ids
+    sd_ref,     # [TB, k] f32  scratch dists (current query tile)
+    si_ref,     # [TB, k] i32  scratch ids
     *,
     k: int,
-    tb: int,
     tc: int,
     mode: int,
     mxu_precision: jax.lax.Precision,
 ):
-    j = pl.program_id(0)   # corpus chunk (outer: corpus is read once)
-    i = pl.program_id(1)   # query tile   (inner)
-    nj = pl.num_programs(0)
-    row = pl.multiple_of(i * tb, tb)
+    j = pl.program_id(1)   # corpus chunk (inner)
+    nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        sd_ref[pl.ds(row, tb), :] = jnp.full((tb, k), _BIG, jnp.float32)
-        si_ref[pl.ds(row, tb), :] = jnp.full((tb, k), -1, jnp.int32)
+        sd_ref[:] = jnp.full_like(sd_ref, _BIG)
+        si_ref[:] = jnp.full_like(si_ref, -1)
 
     dots = jax.lax.dot_general(
         q_ref[:], c_ref[:],
@@ -69,33 +70,26 @@ def _flat_topk_kernel(
         preferred_element_type=jnp.float32,
         precision=mxu_precision,
     )  # [TB, TC]
-    cn = cn_ref[0, :][None, :]
+    # the penalty row folds masking + metric constants into ONE add:
+    # masked slots land near +BIG (they rank behind every real
+    # candidate and are filtered at emit), so no in-kernel where/clamp
+    # passes are needed
+    cp = cp_ref[0, :][None, :]
     if mode == 0:      # l2: qn + cn - 2*dot
-        tile = qn_ref[:] + cn - 2.0 * dots
+        tile = (qn_ref[:] - 2.0 * dots) + cp
     elif mode == 1:    # cosine on pre-normalized vectors: 1 - dot
-        tile = (1.0 - dots) + jnp.where(cn > _BIG * 0.5, _BIG, 0.0)
+        tile = (1.0 - dots) + cp
     else:              # inner product: -dot
-        tile = -dots + jnp.where(cn > _BIG * 0.5, _BIG, 0.0)
-    tile = jnp.minimum(tile, _BIG)  # masked slots stay finite-but-huge
+        tile = cp - dots
 
     col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (tile.shape[0], k), 1)
 
-    sd = sd_ref[pl.ds(row, tb), :]
-    si = si_ref[pl.ds(row, tb), :]
+    sd = sd_ref[:]
+    si = si_ref[:]
 
-    # fold the best tile candidate into the running top-k, repeating
-    # only while some row can still improve: over a full stream each
-    # row admits ~k*ln(n_chunks)/n_chunks entries per tile, so this
-    # loop almost always runs 1-3 rounds, not k — the extraction is
-    # exact (at most k values per tile can enter the final top-k) but
-    # the k-round worst case is paid only by the tiles that need it.
-    def cond(state):
-        tile, sd, si, tmin, worst, r = state
-        return jnp.any(tmin < worst) & (r < k)
-
-    def body(state):
-        tile, sd, si, tmin, worst, r = state
+    def one_round(state):
+        tile, sd, si, tmin, worst = state
         tpos = jnp.min(jnp.where(tile <= tmin, col, 2**30), axis=1,
                        keepdims=True)                                   # [TB,1]
         tid = j * tc + tpos                                             # [TB,1]
@@ -108,15 +102,34 @@ def _flat_topk_kernel(
         tile = jnp.where(col == tpos, _BIG, tile)
         tmin = jnp.min(tile, axis=1, keepdims=True)
         worst = jnp.max(sd, axis=1, keepdims=True)
-        return tile, sd, si, tmin, worst, r + 1
+        return tile, sd, si, tmin, worst
 
+    # extraction: `eager` unrolled rounds always run (register-resident
+    # tile, no loop-carried buffer copies), then the ~rare tiles that
+    # still have an improving candidate pay the remaining rounds under
+    # one whole-tile lax.cond. Over a full stream each row admits
+    # ~k·ln(nj)/nj entries per tile, so 2 eager rounds cover almost
+    # every tile; the k-round worst case stays exact.
+    eager = min(2, k)
     tmin0 = jnp.min(tile, axis=1, keepdims=True)
     worst0 = jnp.max(sd, axis=1, keepdims=True)
-    _, sd, si, _, _, _ = jax.lax.while_loop(
-        cond, body, (tile, sd, si, tmin0, worst0, jnp.int32(0))
-    )
-    sd_ref[pl.ds(row, tb), :] = sd
-    si_ref[pl.ds(row, tb), :] = si
+    state = (tile, sd, si, tmin0, worst0)
+    for _ in range(eager):
+        state = one_round(state)
+
+    if k > eager:
+        def tail(state):
+            for _ in range(k - eager):
+                state = one_round(state)
+            return state
+
+        tile_, sd_, si_, tmin_, worst_ = state
+        state = jax.lax.cond(
+            jnp.any(tmin_ < worst_), tail, lambda s: s, state
+        )
+    _, sd, si, _, _ = state
+    sd_ref[:] = sd
+    si_ref[:] = si
 
     @pl.when(j == nj - 1)
     def _emit():
@@ -157,10 +170,11 @@ def flat_topk(
     soft-deleted, the ``deleted`` flag of ``src/hnsw_algo.h:24``) never
     appear in results.
 
-    ``precision``: "highest" (exact f32, 3-pass MXU), "default"
-    (f32 inputs, bf16 MXU passes), or "bfloat16" (bf16 inputs,
-    1-pass MXU, f32 accumulation; ranking-accurate for embeddings —
-    and halves the corpus HBM traffic, which the kernel reads once).
+    ``precision``: "highest" (exact f32, multi-pass MXU), "default"
+    (f32 inputs, single bf16 MXU pass — the fast path; ranking-accurate
+    for embeddings), or "bfloat16" (bf16 inputs; measured *slower* than
+    "default" on v5e due to layout conversion — kept for memory-bound
+    callers).
     """
     metric = parse_metric(metric)
     b, d = queries.shape
@@ -181,11 +195,13 @@ def flat_topk(
     q = _pad_to(q, tb, 0, 0.0)
     c = _pad_to(c, tc, 0, 0.0)
 
-    cn = squared_norms(c)
     valid = jnp.arange(c.shape[0]) < n
     if corpus_valid is not None:
         valid = valid & _pad_to(corpus_valid.astype(bool), tc, 0, False)
-    cn = jnp.where(valid, cn, jnp.inf)[None, :]      # [1, N_pad]
+    # additive penalty row: the corpus sqnorm term (l2) or 0 (cos/ip),
+    # +_BIG on masked slots — one fused add inside the kernel
+    base = squared_norms(c) if metric is Metric.L2 else jnp.zeros(c.shape[0])
+    cp = jnp.where(valid, base, _BIG).astype(jnp.float32)[None, :]  # [1, N_pad]
     qn = squared_norms(q)[:, None]                   # [B_pad, 1]
 
     if precision == "bfloat16":
@@ -194,50 +210,48 @@ def flat_topk(
 
     bp, dp = q.shape
     np_, _ = c.shape
-    # corpus chunks outer, query tiles inner: the corpus streams from
-    # HBM exactly once per call
-    grid = (np_ // tc, bp // tb)
+    grid = (bp // tb, np_ // tc)
 
     mxu_precision = (
         jax.lax.Precision.HIGHEST if precision == "highest"
         else jax.lax.Precision.DEFAULT
     )
     kernel = partial(
-        _flat_topk_kernel, k=k, tb=tb, tc=tc, mode=_MODE[metric],
+        _flat_topk_kernel, k=k, tc=tc, mode=_MODE[metric],
         mxu_precision=mxu_precision,
     )
     od, oi = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, dp), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, dp), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tb, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, k), jnp.float32),
             jax.ShapeDtypeStruct((bp, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bp, k), jnp.float32),
-            pltpu.VMEM((bp, k), jnp.int32),
+            pltpu.VMEM((tb, k), jnp.float32),
+            pltpu.VMEM((tb, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * np_ * dp,
             bytes_accessed=(
-                np_ * dp * q.dtype.itemsize          # corpus: once
-                + bp * dp * q.dtype.itemsize * grid[0]  # queries: per chunk
+                np_ * dp * q.dtype.itemsize * grid[0]
+                + bp * dp * q.dtype.itemsize
                 + bp * k * 8
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, c, cn, qn)
+    )(q, c, cp, qn)
 
     od, oi = od[:b], oi[:b]
     order = jnp.argsort(od, axis=-1)
