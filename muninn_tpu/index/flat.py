@@ -70,12 +70,17 @@ class FlatIndex:
         *,
         capacity: int = 1024,
         use_pallas: bool | None = None,
+        precision: str = "highest",
     ):
+        """``precision``: "highest" (exact f32 ranking, the default),
+        "default" (single bf16 MXU pass, ~2x faster, ranking-accurate
+        for embedding workloads), or "bfloat16" (bf16 inputs)."""
         self.metric = parse_metric(metric)
         self.store = VectorStore(dim, capacity)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self.precision = precision
 
     @property
     def dim(self) -> int:
@@ -104,7 +109,8 @@ class FlatIndex:
         corpus = self.store.vectors[:hw]
         valid = self.store.valid[:hw]
         if self.use_pallas:
-            d, slots = flat_topk(q, corpus, k, metric=self.metric, corpus_valid=valid)
+            d, slots = flat_topk(q, corpus, k, metric=self.metric,
+                                 corpus_valid=valid, precision=self.precision)
         else:
             d, slots = _xla_chunked_topk(q, corpus, valid, k, self.metric)
         ids = self.store.ids_of(np.asarray(slots))
