@@ -213,3 +213,51 @@ def test_hnsw_bulk_build_path(rng):
     idx.delete(np.arange(0, 30))
     ids, _ = idx.search(q, k=5, ef_search=32)
     assert not np.isin(ids[ids >= 0], np.arange(30)).any()
+
+
+def test_bf16_search_path_matches_f32(rng):
+    """The TPU search path (bf16 beam + Pallas routing + exact rescore)
+    must agree with the f32 path: same API results at slightly-perturbed
+    beam trajectories, recall parity on a clustered corpus."""
+    from muninn_tpu.index.flat import FlatIndex
+
+    n, d, k = 3000, 32, 5
+    centers = rng.standard_normal((30, d)).astype(np.float32)
+    data = centers[rng.integers(0, 30, n)] + 0.1 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    queries = data[rng.integers(0, n, 64)] + 0.02 * rng.standard_normal(
+        (64, d)
+    ).astype(np.float32)
+
+    flat = FlatIndex(d, "cosine")
+    flat.insert(np.arange(n), data)
+    true_ids, _ = flat.search(queries, k=k)
+
+    idx = HnswIndex(d, "cosine", m=8, ef_construction=64, wave_size=512)
+    idx.insert(np.arange(n), data)
+
+    def recall(ids):
+        hits = sum(
+            len(set(map(int, a[a >= 0])) & set(map(int, b)))
+            for a, b in zip(np.asarray(ids), np.asarray(true_ids))
+        )
+        return hits / (len(queries) * k)
+
+    ids32, d32 = idx.search(queries, k=k, ef_search=32)
+    r32 = recall(ids32)
+
+    idx.search_bf16 = True  # force the TPU path (interpret-mode kernel)
+    ids16, d16 = idx.search(queries, k=k, ef_search=32)
+    r16 = recall(ids16)
+    assert r16 >= r32 - 0.02, (r16, r32)
+    # rescored distances are exact f32: spot-check vs direct computation
+    q0 = queries[0] / np.linalg.norm(queries[0])
+    hit = int(np.asarray(ids16)[0, 0])
+    v0 = data[hit] / np.linalg.norm(data[hit])
+    assert np.asarray(d16)[0, 0] == pytest.approx(1.0 - float(q0 @ v0), abs=1e-5)
+
+    # caches invalidate on mutation
+    idx.delete([int(np.asarray(ids16)[0, 0])])
+    ids_after, _ = idx.search(queries[:1], k=k, ef_search=32)
+    assert hit not in set(np.asarray(ids_after)[0].tolist())
