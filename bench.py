@@ -8,9 +8,13 @@ ef_construction=200, cosine):
   generated device-side (this environment's TPU tunnel uploads at
   ~2 MB/s, which would otherwise dominate and measure the tunnel,
   not the engine)
-- exact path: fused Pallas streaming distance+top-k (recall 1.0)
-- HNSW path: exact-router + batched beam search at the measured
-  recall>=baseline operating point (ef_search=32)
+- exact path: fused Pallas streaming distance+top-k at
+  precision="default" (single bf16 MXU pass); ``exact_recall`` is the
+  *measured* recall@10 against the exact-f32 ("highest") ranking, not
+  an assumption
+- HNSW path: fused single-dispatch query (Pallas routing + bf16 beam +
+  exact rescore) at the ef=24 operating point
+- incremental churn: steady-state wave insert + delete/repair rates
 - north-star workload (BASELINE.json): 1M x 768 cosine exact search
 
 Baselines (darwin-arm64 CPU, BASELINE.md): query 0.41 ms/query at 100k
@@ -65,14 +69,22 @@ def main():
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         return x, q
 
-    corpus, queries = jax.jit(gen, static_argnums=(1, 2, 3))(
-        jax.random.PRNGKey(7), N, DIM, 1000
+    # extra clustered vectors for the churn phase share the cluster set
+    CHURN = 32_768
+    corpus_all, queries = jax.jit(gen, static_argnums=(1, 2, 3))(
+        jax.random.PRNGKey(7), N + CHURN, DIM, 1000
     )
+    corpus = corpus_all[:N]
     corpus.block_until_ready()
 
-    # ── exact path (recall 1.0) ──
+    # ── exact path ──
+    ii = flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
+    true_ids = np.asarray(ii)  # exact-f32 ground truth
     ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
-    true_ids = np.asarray(ii)  # ground truth for HNSW recall below
+    fast_ids = np.asarray(ii)
+    exact_recall = sum(
+        len(set(a) & set(b)) for a, b in zip(fast_ids, true_ids)
+    ) / (N_QUERIES * K)
     t0 = time.time()
     reps = 5
     for _ in range(reps):
@@ -82,10 +94,11 @@ def main():
 
     # ── HNSW path (reference parameters; device-resident corpus) ──
     build_rate = hnsw_qps = hnsw_recall = 0.0
+    ins_rate = del_rate = churn_recall = None
     try:
         idx = HnswIndex(
             DIM, "cosine", m=16, ef_construction=200,
-            wave_size=4096, capacity=131072, expand=8, seed=42,
+            wave_size=4096, capacity=262144, expand=8, seed=42,
         )
         t0 = time.time()
         idx.insert(np.arange(N), corpus)
@@ -94,11 +107,11 @@ def main():
         build_s = time.time() - t0
         build_rate = N / build_s
 
-        hq = np.asarray(queries[:2048])
-        ids, _ = idx.search(hq, k=K, ef_search=32)  # warm/compile
+        hq = queries[:2048]
+        ids, _ = idx.search(hq, k=K, ef_search=24)  # warm/compile
         t0 = time.time()
         for _ in range(3):
-            ids, _ = idx.search(hq, k=K, ef_search=32)
+            ids, _ = idx.search(hq, k=K, ef_search=24)
         hnsw_qps = 2048 * 3 / (time.time() - t0)
         hits = sum(
             len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids[:2048])
@@ -107,37 +120,85 @@ def main():
     except Exception:
         pass  # headline (exact path) still prints
 
+    # ── incremental churn: steady-state wave insert + delete ──
+    try:
+        wave_n = 2048
+        idx.wave_size = wave_n
+        # warm wave (compiles the fused insert at this capacity bucket)
+        idx.insert(np.arange(N, N + wave_n), corpus_all[N : N + wave_n])
+        t0 = time.time()
+        n_ins = 0
+        for w in range(1, CHURN // wave_n):
+            s = N + w * wave_n
+            idx.insert(np.arange(s, s + wave_n), corpus_all[s : s + wave_n])
+            n_ins += wave_n
+        ins_rate = n_ins / (time.time() - t0)
+
+        idx.delete(np.arange(0, 1024))  # warm delete/repair
+        t0 = time.time()
+        n_del = 0
+        for w in range(1, 8):
+            idx.delete(np.arange(w * 1024, (w + 1) * 1024))
+            n_del += 1024
+        del_rate = n_del / (time.time() - t0)
+
+        # recall after churn vs exact ground truth on the live set
+        live_mask = np.ones(N + CHURN, bool)
+        live_mask[:8 * 1024] = False
+        live = np.nonzero(live_mask)[0]
+        ti = flat_topk(
+            queries[:2048], corpus_all[jnp.asarray(live)], K,
+            metric="cosine", precision="highest",
+        )[1]
+        churn_true = live[np.asarray(ti)]
+        ids, _ = idx.search(queries[:2048], k=K, ef_search=32)
+        hits = sum(
+            len(set(a[a >= 0]) & set(b)) for a, b in zip(ids, churn_true)
+        )
+        churn_recall = hits / (2048 * K)
+    except Exception:
+        pass
+
     # ── north-star workload: 1M x 768 cosine (BASELINE.json) ──
     northstar_qps = None
     try:
+        del corpus_all, corpus
         big, bigq = jax.jit(gen, static_argnums=(1, 2, 3))(
             jax.random.PRNGKey(3), 1_000_000, 768, 4096
         )
-        ii = flat_topk(bigq, big, K, metric="cosine", precision="default")[1]
+        bigq = bigq[:4096]
+        ii = flat_topk(bigq, big, K, metric="cosine",
+                       precision="bfloat16", tc=2048)[1]
         _ = np.asarray(ii)[0, 0]
         t0 = time.time()
         for _ in range(3):
-            ii = flat_topk(bigq, big, K, metric="cosine", precision="default")[1]
+            ii = flat_topk(bigq, big, K, metric="cosine",
+                           precision="bfloat16", tc=2048)[1]
             _ = np.asarray(ii)[0, 0]
-        northstar_qps = N_QUERIES * 3 / (time.time() - t0)
+        northstar_qps = 4096 * 3 / (time.time() - t0)
         del big, bigq
     except Exception:
         pass
 
     result = {
-        "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine_recall1.0",
+        "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine",
         "value": round(exact_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(exact_qps / BASELINE_QPS, 2),
         "extras": {
-            "exact_recall": 1.0,
+            "exact_recall_vs_f32": round(exact_recall, 5),
             "hnsw_build_vec_per_s": round(build_rate, 1),
             "hnsw_build_vs_baseline": round(build_rate / BASELINE_BUILD, 2),
             "hnsw_query_qps": round(hnsw_qps, 1),
             "hnsw_query_vs_baseline": round(hnsw_qps / BASELINE_QPS, 2),
             "hnsw_recall_at_10": round(hnsw_recall, 4),
-            "hnsw_ef_search": 32,
+            "hnsw_ef_search": 24,
             "baseline_recall_at_10": BASELINE_RECALL,
+            "incr_insert_vec_per_s": round(ins_rate, 1) if ins_rate else None,
+            "delete_repair_per_s": round(del_rate, 1) if del_rate else None,
+            "churn_recall_at_10": (
+                round(churn_recall, 4) if churn_recall is not None else None
+            ),
             "northstar_1m_768d_exact_qps": (
                 round(northstar_qps, 1) if northstar_qps else None
             ),

@@ -55,6 +55,7 @@ def _flat_topk_kernel(
     tc: int,
     mode: int,
     mxu_precision: jax.lax.Precision,
+    eager_rounds: int,
 ):
     j = pl.program_id(1)   # corpus chunk (inner)
     nj = pl.num_programs(1)
@@ -108,9 +109,12 @@ def _flat_topk_kernel(
     # tile, no loop-carried buffer copies), then the ~rare tiles that
     # still have an improving candidate pay the remaining rounds under
     # one whole-tile lax.cond. Over a full stream each row admits
-    # ~k·ln(nj)/nj entries per tile, so 2 eager rounds cover almost
-    # every tile; the k-round worst case stays exact.
-    eager = min(2, k)
+    # ~k·ln(nj)/nj entries per tile, so few eager rounds cover almost
+    # every tile on LONG streams; the k-round worst case stays exact.
+    # The caller sets eager_rounds=k on short streams, where entry
+    # rates are high and the cond (which copies its carried tile) would
+    # fire on most tiles.
+    eager = min(eager_rounds, k)
     tmin0 = jnp.min(tile, axis=1, keepdims=True)
     worst0 = jnp.max(sd, axis=1, keepdims=True)
     state = (tile, sd, si, tmin0, worst0)
@@ -216,9 +220,14 @@ def flat_topk(
         jax.lax.Precision.HIGHEST if precision == "highest"
         else jax.lax.Precision.DEFAULT
     )
+    # per-tile top-k entry rate ~ k/nj per row: on long streams (many
+    # chunks) 2 eager rounds + a rare cond tail wins; on short streams
+    # most tiles would take the tail, so unroll all k rounds instead
+    nj = np_ // tc
+    eager_rounds = 2 if nj >= 256 else k
     kernel = partial(
         _flat_topk_kernel, k=k, tc=tc, mode=_MODE[metric],
-        mxu_precision=mxu_precision,
+        mxu_precision=mxu_precision, eager_rounds=eager_rounds,
     )
     od, oi = pl.pallas_call(
         kernel,
