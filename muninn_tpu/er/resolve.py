@@ -48,6 +48,7 @@ def resolve_entities(
     dist_threshold: float = 0.4,
     jw_weight: float = 0.6,
     borderline_delta: float = 0.0,
+    chat_model: str | None = None,
     eb_threshold: float | None = None,
     type_guard: str | None = None,       # 'same_source' | 'diff_type' | None
     resolution: float = 1.0,
@@ -60,6 +61,15 @@ def resolve_entities(
     ``index`` is a FlatIndex/HnswIndex whose rows are keyed by the
     positional entity index (0..n-1) or by int(entity.id); it must hold
     one vector per entity.
+
+    ``chat_model``: name of a registered chat model. When set,
+    borderline pairs — blended score within ``borderline_delta`` of the
+    base threshold ``1 - dist_threshold`` — are adjudicated by ONE
+    batched grammar-constrained yes/no decode instead of being
+    uniformly rejected. (The reference declares this adjudication as
+    TODO, ``src/llama_er.c:291-293``; here it's implemented.) Without
+    ``chat_model`` the reference's strict rule applies: match iff
+    ``score >= 1 - dist_threshold + borderline_delta``.
     """
     ents = [
         e if isinstance(e, Entity) else Entity(**e) for e in entities
@@ -104,7 +114,9 @@ def resolve_entities(
     names_b = [ents[b].name.lower() for _, b in keys]
     jw = jaro_winkler_batch(names_a, names_b)
 
+    base_threshold = 1.0 - dist_threshold
     edges_src, edges_dst, edges_w = [], [], []
+    borderline: list[tuple[int, int, float]] = []
     for (a, b), jww in zip(keys, jw):
         ea, eb = ents[a], ents[b]
         # Both guards compare the `source` field (the reference's
@@ -127,6 +139,22 @@ def resolve_entities(
             edges_src.append(a)
             edges_dst.append(b)
             edges_w.append(score)
+        elif (
+            chat_model is not None
+            and score >= base_threshold - borderline_delta
+        ):
+            borderline.append((a, b, score))
+
+    # LLM adjudication of borderline pairs: one batched yes/no decode
+    # under a two-token grammar (src/llama_er.c:291-293's declared TODO)
+    if borderline:
+        for (a, b, score), verdict in zip(
+            borderline, _adjudicate(chat_model, borderline, ents)
+        ):
+            if verdict:
+                edges_src.append(a)
+                edges_dst.append(b)
+                edges_w.append(max(score, base_threshold))
 
     if not edges_src:
         return {"clusters": {e.id: ci for ci, e in enumerate(ents)}}
@@ -157,6 +185,31 @@ def resolve_entities(
             clusters[e.id] = next_cluster
             next_cluster += 1
     return {"clusters": clusters}
+
+
+def _adjudicate(
+    model_name: str, pairs: list[tuple[int, int, float]], ents
+) -> list[bool]:
+    """One batched grammar-constrained yes/no decode over all
+    borderline pairs."""
+    from muninn_tpu.models.registry import ModelType, registry
+    from muninn_tpu.text.grammar import GRAMMAR_YES_NO
+
+    model = registry.find_type(model_name, ModelType.CHAT)
+    prompts = [
+        f"Name A: {ents[a].name!r}. Name B: {ents[b].name!r}."
+        for a, b, _ in pairs
+    ]
+    outs = model.generate_batch(
+        prompts,
+        system_prompt=(
+            "Do the two names refer to the same real-world entity? "
+            "Answer strictly yes or no."
+        ),
+        grammar=GRAMMAR_YES_NO,
+        max_tokens=4,
+    )
+    return [o.strip().lower().startswith("yes") for o in outs]
 
 
 def _similarity(dist: float, index) -> float:

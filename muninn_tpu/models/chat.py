@@ -150,6 +150,14 @@ class EchoChatModel:
             out = json.dumps({"entities": self._entities(prompt)})
         elif "relation" in task.lower():
             out = json.dumps({"relations": self._relations(prompt)})
+        elif "same real-world entity" in task.lower():
+            names = re.findall(r"'([^']*)'", prompt)
+            if len(names) >= 2:
+                ta = {w for w in re.split(r"\W+", names[0].lower()) if w}
+                tb = {w for w in re.split(r"\W+", names[1].lower()) if w}
+                out = "yes" if (ta & tb) else "no"
+            else:
+                out = "no"
         elif "label" in task.lower():
             ents = [
                 e for e in self._entities(prompt)

@@ -67,6 +67,8 @@ GRAMMAR_RE = (
     ' "\\"tail\\"" ws ":" ws string ws "}"\n' + _COMMON
 )
 
+GRAMMAR_YES_NO = 'root ::= "yes" | "no"\n'
+
 GRAMMAR_NER_RE = (
     'root ::= "{" ws "\\"entities\\"" ws ":" ws "[" ws entities ws "]" ws "," ws'
     ' "\\"relations\\"" ws ":" ws "[" ws relations ws "]" ws "}"\n'

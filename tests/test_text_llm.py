@@ -253,3 +253,47 @@ def test_flax_tokenizer_functions(tiny_model_dir):
         assert len(tokenize_text(m, "Ada Lovelace wrote")) == len(ids)
     finally:
         registry.remove("tiny-embed2")
+
+
+def test_er_llm_borderline_adjudication():
+    """Borderline pairs (within borderline_delta of the base threshold)
+    are adjudicated by one batched grammar-constrained yes/no decode
+    when a chat model is supplied; without one they are rejected (the
+    reference's strict rule)."""
+    from muninn_tpu.native import jaro_winkler_batch
+
+    chat_mod.load_chat_model("judge")
+
+    # controlled vectors: pair (0,1) cos=0.8, pair (2,3) cos=0.85,
+    # groups orthogonal
+    v = np.zeros((4, 8), np.float32)
+    v[0, 0] = 1.0
+    v[1, 0], v[1, 1] = 0.8, 0.6
+    v[2, 4] = 1.0
+    v[3, 4], v[3, 5] = 0.85, np.sqrt(1 - 0.85**2)
+    names = ["Acme Corporation", "Acme Holdings",
+             "Zeta Systems", "Binford Tools"]
+    ents = [Entity(id=str(i), name=n) for i, n in enumerate(names)]
+    idx = FlatIndex(8, "cosine", use_pallas=False)
+    idx.insert(np.arange(4), v)
+
+    # precondition: both blended scores sit inside the borderline band
+    jw = jaro_winkler_batch(
+        [names[0].lower(), names[2].lower()],
+        [names[1].lower(), names[3].lower()],
+    )
+    s01 = 0.2 * float(jw[0]) + 0.8 * 0.8
+    s23 = 0.2 * float(jw[1]) + 0.8 * 0.85
+    base, delta = 0.8, 0.06
+    assert base - delta <= s01 < base + delta, s01
+    assert base - delta <= s23 < base + delta, s23
+
+    kw = dict(k=2, dist_threshold=0.2, jw_weight=0.2, borderline_delta=delta)
+    # strict rule: both pairs rejected
+    c = resolve_entities(ents, idx, **kw)["clusters"]
+    assert len(set(c.values())) == 4, c
+    # adjudicated: echo judge says yes iff the names share a token, so
+    # the Acme pair merges and the unrelated pair stays split
+    c = resolve_entities(ents, idx, chat_model="judge", **kw)["clusters"]
+    assert c["0"] == c["1"], c
+    assert c["2"] != c["3"], c
