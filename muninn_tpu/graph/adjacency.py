@@ -56,9 +56,27 @@ class GraphCache:
 
     @classmethod
     def from_edges(cls, src_ids, dst_ids, weights=None, **kw) -> "GraphCache":
+        """Bulk construction: interns through ``Graph.from_edges`` (which
+        has the vectorized integer fast path) instead of queuing one
+        delta record per edge — at 10M edges the per-record queue costs
+        minutes, the vectorized path seconds."""
         gc = cls(weighted=weights is not None, **kw)
-        gc.add_edges(src_ids, dst_ids, weights)
-        gc.rebuild()
+        if not isinstance(src_ids, np.ndarray):
+            src_a = np.asarray(src_ids)
+            src_ids = src_a if np.issubdtype(src_a.dtype, np.integer) else src_ids
+        if not isinstance(dst_ids, np.ndarray):
+            dst_a = np.asarray(dst_ids)
+            dst_ids = dst_a if np.issubdtype(dst_a.dtype, np.integer) else dst_ids
+        g = Graph.from_edges(src_ids, dst_ids, weights)
+        gc.nodes = g.nodes
+        gc._src = np.asarray(g._src, np.int32)
+        gc._dst = np.asarray(g._dst, np.int32)
+        gc._w = np.asarray(g._w, np.float32)
+        gc.generation = 1
+        if gc._log is not None:
+            for s, d, ww in zip(g._src, g._dst, gc._w):
+                gc._log.append(op="insert", src=gc.nodes.id_of(int(s)),
+                               dst=gc.nodes.id_of(int(d)), w=float(ww))
         return gc
 
     # ── mutation (the trigger role) ──
@@ -168,10 +186,35 @@ class GraphCache:
         creates new nodes (device shapes would change)."""
         from collections import deque
 
+        # vectorized pre-pass: live-edge multiplicity for every (s, d)
+        # key this batch deletes (one O(E) scan instead of one per
+        # delete)
+        del_keys = []
+        for r in self._pending:
+            if r["op"] == "delete":
+                s = self.nodes.find(r["src"])
+                d = self.nodes.find(r["dst"])
+                if s is not None and d is not None:
+                    del_keys.append((s, d))
+        existing_count: dict[tuple[int, int], int] = {}
+        if del_keys:
+            v1 = len(self.nodes) + 1
+            pack = self._src.astype(np.int64) * v1 + self._dst
+            want = np.unique(
+                np.array([s * v1 + d for s, d in del_keys], np.int64)
+            )
+            hit = pack[np.isin(pack, want)]
+            vals, cnt = np.unique(hit, return_counts=True)
+            existing_count = {
+                (int(k // v1), int(k % v1)): int(c)
+                for k, c in zip(vals, cnt)
+            }
+
         ins: list[tuple[int, int, float]] = []
         ins_rem: list[bool] = []
         fresh: dict[tuple[int, int], deque] = {}
         dels: list[tuple[int, int]] = []
+        dels_per_key: dict[tuple[int, int], int] = {}
         for r in self._pending:
             if r["op"] == "insert":
                 s = self.nodes.find(r["src"])
@@ -189,12 +232,13 @@ class GraphCache:
                 q = fresh.get((s, d))
                 # a delete consumes a same-batch insert only when no
                 # pre-existing edge matches first (host replay scans
-                # existing edges before fresh ones); conservatively
-                # check the host COO for an earlier live match
-                if q and not self._has_existing(s, d, dels):
+                # existing edges before fresh ones)
+                prior = dels_per_key.get((s, d), 0)
+                if q and existing_count.get((s, d), 0) <= prior:
                     ins_rem[q.popleft()] = True
                 else:
                     dels.append((s, d))
+                    dels_per_key[(s, d)] = prior + 1
         live = [t for t, r in zip(ins, ins_rem) if not r]
         ins_s = np.array([t[0] for t in live], np.int32)
         ins_d = np.array([t[1] for t in live], np.int32)
@@ -202,10 +246,6 @@ class GraphCache:
         del_s = np.array([t[0] for t in dels], np.int32)
         del_d = np.array([t[1] for t in dels], np.int32)
         return ins_s, ins_d, ins_w, del_s, del_d
-
-    def _has_existing(self, s: int, d: int, already: list) -> bool:
-        n_prior = sum(1 for t in already if t == (s, d))
-        return int(np.sum((self._src == s) & (self._dst == d))) > n_prior
 
     def _patch_device(
         self, g, attr: str, ins_s, ins_d, ins_w, del_s, del_d
@@ -220,9 +260,12 @@ class GraphCache:
         v = self.num_nodes
         if c.e_valid + len(ins_s) > c.capacity:
             return False
-        # pow2-bucket the delta arrays (shape-stable compiles)
-        ki = max(16, 1 << int(np.ceil(np.log2(max(len(ins_s), 1)))))
-        kd = max(16, 1 << int(np.ceil(np.log2(max(len(del_s), 1)))))
+        # pow2-bucket the delta arrays (shape-stable compiles); the
+        # floor of 1024 means every delta up to 1k edges reuses ONE
+        # compiled program (novel shapes cost 30-200s through this
+        # environment's tunnel compiler)
+        ki = max(1024, 1 << int(np.ceil(np.log2(max(len(ins_s), 1)))))
+        kd = max(1024, 1 << int(np.ceil(np.log2(max(len(del_s), 1)))))
         order = np.argsort(ins_s, kind="stable")
         pis = np.full(ki, v, np.int32)
         pid = np.full(ki, v, np.int32)
@@ -233,10 +276,12 @@ class GraphCache:
         dkey = np.full(kd, 2**62, np.int64)
         skeys = np.sort(del_s.astype(np.int64) * (v + 1) + del_d)
         dkey[: len(del_s)] = skeys
-        # rounds = max multiplicity of one key in this delete batch
+        # rounds = max multiplicity of one key in this delete batch,
+        # pow2-bucketed so typical batches share a compiled program
         if len(skeys):
             _, cnt = np.unique(skeys, return_counts=True)
-            del_rounds = int(cnt.max())
+            mult = int(cnt.max())
+            del_rounds = 1 << int(np.ceil(np.log2(max(mult, 1))))
         else:
             del_rounds = 1
         import jax
@@ -264,6 +309,15 @@ class GraphCache:
         if not self._pending:
             return
         pending, self._pending = self._pending, []
+        if all(r["op"] == "insert" for r in pending):
+            # insert-only: vectorized append (no per-edge replay)
+            si = self.nodes.intern_many([r["src"] for r in pending])
+            di = self.nodes.intern_many([r["dst"] for r in pending])
+            wi = np.array([r.get("w", 1.0) for r in pending], np.float32)
+            self._src = np.concatenate([self._src, si.astype(np.int32)])
+            self._dst = np.concatenate([self._dst, di.astype(np.int32)])
+            self._w = np.concatenate([self._w, wi])
+            return
         nd = len(pending)
         d_src = np.full(nd, -1, np.int32)
         d_dst = np.full(nd, -1, np.int32)

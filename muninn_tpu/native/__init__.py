@@ -220,9 +220,17 @@ def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
             nrem.append(False)
         else:
             if existing is None:
+                # index only the keys this batch deletes (an all-edges
+                # dict is O(E) python objects — minutes at 10M edges)
+                del_keys = {
+                    (int(a), int(b))
+                    for a, b, o in zip(d_src, d_dst, d_op) if o == 1
+                }
                 existing = {}
                 for i, (es, ed) in enumerate(zip(src, dst)):
-                    existing.setdefault((int(es), int(ed)), deque()).append(i)
+                    kk = (int(es), int(ed))
+                    if kk in del_keys:
+                        existing.setdefault(kk, deque()).append(i)
             q = existing.get(key)
             if q:
                 removed[q.popleft()] = True

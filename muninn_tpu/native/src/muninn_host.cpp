@@ -129,9 +129,21 @@ int64_t muninn_csr_apply_delta(
         return (static_cast<int64_t>(s) << 32) | static_cast<uint32_t>(d);
     };
     // FIFO queues of live existing-edge indices, built lazily on the
-    // first delete (delete-free batches pay nothing).
-    std::unordered_map<int64_t, std::deque<int64_t>> existing;
+    // first delete and ONLY for keys this batch actually deletes (an
+    // all-edges map costs tens of seconds in allocator churn at 10M
+    // edges; the delete-key-restricted scan is one O(E) pass).
+    std::unordered_map<int64_t, std::vector<int64_t>> existing;
+    std::unordered_map<int64_t, size_t> existing_next;
     bool existing_built = false;
+    auto build_existing = [&]() {
+        for (int64_t i = 0; i < nd; i++)
+            if (d_op[i] != 0) existing[pack(d_src[i], d_dst[i])];
+        for (int64_t j = 0; j < e; j++) {
+            auto it = existing.find(pack(src[j], dst[j]));
+            if (it != existing.end()) it->second.push_back(j);
+        }
+        existing_built = true;
+    };
     std::vector<uint8_t> removed(static_cast<size_t>(e), 0);
     // edges inserted by this batch, with their own removal flags
     std::vector<int32_t> ns, ndst;
@@ -147,15 +159,12 @@ int64_t muninn_csr_apply_delta(
             nw.push_back(d_w ? d_w[i] : 1.0f);
             nrem.push_back(0);
         } else {
-            if (!existing_built) {
-                for (int64_t j = 0; j < e; j++)
-                    existing[pack(src[j], dst[j])].push_back(j);
-                existing_built = true;
-            }
+            if (!existing_built) build_existing();
             auto it = existing.find(key);
-            if (it != existing.end() && !it->second.empty()) {
-                removed[static_cast<size_t>(it->second.front())] = 1;
-                it->second.pop_front();
+            size_t& nx = existing_next[key];
+            if (it != existing.end() && nx < it->second.size()) {
+                removed[static_cast<size_t>(it->second[nx])] = 1;
+                nx++;
             } else {
                 auto jt = fresh.find(key);
                 if (jt != fresh.end() && !jt->second.empty()) {
