@@ -7,6 +7,12 @@ from muninn_tpu.parallel.sharded import (
     sharded_pagerank,
     sharded_sgns_step,
 )
+from muninn_tpu.parallel.multihost import (
+    make_mesh2,
+    multihost_exact_search,
+    multihost_pagerank,
+    shard_rows2,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +20,8 @@ __all__ = [
     "sharded_exact_search",
     "sharded_pagerank",
     "sharded_sgns_step",
+    "make_mesh2",
+    "shard_rows2",
+    "multihost_exact_search",
+    "multihost_pagerank",
 ]

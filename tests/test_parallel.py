@@ -97,3 +97,67 @@ def test_sharded_sgns_step_runs_and_updates(rng):
     assert not np.allclose(np.asarray(s0b), np.asarray(s0))
     assert np.isfinite(np.asarray(s0b)).all()
     assert np.isfinite(np.asarray(s1b)).all()
+
+
+def test_multihost_exact_search_matches_bruteforce(rng):
+    from muninn_tpu.parallel import (
+        make_mesh2, multihost_exact_search, shard_rows2,
+    )
+
+    mesh = make_mesh2(2, 4)  # 2 virtual hosts x 4 chips
+    n, d, b, k = 128, 16, 8, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[7] = False
+    sd, si = multihost_exact_search(
+        jnp.asarray(queries), shard_rows2(jnp.asarray(corpus), mesh),
+        shard_rows2(jnp.asarray(valid), mesh), k, "l2", mesh,
+    )
+    sd, si = np.asarray(sd), np.asarray(si)
+    dist = ((queries[:, None, :] - corpus[None, :, :]) ** 2).sum(-1)
+    dist[:, ~valid] = np.inf
+    want_i = np.argsort(dist, axis=1)[:, :k]
+    want_d = np.take_along_axis(dist, want_i, axis=1)
+    np.testing.assert_allclose(sd, want_d, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(si, want_i)
+
+
+def test_multihost_pagerank_matches_single_host(rng):
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.parallel import (
+        make_mesh2, multihost_pagerank, shard_rows2,
+    )
+
+    mesh = make_mesh2(2, 4)
+    n, e = 100, 800
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+    want = g.pagerank(iterations=25)
+
+    c = g.csr("forward")
+    deg = np.asarray(c.degrees()).astype(np.float32)
+    s, d, _ = c.host_coo()  # interned indices, pads sliced
+    share = (1.0 / np.maximum(deg, 1e-30))[s]
+    pad = (-len(s)) % 8
+    s = np.pad(s, (0, pad))
+    d = np.pad(d, (0, pad))
+    sh = np.pad(share, (0, pad)).astype(np.float32)
+    rank = np.asarray(multihost_pagerank(
+        shard_rows2(jnp.asarray(s), mesh),
+        shard_rows2(jnp.asarray(d), mesh),
+        shard_rows2(jnp.asarray(sh), mesh),
+        jnp.asarray(deg <= 0), g.num_nodes, mesh, iterations=25,
+    ))
+    for i in range(g.num_nodes):
+        assert rank[i] == pytest.approx(want[g.nodes.id_of(i)], abs=1e-5)
+
+
+def test_make_mesh2_validation():
+    from muninn_tpu.parallel import make_mesh2
+
+    with pytest.raises(ValueError, match="need 32 devices"):
+        make_mesh2(8, 4)
+    mesh = make_mesh2(4, 2)
+    assert mesh.shape == {"host": 4, "chip": 2}
