@@ -50,6 +50,7 @@ class GraphCache:
         self.generation = 0
         self._graph: Graph | None = None
         self._pending: list[dict] = []
+        self._mirror: dict[str, tuple] = {}
         self._log = DeltaLog(log_path) if log_path else None
 
     # ── construction ──
@@ -136,6 +137,7 @@ class GraphCache:
         self._apply_pending()
         self.generation += 1
         self._graph = None
+        self._mirror = {}
 
     def incremental_rebuild(self) -> None:
         """Incremental rebuild: O(delta) instead of O(E).
@@ -143,8 +145,8 @@ class GraphCache:
         The reference rewrites only affected 4096-node CSR blocks
         (src/graph_adjacency.c:649-1005); the TPU-native equivalent
         patches the *device-resident* CSR arrays in place with one
-        jitted delete-compact + sorted-merge program per materialized
-        direction (``core.csr_delta_device``) — no host re-sort, no
+        jitted position-mask + sorted-merge program per materialized
+        direction (``core.csr_patch_positions``) — no host re-sort, no
         full re-upload. Falls back to a full rebuild when the delta
         introduces new nodes (node-count growth changes every kernel's
         shapes), when a direction's capacity bucket would overflow, or
@@ -163,16 +165,29 @@ class GraphCache:
             self.rebuild()
             return
         ins_s, ins_d, ins_w, del_s, del_d = net
+        # plan position-level patches against the PRE-batch mirrors
+        plans = {}
+        ok = True
+        if fwd is not None:
+            plans["_fwd"] = self._plan_patch(
+                g, "_fwd", ins_s, ins_d, ins_w, del_s, del_d
+            )
+            ok &= plans["_fwd"] is not None
+        if ok and rev is not None:
+            plans["_rev"] = self._plan_patch(
+                g, "_rev", ins_d, ins_s, ins_w, del_d, del_s
+            )
+            ok &= plans["_rev"] is not None
         # host arrays: exact in-order replay (cheap, O(delta) transfers)
         self._apply_pending()
         g._src, g._dst, g._w = self._src, self._dst, self._w
-        ok = True
-        if fwd is not None:
-            ok &= self._patch_device(g, "_fwd", ins_s, ins_d, ins_w, del_s, del_d)
-        if ok and rev is not None:
-            ok &= self._patch_device(g, "_rev", ins_d, ins_s, ins_w, del_d, del_s)
-        if not ok:
+        if ok:
+            for attr, plan in plans.items():
+                if getattr(g, attr) is not None:
+                    self._apply_patch(g, attr, plan)
+        else:
             g._fwd = g._rev = None
+            self._mirror = {}
         # 'both' re-derives from fwd+rev by a device merge on next read
         g._both = None
         self.generation += 1
@@ -247,58 +262,98 @@ class GraphCache:
         del_d = np.array([t[1] for t in dels], np.int32)
         return ins_s, ins_d, ins_w, del_s, del_d
 
-    def _patch_device(
-        self, g, attr: str, ins_s, ins_d, ins_w, del_s, del_d
-    ) -> bool:
-        """Patch one DeviceCsr direction in place; False = caller must
-        fall back (capacity bucket overflow)."""
+    def _plan_patch(self, g, attr: str, ins_s, ins_d, ins_w, del_s, del_d):
+        """Plan one direction's patch against its PRE-batch host mirror:
+        the mirror is bit-identical to the device CSR order, so each
+        delete's first live (src, dst) occurrence is an O(degree) host
+        lookup and the device never key-matches. Returns None when the
+        capacity bucket would overflow (caller falls back to rebuild)."""
+        c = getattr(g, attr)
+        if c.e_valid + len(ins_s) > c.capacity:
+            return None
+        h_src, h_dst, h_w, h_off = self._mirror_for(g, attr)
+        taken: dict[tuple[int, int], int] = {}
+        del_pos = []
+        for s_, d_ in zip(del_s.tolist(), del_d.tolist()):
+            lo, hi = int(h_off[s_]), int(h_off[s_ + 1])
+            idxs = np.nonzero(h_dst[lo:hi] == d_)[0]
+            k = taken.get((s_, d_), 0)
+            if k < len(idxs):
+                del_pos.append(lo + int(idxs[k]))
+                taken[(s_, d_)] = k + 1
+            # else: delete of a nonexistent edge — a no-op, like replay
+        order = np.argsort(ins_s, kind="stable")
+        return (
+            np.asarray(del_pos, np.int64),
+            ins_s[order], ins_d[order], ins_w[order],
+        )
+
+    def _mirror_for(self, g, attr: str):
+        """Host mirror (src, dst, w, offsets) of one device direction,
+        in exactly the device CSR order; built once, patched in step."""
+        m = self._mirror.get(attr)
+        if m is None:
+            from muninn_tpu.graph.core import build_csr_arrays
+
+            if attr == "_fwd":
+                a, b = g._src, g._dst
+            else:
+                a, b = g._dst, g._src
+            off, ss, dd, ww = build_csr_arrays(a, b, g._w, self.num_nodes)
+            m = (ss, dd, ww, off)
+            self._mirror[attr] = m
+        return m
+
+    def _apply_patch(self, g, attr: str, plan) -> None:
         import jax.numpy as jnp
 
-        from muninn_tpu.graph.core import DeviceCsr, csr_delta_device
+        from muninn_tpu.graph.core import DeviceCsr, csr_patch_positions
 
+        del_pos, pis, pid, piw = plan
         c = getattr(g, attr)
         v = self.num_nodes
-        if c.e_valid + len(ins_s) > c.capacity:
-            return False
-        # pow2-bucket the delta arrays (shape-stable compiles); the
-        # floor of 1024 means every delta up to 1k edges reuses ONE
-        # compiled program (novel shapes cost 30-200s through this
-        # environment's tunnel compiler)
-        ki = max(1024, 1 << int(np.ceil(np.log2(max(len(ins_s), 1)))))
-        kd = max(1024, 1 << int(np.ceil(np.log2(max(len(del_s), 1)))))
-        order = np.argsort(ins_s, kind="stable")
-        pis = np.full(ki, v, np.int32)
-        pid = np.full(ki, v, np.int32)
-        piw = np.zeros(ki, np.float32)
-        pis[: len(ins_s)] = ins_s[order]
-        pid[: len(ins_s)] = ins_d[order]
-        piw[: len(ins_s)] = ins_w[order]
-        dkey = np.full(kd, 2**62, np.int64)
-        skeys = np.sort(del_s.astype(np.int64) * (v + 1) + del_d)
-        dkey[: len(del_s)] = skeys
-        # rounds = max multiplicity of one key in this delete batch,
-        # pow2-bucketed so typical batches share a compiled program
-        if len(skeys):
-            _, cnt = np.unique(skeys, return_counts=True)
-            mult = int(cnt.max())
-            del_rounds = 1 << int(np.ceil(np.log2(max(mult, 1))))
-        else:
-            del_rounds = 1
-        import jax
+        cap = c.capacity
+        # pow2-bucket the delta arrays with a 1024 floor so every delta
+        # up to 1k edges reuses ONE compiled program (novel shapes cost
+        # 30-200s through this environment's tunnel compiler)
+        ki = max(1024, 1 << int(np.ceil(np.log2(max(len(pis), 1)))))
+        kd = max(1024, 1 << int(np.ceil(np.log2(max(len(del_pos), 1)))))
+        dpos = np.full(kd, cap, np.int32)
+        dpos[: len(del_pos)] = del_pos
+        dsrc = np.full(kd, v, np.int32)
+        h_src, h_dst, h_w, h_off = self._mirror[attr]
+        dsrc[: len(del_pos)] = h_src[del_pos]
+        is_ = np.full(ki, v, np.int32)
+        id_ = np.full(ki, v, np.int32)
+        iw_ = np.zeros(ki, np.float32)
+        is_[: len(pis)] = pis
+        id_[: len(pis)] = pid
+        iw_[: len(pis)] = piw
 
-        # packed (src,dst) delete keys need 64-bit ints (V can exceed
-        # the 46k limit of int32 packing)
-        with jax.enable_x64(True):
-            off, ss, dd, ww, _ = csr_delta_device(
-                c.offsets, c.src, c.dst, c.weights, np.int32(c.e_valid),
-                jnp.asarray(dkey, jnp.int64), jnp.asarray(pis),
-                jnp.asarray(pid), jnp.asarray(piw), num_nodes=v,
-                del_rounds=del_rounds,
-            )
+        off, ss, dd, ww, _ = csr_patch_positions(
+            c.offsets, c.src, c.dst, c.weights,
+            jnp.asarray(dpos), jnp.asarray(dsrc),
+            jnp.asarray(is_), jnp.asarray(id_), jnp.asarray(iw_),
+            num_nodes=v,
+        )
         # the host replay already knows the exact new edge count (no
         # device sync needed): host COO is the source of truth
         setattr(g, attr, DeviceCsr(off, ss, dd, ww, len(self._src)))
-        return True
+
+        # patch the mirror the same way (np.delete keeps order; inserts
+        # land after existing equal-src edges, in rank order — exactly
+        # the device sort's (src, rank) key)
+        h_src2 = np.delete(h_src, del_pos)
+        h_dst2 = np.delete(h_dst, del_pos)
+        h_w2 = np.delete(h_w, del_pos)
+        ipos = np.searchsorted(h_src2, pis, side="right")
+        h_src3 = np.insert(h_src2, ipos, pis)
+        h_dst3 = np.insert(h_dst2, ipos, pid)
+        h_w3 = np.insert(h_w2, ipos, piw)
+        counts = np.bincount(h_src3, minlength=v)
+        h_off3 = np.zeros(v + 1, np.int32)
+        np.cumsum(counts, out=h_off3[1:])
+        self._mirror[attr] = (h_src3, h_dst3, h_w3, h_off3)
 
     def _apply_pending(self) -> None:
         """Replay queued deltas IN ORDER; a delete removes only the

@@ -309,105 +309,69 @@ def _to_device_csr(
 # H2D traffic, instead of a full host re-sort + re-upload of [E] arrays.
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "del_rounds"))
-def csr_delta_device(
+@partial(jax.jit, static_argnames=("num_nodes",))
+def csr_patch_positions(
     offsets: jax.Array,   # [V+1] int32
     src: jax.Array,       # [E_cap] int32 sorted, pads = V
     dst: jax.Array,       # [E_cap] int32, pads = V
     w: jax.Array,         # [E_cap] f32, pads = 0
-    e_valid: jax.Array,   # scalar int32
-    del_key: jax.Array,   # [Kd] int64 sorted packed src*(V+1)+dst keys;
-                          #      pads = int64 max
+    del_pos: jax.Array,   # [Kd] int32 CSR positions to remove; pads = E_cap
+    del_src: jax.Array,   # [Kd] int32 src at each removed position; pads = V
     ins_src: jax.Array,   # [Ki] int32 sorted by src; pads = V
     ins_dst: jax.Array,   # [Ki] int32; pads = V
     ins_w: jax.Array,     # [Ki] f32
     num_nodes: int,
-    del_rounds: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Apply (deletes, inserts) to a sorted padded CSR in place.
+    """Apply (deletes-by-position, inserts) to a sorted padded CSR.
 
-    Delete semantics match the host replay (graph_csr.c:219-247): each
-    delete key removes its first live occurrence in CSR order — which,
-    by counting-sort stability, is COO insertion order, so host and
-    device stay bit-identical. The first-occurrence pick is sort-free:
-    ``del_rounds`` segment-min sweeps (= the max multiplicity of a key
-    in the delete batch, usually 1), because a full-array stable sort
-    of emulated int64 keys measured ~4x slower than a host rebuild at
-    10M edges. Inserts append after existing equal-src edges. Returns
-    (offsets, src, dst, w, new_e_valid)."""
+    The HOST decides which CSR slots die: it mirrors the device order
+    bit-exactly (see GraphCache._patch_device), so finding a delete's
+    first live (src, dst) occurrence is a tiny host lookup — the device
+    never does key matching. (An earlier formulation matched packed
+    int64 keys on device with searchsorted: 64-bit emulation made those
+    two searches ~2.7s at 10M edges on v5e. Large 1D scatters are
+    similarly pathological, so compaction + insert-merge happen in ONE
+    multi-operand int32 lax.sort keyed by (masked src, stable rank) —
+    ~85ms at 16M slots. Ranks: surviving edges keep their position,
+    inserts rank E_cap+i, so inserts land after existing equal-src
+    edges — identical to the host replay (graph_csr.c:219-247).)
+
+    Returns (offsets, src, dst, w, new_e_valid)."""
     e_cap = src.shape[0]
-    kd = del_key.shape[0]
-    nn1 = jnp.int64(num_nodes + 1)
-    pos_e = jnp.arange(e_cap, dtype=jnp.int32)
-    valid_e = pos_e < e_valid
-
-    # ── deletes: per key, its first `multiplicity` occurrences go ──
-    key_e = jnp.where(
-        valid_e, src.astype(jnp.int64) * nn1 + dst, jnp.int64(2**62)
-    )
-    lo = jnp.searchsorted(del_key, key_e, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(del_key, key_e, side="right").astype(jnp.int32)
-    quota = hi - lo                       # deletes targeting this key
-    matched = valid_e & (quota > 0)
-    slot = jnp.minimum(lo, kd)           # group id per delete key
-    remove = jnp.zeros((e_cap,), bool)
-    taken = jnp.zeros((kd + 1,), jnp.int32)
-    big = jnp.int32(2**31 - 1)
-    for _ in range(del_rounds):
-        cand = jnp.where(matched & ~remove, pos_e, big)
-        earliest = jax.ops.segment_min(cand, slot, num_segments=kd + 1)
-        pick = (
-            matched & ~remove & (pos_e == earliest[slot]) & (taken[slot] < quota)
-        )
-        remove = remove | pick
-        taken = taken + jax.ops.segment_sum(
-            pick.astype(jnp.int32), slot, num_segments=kd + 1
-        )
-    keep = valid_e & ~remove
-    new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, new_pos, e_cap)
-    src2 = jnp.full((e_cap,), num_nodes, jnp.int32).at[tgt].set(src, mode="drop")
-    dst2 = jnp.full((e_cap,), num_nodes, jnp.int32).at[tgt].set(dst, mode="drop")
-    w2 = jnp.zeros((e_cap,), jnp.float32).at[tgt].set(w, mode="drop")
-    e_after = jnp.sum(keep.astype(jnp.int32))
-    rem_cnt = jax.ops.segment_sum(
-        remove.astype(jnp.int32), src, num_segments=num_nodes
-    )
-    offsets = offsets - jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(rem_cnt).astype(jnp.int32)]
-    )
-
-    # ── inserts: stable sorted merge (new edges after equal-src) ──
     ki = ins_src.shape[0]
+    pos_e = jnp.arange(e_cap, dtype=jnp.int32)
+    remove = jnp.zeros((e_cap,), bool).at[del_pos].set(True, mode="drop")
+    keep = (src < num_nodes) & ~remove
     live_i = ins_src < num_nodes
-    ipos = jnp.searchsorted(src2, ins_src, side="right").astype(jnp.int32)
-    ipos = jnp.minimum(ipos, e_after)  # pads in src2 sort last anyway
-    ipos_m = jnp.where(live_i, ipos, jnp.int32(2**31 - 1))
-    ins_tgt = jnp.where(live_i, ipos + jnp.arange(ki, dtype=jnp.int32), e_cap)
-    shift = jnp.searchsorted(ipos_m, pos_e, side="right").astype(jnp.int32)
-    old_tgt = jnp.where(pos_e < e_after, pos_e + shift, e_cap)
-    src3 = (
-        jnp.full((e_cap,), num_nodes, jnp.int32)
-        .at[old_tgt].set(src2, mode="drop")
-        .at[ins_tgt].set(ins_src, mode="drop")
+
+    comb_src = jnp.concatenate(
+        [jnp.where(keep, src, num_nodes),
+         jnp.where(live_i, ins_src, num_nodes)]
     )
-    dst3 = (
-        jnp.full((e_cap,), num_nodes, jnp.int32)
-        .at[old_tgt].set(dst2, mode="drop")
-        .at[ins_tgt].set(ins_dst, mode="drop")
+    comb_rank = jnp.concatenate(
+        [pos_e, e_cap + jnp.arange(ki, dtype=jnp.int32)]
     )
-    w3 = (
-        jnp.zeros((e_cap,), jnp.float32)
-        .at[old_tgt].set(w2, mode="drop")
-        .at[ins_tgt].set(ins_w, mode="drop")
+    comb_dst = jnp.concatenate(
+        [jnp.where(keep, dst, num_nodes),
+         jnp.where(live_i, ins_dst, num_nodes)]
     )
+    comb_w = jnp.concatenate(
+        [jnp.where(keep, w, 0.0), jnp.where(live_i, ins_w, 0.0)]
+    )
+    ss, _, dd3, ww3 = jax.lax.sort(
+        (comb_src, comb_rank, comb_dst, comb_w), num_keys=2
+    )
+    # live count <= e_cap (caller checks), so the dropped tail is pads
+    src3, dst3, w3 = ss[:e_cap], dd3[:e_cap], ww3[:e_cap]
+
+    ones_d = (del_src < num_nodes).astype(jnp.int32)
+    rem_cnt = jax.ops.segment_sum(ones_d, del_src, num_segments=num_nodes)
     ins_cnt = jax.ops.segment_sum(
         live_i.astype(jnp.int32), ins_src, num_segments=num_nodes
     )
-    offsets = offsets + jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(ins_cnt).astype(jnp.int32)]
-    )
-    e_new = e_after + jnp.sum(live_i.astype(jnp.int32))
+    delta = jnp.cumsum(ins_cnt - rem_cnt).astype(jnp.int32)
+    offsets = offsets + jnp.concatenate([jnp.zeros(1, jnp.int32), delta])
+    e_new = jnp.sum(keep.astype(jnp.int32)) + jnp.sum(live_i.astype(jnp.int32))
     return offsets, src3, dst3, w3, e_new
 
 

@@ -15,10 +15,10 @@ v5e, the re-stream is fully hidden behind the matmul (corpus DMA ≈
 scratch indexed by dynamic slices benchmarked *slower* — the dynamic
 scratch addressing cost exceeded the DMA it saved.
 
-Per-tile top-k maintenance is (row-min, replace-current-worst) rounds
-inside a ``while_loop`` that exits as soon as no row can improve: over
-a full stream each row admits ~k·ln(nj)/nj entries per tile, so the
-loop almost always runs 1-3 rounds, not k. At most k values from any
+Per-tile top-k maintenance is (row-min, replace-current-worst)
+rounds: a few always-run unrolled rounds plus one conditional tail for
+the rare tiles that still hold an improving candidate (over a full
+stream each row admits ~k·ln(nj)/nj entries per tile). At most k values from any
 tile can enter the global top-k, so this is exact. Masking
 (padding/soft-deletes) and the metric's corpus-norm term are folded
 into ONE precomputed additive penalty row — no in-kernel where/clamp
@@ -42,10 +42,11 @@ _MODE = {Metric.L2: 0, Metric.COSINE: 1, Metric.INNER_PRODUCT: 2}
 
 
 def _flat_topk_kernel(
-    q_ref,      # [TB, d] f32/bf16 (query tile i)
-    c_ref,      # [TC, d] f32/bf16 (corpus chunk j)
+    q_ref,      # [TB, d] f32/bf16/int8 (query tile i)
+    c_ref,      # [TC, d] f32/bf16/int8 (corpus chunk j)
     cp_ref,     # [1, TC] f32  additive penalty: sqnorm (l2) / 0, +BIG masked
-    qn_ref,     # [TB, 1] f32  query sqnorms
+    qn_ref,     # [TB, 1] f32  query sqnorms (int8: query scales)
+    cs_ref,     # [1, TC] f32  corpus dequant scales (int8 mode; else dummy)
     od_ref,     # [TB, k] f32  out dists (unsorted)
     oi_ref,     # [TB, k] i32  out ids   (global corpus ids)
     sd_ref,     # [TB, k] f32  scratch dists (current query tile)
@@ -65,23 +66,40 @@ def _flat_topk_kernel(
         sd_ref[:] = jnp.full_like(sd_ref, _BIG)
         si_ref[:] = jnp.full_like(si_ref, -1)
 
-    dots = jax.lax.dot_general(
-        q_ref[:], c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision,
-    )  # [TB, TC]
-    # the penalty row folds masking + metric constants into ONE add:
-    # masked slots land near +BIG (they rank behind every real
-    # candidate and are filtered at emit), so no in-kernel where/clamp
-    # passes are needed
-    cp = cp_ref[0, :][None, :]
-    if mode == 0:      # l2: qn + cn - 2*dot
-        tile = (qn_ref[:] - 2.0 * dots) + cp
-    elif mode == 1:    # cosine on pre-normalized vectors: 1 - dot
-        tile = (1.0 - dots) + cp
-    else:              # inner product: -dot
-        tile = cp - dots
+    if q_ref.dtype == jnp.int8:
+        # int8 x int8 -> int32 on the MXU (2x the bf16 rate, 1/4 the
+        # corpus HBM bytes); per-row scales de-quantize the dot:
+        # dot_f32 ~= dots_i32 * (qs * cs). qn_ref carries the QUERY
+        # scales and cs_ref the CORPUS scales (see caller).
+        dots_i = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [TB, TC]
+        dots = dots_i.astype(jnp.float32) * qn_ref[:] * cs_ref[0, :][None, :]
+        cp = cp_ref[0, :][None, :]
+        if mode == 1:      # cosine on pre-normalized vectors: 1 - dot
+            tile = (1.0 - dots) + cp
+        else:              # inner product: -dot
+            tile = cp - dots
+    else:
+        dots = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )  # [TB, TC]
+        # the penalty row folds masking + metric constants into ONE add:
+        # masked slots land near +BIG (they rank behind every real
+        # candidate and are filtered at emit), so no in-kernel
+        # where/clamp passes are needed
+        cp = cp_ref[0, :][None, :]
+        if mode == 0:      # l2: qn + cn - 2*dot
+            tile = (qn_ref[:] - 2.0 * dots) + cp
+        elif mode == 1:    # cosine on pre-normalized vectors: 1 - dot
+            tile = (1.0 - dots) + cp
+        else:              # inner product: -dot
+            tile = cp - dots
 
     col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (tile.shape[0], k), 1)
@@ -208,9 +226,22 @@ def flat_topk(
     cp = jnp.where(valid, base, _BIG).astype(jnp.float32)[None, :]  # [1, N_pad]
     qn = squared_norms(q)[:, None]                   # [B_pad, 1]
 
+    cs = jnp.zeros((1, c.shape[0]), jnp.float32)  # dummy outside int8
     if precision == "bfloat16":
         q = q.astype(jnp.bfloat16)
         c = c.astype(jnp.bfloat16)
+    elif precision == "int8":
+        # symmetric per-row quantization; dot_f32 ~= dot_i32 * qs * cs.
+        # cosine/ip only: the l2 form needs exact norms that the int8
+        # grid has no input slot for (and l2 callers want exactness).
+        if metric is Metric.L2:
+            raise ValueError("precision='int8' supports cosine/inner_product")
+        qs = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0   # [B,1]
+        csr_ = jnp.max(jnp.abs(c), axis=1, keepdims=True) / 127.0  # [N,1]
+        q = jnp.clip(jnp.round(q / jnp.maximum(qs, 1e-30)), -127, 127).astype(jnp.int8)
+        c = jnp.clip(jnp.round(c / jnp.maximum(csr_, 1e-30)), -127, 127).astype(jnp.int8)
+        qn = qs  # the qn slot carries the query scale in int8 mode
+        cs = csr_[:, 0][None, :]
 
     bp, dp = q.shape
     np_, _ = c.shape
@@ -237,6 +268,7 @@ def flat_topk(
             pl.BlockSpec((tc, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -260,7 +292,7 @@ def flat_topk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, c, cp, qn)
+    )(q, c, cp, qn, cs)
 
     od, oi = od[:b], oi[:b]
     order = jnp.argsort(od, axis=-1)

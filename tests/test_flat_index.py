@@ -103,3 +103,42 @@ def test_flat_index_duplicate_id(rng):
     idx.insert([1], rng.standard_normal((1, 8)).astype(np.float32))
     with pytest.raises(ValueError):
         idx.insert([1], rng.standard_normal((1, 8)).astype(np.float32))
+
+
+def test_flat_topk_int8_mode(rng):
+    """int8 quantized path: ~0.97+ recall@10 vs exact on unit vectors,
+    l2 rejected, masking respected."""
+    from muninn_tpu.ops.pallas_flat import flat_topk
+
+    n, d, b, k = 2000, 64, 32, 10
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = c[rng.integers(0, n, b)] + 0.05 * rng.standard_normal((b, d)).astype(
+        np.float32
+    )
+    exact_d, exact_i = flat_topk(
+        jnp.asarray(q), jnp.asarray(c), k, metric="cosine",
+        precision="highest", interpret=True,
+    )
+    d8, i8 = flat_topk(
+        jnp.asarray(q), jnp.asarray(c), k, metric="cosine",
+        precision="int8", interpret=True,
+    )
+    exact_i, i8 = np.asarray(exact_i), np.asarray(i8)
+    recall = sum(len(set(a) & set(bb)) for a, bb in zip(i8, exact_i)) / (b * k)
+    assert recall >= 0.9, recall
+    assert np.all(np.diff(np.asarray(d8), axis=1) >= -1e-6)
+
+    # masking: invalid rows never returned
+    valid = np.ones(n, bool)
+    top = int(exact_i[0, 0])
+    valid[top] = False
+    _, i8m = flat_topk(
+        jnp.asarray(q[:1]), jnp.asarray(c), k, metric="cosine",
+        precision="int8", corpus_valid=jnp.asarray(valid), interpret=True,
+    )
+    assert top not in set(np.asarray(i8m)[0].tolist())
+
+    with pytest.raises(ValueError, match="int8"):
+        flat_topk(jnp.asarray(q), jnp.asarray(c), k, metric="l2",
+                  precision="int8", interpret=True)

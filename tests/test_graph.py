@@ -255,3 +255,44 @@ def test_pagerank_weighted(rng):
     want = nx.pagerank(g, alpha=0.85, weight="weight", tol=1e-10)
     for k, v in want.items():
         assert got[f"n{k}"] == pytest.approx(v, abs=3e-4)
+
+
+def test_incremental_patch_bit_identical_to_rebuild(rng):
+    """Device arrays after an incremental patch must EXACTLY equal the
+    arrays a full rebuild would produce (order included) — the host
+    mirror / device order invariant the position-based patch relies on."""
+    from muninn_tpu.graph.adjacency import GraphCache
+
+    n, e = 200, 3000
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    # parallel duplicates on purpose
+    src[50:60] = src[0]
+    dst[50:60] = dst[0]
+    gc = GraphCache.from_edges(src, dst)
+    g = gc.graph()
+    for direction in ("forward", "reverse"):
+        g.csr(direction)
+
+    ins_s = rng.integers(0, n, 80).astype(np.int64)
+    ins_d = rng.integers(0, n, 80).astype(np.int64)
+    del_idx = rng.choice(e, 40, replace=False)
+    gc.remove_edges(src[del_idx].tolist(), dst[del_idx].tolist())
+    gc.add_edges(ins_s.tolist(), ins_d.tolist())
+    gc.incremental_rebuild()
+    g2 = gc.graph()
+    patched = {d: g2.csr(d) for d in ("forward", "reverse")}
+
+    # fresh rebuild from the same host COO
+    gc2 = GraphCache.from_edges(
+        np.array([gc.nodes.id_of(int(i)) for i in gc._src]),
+        np.array([gc.nodes.id_of(int(i)) for i in gc._dst]),
+    )
+    g3 = gc2.graph()
+    for d in ("forward", "reverse"):
+        a, b = patched[d], g3.csr(d)
+        e_v = a.e_valid
+        assert e_v == b.e_valid
+        np.testing.assert_array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
+        np.testing.assert_array_equal(np.asarray(a.src[:e_v]), np.asarray(b.src[:e_v]))
+        np.testing.assert_array_equal(np.asarray(a.dst[:e_v]), np.asarray(b.dst[:e_v]))
