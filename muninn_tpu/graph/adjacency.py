@@ -160,6 +160,13 @@ class GraphCache:
         if g is None or (fwd is None and rev is None):
             self.rebuild()
             return
+        # build the mirror for a materialized direction up front: the
+        # net-delta pass then answers existence queries with O(degree)
+        # mirror lookups instead of an O(E) scan
+        if fwd is not None:
+            self._mirror_for(g, "_fwd")
+        elif rev is not None:
+            self._mirror_for(g, "_rev")
         net = self._net_delta()
         if net is None:
             self.rebuild()
@@ -201,9 +208,10 @@ class GraphCache:
         creates new nodes (device shapes would change)."""
         from collections import deque
 
-        # vectorized pre-pass: live-edge multiplicity for every (s, d)
-        # key this batch deletes (one O(E) scan instead of one per
-        # delete)
+        # live-edge multiplicity for every (s, d) key this batch
+        # deletes: O(degree) mirror lookups when a direction mirror
+        # exists (the incremental path guarantees one), else one
+        # vectorized O(E) scan
         del_keys = []
         for r in self._pending:
             if r["op"] == "delete":
@@ -212,7 +220,17 @@ class GraphCache:
                 if s is not None and d is not None:
                     del_keys.append((s, d))
         existing_count: dict[tuple[int, int], int] = {}
-        if del_keys:
+        if del_keys and ("_fwd" in self._mirror or "_rev" in self._mirror):
+            flip = "_fwd" not in self._mirror
+            h_src, h_dst, h_w, h_off = self._mirror["_fwd" if not flip else "_rev"]
+            for s, d in del_keys:
+                key = (s, d)
+                if key in existing_count:
+                    continue
+                a, b = (d, s) if flip else (s, d)
+                lo, hi = int(h_off[a]), int(h_off[a + 1])
+                existing_count[key] = int(np.count_nonzero(h_dst[lo:hi] == b))
+        elif del_keys:
             v1 = len(self.nodes) + 1
             pack = self._src.astype(np.int64) * v1 + self._dst
             want = np.unique(
