@@ -9,9 +9,9 @@ ef_construction=200, cosine):
   ~2 MB/s, which would otherwise dominate and measure the tunnel,
   not the engine)
 - exact path: fused Pallas streaming distance+top-k at
-  precision="default" (single bf16 MXU pass); ``exact_recall`` is the
-  *measured* recall@10 against the exact-f32 ("highest") ranking, not
-  an assumption
+  precision="highest" (exact f32 ranking — recall 1.0 by construction);
+  the bf16 fast mode's QPS and *measured* recall vs the exact ranking
+  are reported alongside
 - HNSW path: fused single-dispatch query (Pallas routing + bf16 beam +
   exact rescore) at the ef=24 operating point
 - incremental churn: steady-state wave insert + delete/repair rates
@@ -77,20 +77,27 @@ def main():
     corpus = corpus_all[:N]
     corpus.block_until_ready()
 
-    # ── exact path ──
+    # ── exact path: headline is the TRUE-exact f32 ranking ──
     ii = flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
     true_ids = np.asarray(ii)  # exact-f32 ground truth
-    ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
-    fast_ids = np.asarray(ii)
-    exact_recall = sum(
-        len(set(a) & set(b)) for a, b in zip(fast_ids, true_ids)
-    ) / (N_QUERIES * K)
     t0 = time.time()
     reps = 5
     for _ in range(reps):
-        ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
+        ii = flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
         _ = np.asarray(ii)[0, 0]
     exact_qps = N_QUERIES * reps / (time.time() - t0)
+
+    # fast mode: one bf16 MXU pass; report its measured recall honestly
+    ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
+    fast_ids = np.asarray(ii)
+    fast_recall = sum(
+        len(set(a) & set(b)) for a, b in zip(fast_ids, true_ids)
+    ) / (N_QUERIES * K)
+    t0 = time.time()
+    for _ in range(reps):
+        ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
+        _ = np.asarray(ii)[0, 0]
+    fast_qps = N_QUERIES * reps / (time.time() - t0)
 
     # ── HNSW path (reference parameters; device-resident corpus) ──
     build_rate = hnsw_qps = hnsw_recall = 0.0
@@ -132,6 +139,7 @@ def main():
             s = N + w * wave_n
             idx.insert(np.arange(s, s + wave_n), corpus_all[s : s + wave_n])
             n_ins += wave_n
+        _ = np.asarray(idx.neighbors0[0, 0])  # drain async dispatches
         ins_rate = n_ins / (time.time() - t0)
 
         idx.delete(np.arange(0, 1024))  # warm delete/repair
@@ -140,6 +148,7 @@ def main():
         for w in range(1, 8):
             idx.delete(np.arange(w * 1024, (w + 1) * 1024))
             n_del += 1024
+        _ = np.asarray(idx.neighbors0[0, 0])
         del_rate = n_del / (time.time() - t0)
 
         # recall after churn vs exact ground truth on the live set
@@ -181,12 +190,14 @@ def main():
         pass
 
     result = {
-        "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine",
+        "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine_recall1.0",
         "value": round(exact_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(exact_qps / BASELINE_QPS, 2),
         "extras": {
-            "exact_recall_vs_f32": round(exact_recall, 5),
+            "exact_recall": 1.0,
+            "fast_mode_qps": round(fast_qps, 1),
+            "fast_mode_recall_vs_exact": round(fast_recall, 5),
             "hnsw_build_vec_per_s": round(build_rate, 1),
             "hnsw_build_vs_baseline": round(build_rate / BASELINE_BUILD, 2),
             "hnsw_query_qps": round(hnsw_qps, 1),

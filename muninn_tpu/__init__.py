@@ -30,14 +30,14 @@ The public API mirrors the reference's SQL surface as plain Python:
 ``resolve_entities``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from muninn_tpu.ops.distance import (  # noqa: F401
     Metric,
     pairwise_distances,
     parse_metric,
 )
-from muninn_tpu.index.flat import FlatIndex  # noqa: F401
+from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex  # noqa: F401
 from muninn_tpu.index.hnsw import HnswIndex  # noqa: F401
 from muninn_tpu.graph.api import Graph  # noqa: F401
 from muninn_tpu.graph.adjacency import GraphCache  # noqa: F401
@@ -49,6 +49,7 @@ __all__ = [
     "pairwise_distances",
     "parse_metric",
     "FlatIndex",
+    "QuantizedFlatIndex",
     "HnswIndex",
     "Graph",
     "GraphCache",

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from muninn_tpu.ops.distance import Metric, parse_metric, pairwise_distances
 from muninn_tpu.ops.topk import masked_topk, merge_topk
-from muninn_tpu.ops.pallas_flat import flat_topk
+from muninn_tpu.ops.pallas_flat import flat_topk, flat_topk_int8
 from muninn_tpu.index.store import VectorStore
 
 
@@ -113,6 +113,78 @@ class FlatIndex:
                                  corpus_valid=valid, precision=self.precision)
         else:
             d, slots = _xla_chunked_topk(q, corpus, valid, k, self.metric)
+        ids = self.store.ids_of(np.asarray(slots))
+        d = np.asarray(d)
+        if single:
+            return ids[0], d[0]
+        return ids, d
+
+
+class QuantizedFlatIndex:
+    """Exact-scan index over int8-quantized storage: 4x the corpus
+    capacity of ``FlatIndex`` per HBM byte, ~0.97+ recall@10 on
+    unit-norm embeddings, int8 MXU matmuls. cosine / inner_product.
+
+    Rows are (cosine: L2-normalized, then) symmetrically quantized to
+    int8 with one f32 scale per row at insert time; queries quantize
+    per call. Returned distances are quantized-dot approximations.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.COSINE,
+        *,
+        capacity: int = 1024,
+        use_pallas: bool | None = None,
+    ):
+        self.metric = parse_metric(metric)
+        if self.metric is Metric.L2:
+            raise ValueError("QuantizedFlatIndex supports cosine/inner_product")
+        self.store = VectorStore(dim, capacity, dtype=jnp.int8, row_scales=True)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.interpret = not use_pallas
+
+    @property
+    def dim(self) -> int:
+        return self.store.dim
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def insert(self, ids, vectors) -> None:
+        ids = np.asarray(ids, np.int64)
+        v = jnp.asarray(vectors, jnp.float32).reshape(len(ids), self.dim)
+        if self.metric is Metric.COSINE:
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        sc = jnp.max(jnp.abs(v), axis=1) / 127.0                    # [n]
+        vi = jnp.clip(
+            jnp.round(v / jnp.maximum(sc[:, None], 1e-30)), -127, 127
+        ).astype(jnp.int8)
+        slots = self.store.add(ids, vi)
+        # slots are contiguous (append-only store)
+        self.store.scales = jax.lax.dynamic_update_slice(
+            self.store.scales, sc.astype(jnp.float32), (int(slots[0]),)
+        )
+
+    def delete(self, ids) -> None:
+        self.store.remove(np.asarray(ids, np.int64))
+
+    def search(self, queries, k: int = 10):
+        """Batched KNN; same result contract as ``FlatIndex.search``."""
+        q = jnp.asarray(queries, jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        hw = max(self.store.high_watermark, 1)
+        d, slots = flat_topk_int8(
+            q, self.store.vectors[:hw], self.store.scales[:hw], k,
+            metric=self.metric, corpus_valid=self.store.valid[:hw],
+            interpret=self.interpret,
+        )
         ids = self.store.ids_of(np.asarray(slots))
         d = np.asarray(d)
         if single:

@@ -525,7 +525,7 @@ class HnswIndex:
 
         b = q.shape[0]
         cap = self.store.capacity
-        chunk = int(max(256, min(4096, (1 << 28) // max(cap, 1))))
+        chunk = int(max(1024, min(8192, (1 << 29) // max(cap, 1))))
         if b <= chunk:
             return one(q)
         pad = (-b) % chunk

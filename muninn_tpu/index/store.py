@@ -22,11 +22,15 @@ class VectorStore:
     """Append-oriented vector storage. Slots are dense int32; external ids
     are arbitrary int64 (the reference's SQLite rowids)."""
 
-    def __init__(self, dim: int, capacity: int = 1024, pad_multiple: int = 1024):
+    def __init__(self, dim: int, capacity: int = 1024, pad_multiple: int = 1024,
+                 dtype=jnp.float32, row_scales: bool = False):
         self.dim = int(dim)
         self.pad_multiple = int(pad_multiple)
+        self.dtype = dtype
         capacity = _round_up(max(int(capacity), pad_multiple), pad_multiple)
-        self.vectors = jnp.zeros((capacity, self.dim), jnp.float32)
+        self.vectors = jnp.zeros((capacity, self.dim), dtype)
+        # per-row dequantization scales (int8 storage mode)
+        self.scales = jnp.zeros((capacity,), jnp.float32) if row_scales else None
         self.valid = jnp.zeros((capacity,), bool)
         self._slot_of: dict[int, int] = {}
         self._id_of = np.full((capacity,), -1, np.int64)
@@ -51,6 +55,8 @@ class VectorStore:
             new_cap *= 2
         new_cap = _round_up(new_cap, self.pad_multiple)
         self.vectors = jnp.pad(self.vectors, ((0, new_cap - cap), (0, 0)))
+        if self.scales is not None:
+            self.scales = jnp.pad(self.scales, (0, new_cap - cap))
         self.valid = jnp.pad(self.valid, (0, new_cap - cap))
         self._id_of = np.pad(self._id_of, (0, new_cap - cap), constant_values=-1)
 
@@ -93,7 +99,7 @@ class VectorStore:
             raise ValueError("duplicate id within batch")
         self.reserve(n)
         slots = np.arange(self._high, self._high + n, dtype=np.int32)
-        vecs = jnp.asarray(vectors, jnp.float32).reshape(n, self.dim)
+        vecs = jnp.asarray(vectors, self.dtype).reshape(n, self.dim)
         # slots are contiguous: dynamic_update_slice, never a scatter
         self.vectors = jax.lax.dynamic_update_slice(
             self.vectors, vecs, (self._high, 0)

@@ -299,3 +299,96 @@ def flat_topk(
     od = jnp.take_along_axis(od, order, axis=-1)
     oi = jnp.take_along_axis(oi, order, axis=-1)
     return od, oi
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tb", "tc", "interpret"),
+)
+def flat_topk_int8(
+    queries: jax.Array,        # [B, d] f32
+    corpus_i8: jax.Array,      # [N, d] int8 (pre-quantized rows)
+    corpus_scale: jax.Array,   # [N] f32 per-row dequant scales
+    k: int,
+    *,
+    metric: Metric | str = Metric.COSINE,
+    corpus_valid: jax.Array | None = None,
+    tb: int = 256,
+    tc: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Smallest-k over an int8-STORED corpus (the 4x-capacity mode):
+    the corpus stays quantized at rest, only the queries are quantized
+    per call. cosine / inner_product; distances are quantized-dot
+    approximations (recall ~0.97+ @10 on unit-norm embeddings).
+
+    For cosine the stored rows must have been L2-normalized BEFORE
+    quantization (``QuantizedFlatIndex`` does this), so the scale fully
+    captures row magnitude and 1 - dot is the cosine distance.
+    """
+    metric = parse_metric(metric)
+    if metric is Metric.L2:
+        raise ValueError("int8 storage supports cosine/inner_product")
+    b, d = queries.shape
+    n = corpus_i8.shape[0]
+
+    q = queries.astype(jnp.float32)
+    if metric is Metric.COSINE:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    q = _pad_to(q, 128, 1, 0.0)
+    q = _pad_to(q, tb, 0, 0.0)
+    qs = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0       # [B,1]
+    qi = jnp.clip(jnp.round(q / jnp.maximum(qs, 1e-30)), -127, 127).astype(jnp.int8)
+
+    c = _pad_to(corpus_i8, 128, 1, jnp.int8(0))
+    c = _pad_to(c, tc, 0, jnp.int8(0))
+    valid = jnp.arange(c.shape[0]) < n
+    if corpus_valid is not None:
+        valid = valid & _pad_to(corpus_valid.astype(bool), tc, 0, False)
+    cp = jnp.where(valid, 0.0, _BIG).astype(jnp.float32)[None, :]
+    cs = _pad_to(corpus_scale.astype(jnp.float32), tc, 0, 0.0)[None, :]
+
+    bp, dp = qi.shape
+    np_, _ = c.shape
+    grid = (bp // tb, np_ // tc)
+    nj = np_ // tc
+    kernel = partial(
+        _flat_topk_kernel, k=k, tc=tc, mode=_MODE[metric],
+        mxu_precision=jax.lax.Precision.DEFAULT,
+        eager_rounds=2 if nj >= 256 else k,
+    )
+    od, oi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tb, k), jnp.float32),
+            pltpu.VMEM((tb, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * dp,
+            bytes_accessed=np_ * dp * grid[0] + bp * dp + bp * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qi, c, cp, qs, cs)
+
+    od, oi = od[:b], oi[:b]
+    order = jnp.argsort(od, axis=-1)
+    od = jnp.take_along_axis(od, order, axis=-1)
+    oi = jnp.take_along_axis(oi, order, axis=-1)
+    return od, oi

@@ -142,3 +142,48 @@ def test_flat_topk_int8_mode(rng):
     with pytest.raises(ValueError, match="int8"):
         flat_topk(jnp.asarray(q), jnp.asarray(c), k, metric="l2",
                   precision="int8", interpret=True)
+
+
+def test_quantized_flat_index(rng):
+    """int8-stored index: insert/search/delete contract + recall vs the
+    exact f32 index; storage really is int8 (4x capacity claim)."""
+    from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex
+
+    n, d, k = 3000, 48, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = v[rng.integers(0, n, 32)] + 0.05 * rng.standard_normal((32, d)).astype(
+        np.float32
+    )
+    exact = FlatIndex(d, "cosine")
+    exact.insert(np.arange(n), v)
+    ti, _ = exact.search(q, k=k)
+
+    qi = QuantizedFlatIndex(d, "cosine")
+    qi.insert(np.arange(n), v)
+    assert qi.store.vectors.dtype == jnp.int8
+    ids, dists = qi.search(q, k=k)
+    recall = sum(
+        len(set(map(int, a)) & set(map(int, b)))
+        for a, b in zip(np.asarray(ids), np.asarray(ti))
+    ) / (32 * k)
+    assert recall >= 0.9, recall
+    assert np.all(np.diff(np.asarray(dists), axis=1) >= -1e-6)
+
+    # single query + delete
+    one_ids, one_d = qi.search(q[0], k=3)
+    assert one_ids.shape == (3,)
+    top = int(one_ids[0])
+    qi.delete([top])
+    after, _ = qi.search(q[0], k=3)
+    assert top not in set(np.asarray(after).tolist())
+    assert len(qi) == n - 1
+
+    # growth across capacity boundary keeps scales in sync
+    extra = rng.standard_normal((1200, d)).astype(np.float32)
+    qi2 = QuantizedFlatIndex(d, "cosine", capacity=1024)
+    qi2.insert(np.arange(1200), extra)
+    ids2, _ = qi2.search(extra[7], k=1)
+    assert int(ids2[0]) == 7
+
+    with pytest.raises(ValueError, match="cosine/inner_product"):
+        QuantizedFlatIndex(d, "l2")
