@@ -143,13 +143,15 @@ class EngineClient:
         dim: int,
         *,
         metric: str = "l2",
-        kind: str = "hnsw",
+        kind: str = "hnsw",          # "hnsw" | "flat" | "quantized"
         m: int = 16,
         ef_construction: int = 200,
+        precision: str = "highest",  # flat only
     ) -> "RemoteIndex":
         self._request("/index/create", {
             "name": name, "dim": dim, "metric": metric, "kind": kind,
             "m": m, "ef_construction": ef_construction,
+            "precision": precision,
         })
         return RemoteIndex(self, name)
 

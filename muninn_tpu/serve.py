@@ -42,7 +42,7 @@ class EngineServer:
     # ── handlers ──
 
     def _index_create(self, body):
-        from muninn_tpu.index.flat import FlatIndex
+        from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex
         from muninn_tpu.index.hnsw import HnswIndex
 
         name = body["name"]
@@ -50,7 +50,12 @@ class EngineServer:
             raise ValueError(f"index {name!r} exists")
         kind = body.get("kind", "hnsw")
         if kind == "flat":
-            idx = FlatIndex(body["dim"], body.get("metric", "l2"))
+            idx = FlatIndex(
+                body["dim"], body.get("metric", "l2"),
+                precision=body.get("precision", "highest"),
+            )
+        elif kind == "quantized":
+            idx = QuantizedFlatIndex(body["dim"], body.get("metric", "cosine"))
         else:
             idx = HnswIndex(
                 body["dim"], body.get("metric", "l2"),

@@ -157,3 +157,23 @@ def test_sharded_flat_index(rng):
     # growth across shard boundary
     idx.insert(np.arange(1000, 1200), rng.standard_normal((200, 16)).astype(np.float32))
     assert len(idx) == 299
+
+
+def test_engine_server_quantized_index(rng):
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        st, r = _post(port, "/index/create",
+                      {"name": "q8", "dim": 16, "metric": "cosine",
+                       "kind": "quantized"})
+        assert st == 200 and r["kind"] == "quantized"
+        vecs = rng.standard_normal((50, 16)).astype(np.float32)
+        st, r = _post(port, "/index/insert",
+                      {"name": "q8", "ids": list(range(50)),
+                       "vectors": vecs.tolist()})
+        assert st == 200 and r["count"] == 50
+        st, r = _post(port, "/index/search",
+                      {"name": "q8", "queries": [vecs[9].tolist()], "k": 3})
+        assert st == 200 and r["ids"][0][0] == 9
+    finally:
+        srv.stop()
