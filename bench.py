@@ -103,9 +103,12 @@ def main():
     build_rate = hnsw_qps = hnsw_recall = 0.0
     ins_rate = del_rate = churn_recall = None
     try:
+        # capacity sized to N + churn + slack (NOT the next pow2):
+        # the beam loop is gather-bound and measurably slows with
+        # larger-than-needed tables
         idx = HnswIndex(
             DIM, "cosine", m=16, ef_construction=200,
-            wave_size=4096, capacity=262144, expand=8, seed=42,
+            wave_size=4096, capacity=N + CHURN + 4096, expand=8, seed=42,
         )
         t0 = time.time()
         idx.insert(np.arange(N), corpus)
