@@ -19,7 +19,7 @@ from muninn_tpu.graph import core
 from muninn_tpu.graph import traversal as trv
 from muninn_tpu.graph import centrality as ctr
 from muninn_tpu.graph import community as cmty
-from muninn_tpu.graph.pagerank import pagerank_device
+from muninn_tpu.graph.pagerank import pagerank_device, pagerank_sorted
 
 
 class Graph(core.Graph):
@@ -128,9 +128,14 @@ class Graph(core.Graph):
             deg_j = jnp.asarray(deg)
         else:
             deg_j = c.degrees().astype(jnp.float32)
+        # the pull iterates over TARGET-sorted edges (the opposite
+        # direction's CSR), where per-node sums are scatter-free prefix
+        # window sums — ~3x the XLA scatter-add SpMV at 10M edges
+        opposite = {"forward": "reverse", "reverse": "forward", "both": "both"}
+        cr = self.csr(opposite[direction])
         rank = np.asarray(
-            pagerank_device(
-                c.src, c.dst, c.weights, deg_j, self.num_nodes,
+            pagerank_sorted(
+                cr.offsets, cr.dst, cr.weights, deg_j, self.num_nodes,
                 damping, iterations, weighted,
             )
         )

@@ -40,3 +40,64 @@ def pagerank_device(
         return (1.0 - damping) / n + damping * (pulled + dangling_mass / n)
 
     return jax.lax.fori_loop(0, iterations, body, rank)
+
+
+@partial(
+    jax.jit, static_argnames=("num_nodes", "iterations", "weighted", "ch")
+)
+def pagerank_sorted(
+    roff: jax.Array,        # [V+1] int32 offsets of the TARGET-sorted CSR
+    tgt_src: jax.Array,     # [E_pad] int32 source node per target-sorted edge
+    w: jax.Array,           # [E_pad] f32 (pads 0)
+    out_degree: jax.Array,  # [V] f32
+    num_nodes: int,
+    damping: float = 0.85,
+    iterations: int = 20,
+    weighted: bool = False,
+    ch: int = 1024,
+) -> jax.Array:
+    """PageRank pull over a target-sorted CSR with NO scatter.
+
+    XLA's scatter-add caps the edge-parallel SpMV at ~60M edge/s on
+    v5e; with edges sorted by pull target, per-node sums are window
+    sums of a prefix — ``pulled[v] = S[roff[v+1]] - S[roff[v]]`` — and
+    the iteration becomes gather + two-level cumsum + gather, all
+    bandwidth-bound. The chunked two-level prefix keeps f32 error at
+    ~eps*log(chunks) absolute (the single-level cumsum over 10M values
+    would lose ~1e-6 of a rank vector summing to 1.0).
+    """
+    n = num_nodes
+    e_pad = tgt_src.shape[0]
+    ch = min(ch, e_pad)  # both pow2 (capacity buckets), so ch | e_pad
+    m = e_pad // ch
+    rank = jnp.full((n,), 1.0 / n, jnp.float32)
+    dangling = out_degree <= 0.0
+    safe_deg = jnp.maximum(out_degree, 1e-30)
+    valid = tgt_src < n                                        # pads = V
+    s_idx = jnp.minimum(tgt_src, n - 1)
+    share = jnp.where(
+        valid, (w if weighted else 1.0) / safe_deg[s_idx], 0.0
+    )
+
+    pos_hi = roff[1:]
+    pos_lo = roff[:-1]
+
+    def prefix_at(pre, localf, pos):
+        ci = pos // ch
+        off = pos % ch
+        loc = jnp.where(off > 0, localf[ci * ch + jnp.maximum(off - 1, 0)], 0.0)
+        return pre[ci] + loc
+
+    def body(_, rank):
+        contrib = rank[s_idx] * share                          # [E_pad]
+        c2 = contrib.reshape(m, ch)
+        local = jnp.cumsum(c2, axis=1)                         # [m, ch]
+        pre = jnp.concatenate(
+            [jnp.zeros(1, jnp.float32), jnp.cumsum(local[:, -1])]
+        )                                                      # [m+1]
+        localf = local.reshape(-1)
+        pulled = prefix_at(pre, localf, pos_hi) - prefix_at(pre, localf, pos_lo)
+        dangling_mass = jnp.sum(jnp.where(dangling, rank, 0.0))
+        return (1.0 - damping) / n + damping * (pulled + dangling_mass / n)
+
+    return jax.lax.fori_loop(0, iterations, body, rank)
