@@ -164,13 +164,14 @@ def _route_entries(
 def _beam_search_level0(
     queries: jax.Array,        # [B, d]
     entry: jax.Array,          # [B] int32
-    vectors: jax.Array,        # [cap, d]
+    vectors: jax.Array,        # [cap, d] f32 / bf16 / int8
     neighbors0: jax.Array,     # [cap, R0] int32
     metric: Metric,
     ef: int,
     expand: int = 4,
     max_iters: int = 0,
     patience: int = 0,
+    scales: jax.Array | None = None,   # [cap] f32 dequant (int8 vectors)
 ) -> tuple[jax.Array, jax.Array]:
     """Batched ef-bounded beam search at level 0.
 
@@ -213,7 +214,14 @@ def _beam_search_level0(
     if entry.ndim == 1:
         entry = entry[:, None]
     r_ent = entry.shape[1]
-    e_d = gathered_distances(queries, vectors[jnp.maximum(entry, 0)], metric)
+    def fetch(idx):
+        v = vectors[idx]
+        if scales is not None:
+            # int8 guidance: dequant after the (quarter-width) gather
+            v = v.astype(jnp.float32) * scales[idx][..., None]
+        return v
+
+    e_d = gathered_distances(queries, fetch(jnp.maximum(entry, 0)), metric)
     e_d = jnp.where(entry >= 0, e_d, _INF)
     beam_d = jnp.full((b, ef), jnp.inf).at[:, :r_ent].set(e_d)
     beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, :r_ent].set(entry)
@@ -258,7 +266,7 @@ def _beam_search_level0(
         )
         nbrs = jnp.where(in_beam | dup, -1, nbrs)
 
-        nvecs = vectors[jnp.maximum(nbrs, 0)]                     # [B, E*R0, d]
+        nvecs = fetch(jnp.maximum(nbrs, 0))                       # [B, E*R0, d]
         nd = gathered_distances(queries, nvecs, metric)
         nd = jnp.where(nbrs >= 0, nd, jnp.inf)
 
@@ -290,14 +298,15 @@ def _beam_search_level0(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "k", "ef", "expand", "r", "interpret"),
+    static_argnames=("metric", "k", "ef", "expand", "r", "interpret",
+                     "patience"),
 )
 def _search_topk_fused(
     q: jax.Array,            # [B, d] f32
     pool: jax.Array,         # [Mp] promoted slots, -1 pad
     pv: jax.Array,           # [Mp, d] pooled vectors (f32)
     vectors: jax.Array,      # [cap, d] f32 store
-    v16: jax.Array,          # [cap, d] bf16 shadow for the beam
+    v16: jax.Array,          # [cap, d] bf16/int8 shadow for the beam
     neighbors0: jax.Array,   # [cap, R0]
     valid: jax.Array,        # [cap] bool
     metric: Metric,
@@ -306,6 +315,8 @@ def _search_topk_fused(
     expand: int,
     r: int,
     interpret: bool = False,
+    scales: jax.Array | None = None,
+    patience: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """The full production query path in one XLA program: Pallas-kernel
     routing over the promoted pool, bf16 beam search, soft-delete
@@ -316,7 +327,8 @@ def _search_topk_fused(
     )
     entries = jnp.where(sel >= 0, pool[jnp.maximum(sel, 0)], -1)
     beam_d, beam_i = _beam_search_level0(
-        q, entries, v16, neighbors0, metric, ef, expand
+        q, entries, v16, neighbors0, metric, ef, expand,
+        patience=patience, scales=scales,
     )
     ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
     beam_i = jnp.where(ok, beam_i, -1)
@@ -411,7 +423,12 @@ class HnswIndex:
         # width is ~1.8x on query throughput; the final beam is rescored
         # against the f32 store so returned distances stay exact
         self.search_bf16 = jax.default_backend() == "tpu"
+        # beam guidance precision: "bf16" (default) or "int8" (quarter
+        # the gather bytes; exact rescore still fixes final ranking)
+        self.search_quant = "bf16"
+        self.beam_patience = 0  # 0 -> reference default max(ef/4, 10)
         self._v16: jax.Array | None = None
+        self._v8: tuple | None = None
         self._pool_vecs_cache: jax.Array | None = None
 
     # ── properties ──
@@ -516,11 +533,16 @@ class HnswIndex:
         r = min(self.route_entries, ef)
         interp = jax.default_backend() != "tpu"
 
+        if self.search_quant == "int8":
+            v16, scales = self._vecs8()
+        else:
+            scales = None
+
         def one(qc):
             return _search_topk_fused(
                 qc, pool, pv, self.store.vectors, v16, self.neighbors0,
                 self.store.valid, self.metric, k, ef, self.expand, r,
-                interp,
+                interp, scales, self.beam_patience,
             )
 
         b = q.shape[0]
@@ -601,6 +623,16 @@ class HnswIndex:
             self._v16 = self.store.vectors.astype(jnp.bfloat16)
         return self._v16
 
+    def _vecs8(self) -> tuple:
+        if self._v8 is None:
+            v = self.store.vectors
+            sc = jnp.max(jnp.abs(v), axis=1) / 127.0
+            vi = jnp.clip(
+                jnp.round(v / jnp.maximum(sc[:, None], 1e-30)), -127, 127
+            ).astype(jnp.int8)
+            self._v8 = (vi, sc.astype(jnp.float32))
+        return self._v8
+
     def _pool_vecs(self, pool: jax.Array) -> jax.Array:
         if self._pool_vecs_cache is None:
             self._pool_vecs_cache = self.store.vectors[jnp.maximum(pool, 0)]
@@ -608,6 +640,7 @@ class HnswIndex:
 
     def _invalidate_search_caches(self) -> None:
         self._v16 = None
+        self._v8 = None
         self._pool_vecs_cache = None
 
     def _routing_pool(self) -> jax.Array | None:

@@ -261,3 +261,40 @@ def test_bf16_search_path_matches_f32(rng):
     idx.delete([int(np.asarray(ids16)[0, 0])])
     ids_after, _ = idx.search(queries[:1], k=k, ef_search=32)
     assert hit not in set(np.asarray(ids_after)[0].tolist())
+
+
+def test_int8_beam_guidance_matches(rng):
+    """int8 beam guidance (quarter-width gathers) keeps recall within
+    noise of the f32 path: the exact rescore fixes final ranking."""
+    n, d, k = 2500, 32, 5
+    centers = rng.standard_normal((25, d)).astype(np.float32)
+    data = centers[rng.integers(0, 25, n)] + 0.1 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    queries = data[rng.integers(0, n, 48)] + 0.02 * rng.standard_normal(
+        (48, d)
+    ).astype(np.float32)
+    from muninn_tpu.index.flat import FlatIndex
+
+    flat = FlatIndex(d, "cosine")
+    flat.insert(np.arange(n), data)
+    true_ids, _ = flat.search(queries, k=k)
+
+    idx = HnswIndex(d, "cosine", m=8, ef_construction=64, wave_size=512)
+    idx.insert(np.arange(n), data)
+    idx.search_bf16 = True
+
+    def recall(ids):
+        return sum(
+            len(set(map(int, a[a >= 0])) & set(map(int, b)))
+            for a, b in zip(np.asarray(ids), np.asarray(true_ids))
+        ) / (len(queries) * k)
+
+    r16 = recall(idx.search(queries, k=k, ef_search=32)[0])
+    idx.search_quant = "int8"
+    r8 = recall(idx.search(queries, k=k, ef_search=32)[0])
+    assert r8 >= r16 - 0.03, (r8, r16)
+    # shorter patience still searches correctly
+    idx.beam_patience = 4
+    r8p = recall(idx.search(queries, k=k, ef_search=32)[0])
+    assert r8p >= r16 - 0.06, (r8p, r16)
