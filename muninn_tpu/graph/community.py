@@ -99,31 +99,77 @@ def _best_moves(
     return best_gain, best_tgt
 
 
+@partial(jax.jit, static_argnames=("num_nodes", "max_sweeps"))
+def _local_moving_device(
+    src, dst, w, comm0, k, m, gamma, restrict, num_nodes, key,
+    max_sweeps=30,
+):
+    """All local-moving sweeps as ONE device while_loop.
+
+    The earlier host loop pulled the [V] gain vector every sweep to
+    decide continuation and sampled the damping subset with numpy —
+    at 1M nodes that is ~4MB + a dispatch round-trip per sweep, and a
+    full 10M-edge Leiden runs hundreds of sweeps. Here continuation,
+    subset sampling (device PRNG), and the single-best-move progress
+    fallback all stay on device; the host syncs once per local-moving
+    phase."""
+
+    def cond(state):
+        comm, key, it, done = state
+        return (~done) & (it < max_sweeps)
+
+    def body(state):
+        comm, key, it, _ = state
+        sigma_tot = jax.ops.segment_sum(k, comm, num_segments=num_nodes)
+        gain, tgt = _best_moves(
+            src, dst, w, comm, k, sigma_tot, m, gamma, restrict, num_nodes
+        )
+        movable = gain > 1e-12
+        any_mov = jnp.any(movable)
+        key, sub = jax.random.split(key)
+        subset = jax.random.bernoulli(sub, 0.5, (num_nodes,))
+        apply = movable & subset
+        # ensure progress: if damping suppressed every move, apply the
+        # single best one
+        best = jnp.argmax(jnp.where(movable, gain, -jnp.inf))
+        fallback = (
+            jnp.zeros((num_nodes,), bool).at[best].set(True) & movable
+        )
+        apply = jnp.where(jnp.any(apply), apply, fallback)
+        comm = jnp.where(apply & any_mov, tgt, comm)
+        return comm, key, it + 1, ~any_mov
+
+    comm, key, _, done = jax.lax.while_loop(
+        cond, body, (comm0, key, jnp.int32(0), jnp.bool_(False))
+    )
+    return comm, key, done
+
+
 def _local_moving(
     src, dst, w, comm, k, m, gamma, restrict, num_nodes,
     rng: np.random.Generator, max_sweeps: int = 30,
 ) -> jax.Array:
-    """Run synchronous local-moving sweeps until no positive-gain moves."""
+    """Run synchronous local-moving sweeps until no positive-gain moves.
+
+    Sweeps run on device in short chunks (a single long-running XLA
+    program at 1M-scale trips this environment's TPU worker watchdog —
+    the round-1 Brandes lesson), with only a scalar done-flag synced
+    between chunks."""
+    key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
     comm = jnp.asarray(comm, jnp.int32)
     restrict_j = jnp.asarray(restrict, jnp.int32)
     mj = jnp.float32(m)
     gj = jnp.float32(gamma)
-    for _ in range(max_sweeps):
-        sigma_tot = jax.ops.segment_sum(k, comm, num_segments=num_nodes)
-        gain, tgt = _best_moves(
-            src, dst, w, comm, k, sigma_tot, mj, gj, restrict_j, num_nodes
+    chunk = 4
+    done = False
+    swept = 0
+    while swept < max_sweeps and not done:
+        comm, key, done_j = _local_moving_device(
+            src, dst, w, comm, k, mj, gj, restrict_j, num_nodes, key,
+            max_sweeps=min(chunk, max_sweeps - swept),
         )
-        movable = np.asarray(gain) > 1e-12
-        if not movable.any():
-            break
-        # random half-subset damping against oscillation
-        subset = rng.random(num_nodes) < 0.5
-        apply = jnp.asarray(movable & subset)
-        if not bool(apply.any()):
-            # ensure progress: apply the single best move
-            best = int(np.argmax(np.asarray(gain)))
-            apply = jnp.zeros(num_nodes, bool).at[best].set(True)
-        comm = jnp.where(apply, tgt, comm)
+        done = bool(done_j)  # 1-byte sync per chunk
+        swept += chunk
     return comm
 
 
@@ -197,27 +243,47 @@ def leiden(
 
     prev_q = -np.inf
     for _ in range(max_rounds):
-        sj, dj, wj = jnp.asarray(cur_src), jnp.asarray(cur_dst), jnp.asarray(cur_w)
-        k = jax.ops.segment_sum(wj, sj, num_segments=cur_n)
+        # pow2-bucket the per-round shapes: every aggregation shrinks
+        # the graph, and a novel (V, E) pair would recompile the whole
+        # local-moving while_loop (30-200s per shape through this
+        # environment's tunnel compiler). Padded nodes are isolated
+        # (k=0, never move); padded edges are w=0 self-loops on the
+        # first pad node — inert in every modularity term.
+        n_pad = 1 << int(np.ceil(np.log2(max(cur_n, 64))))
+        e_pad = 1 << int(np.ceil(np.log2(max(len(cur_src), 64))))
+        pad_node = min(cur_n, n_pad - 1)
+        ps = np.full(e_pad, pad_node, np.int32)
+        pd = np.full(e_pad, pad_node, np.int32)
+        pw = np.zeros(e_pad, np.float32)
+        ps[: len(cur_src)] = cur_src
+        pd[: len(cur_src)] = cur_dst
+        pw[: len(cur_src)] = cur_w
+        sj, dj, wj = jnp.asarray(ps), jnp.asarray(pd), jnp.asarray(pw)
+        k = jax.ops.segment_sum(wj, sj, num_segments=n_pad)
         m = float(cur_w.sum()) / 2.0
         if m <= 0:
             break
-        no_restrict = np.zeros(cur_n, np.int32)
+        no_restrict = np.zeros(n_pad, np.int32)
+
+        def padded(arr32):
+            out = np.arange(n_pad, dtype=np.int32)
+            out[: len(arr32)] = arr32
+            return out
 
         # phase 1: local moving from current (meta-)partition
         comm = _local_moving(
-            sj, dj, wj, init_comm, k, m,
-            resolution, no_restrict, cur_n, rng,
+            sj, dj, wj, padded(init_comm), k, m,
+            resolution, no_restrict, n_pad, rng,
         )
-        comm_np = _renumber(np.asarray(comm))
+        comm_np = _renumber(np.asarray(comm)[:cur_n])
 
         # phase 2: refinement — singletons, moves restricted to phase-1
         # communities (src/graph_community.c:238-312)
         refined = _local_moving(
-            sj, dj, wj, np.arange(cur_n, dtype=np.int32), k, m,
-            resolution, comm_np, cur_n, rng,
+            sj, dj, wj, jnp.arange(n_pad, dtype=jnp.int32), k, m,
+            resolution, padded(comm_np), n_pad, rng,
         )
-        refined_np = _renumber(np.asarray(refined))
+        refined_np = _renumber(np.asarray(refined)[:cur_n])
         # fallback if refinement fragments more than phase 1 helps
         # (reference fallback, :376-408)
         if refined_np.max() + 1 > comm_np.max() + 1:
