@@ -84,17 +84,20 @@ def _er_graph(rng, n, avg_deg):
 def run_vss(out, sizes, rng):
     """Vector search: build + query throughput + recall, flat vs hnsw
     (the reference's vss treatment compares 5 engines)."""
-    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex
     from muninn_tpu.index.hnsw import HnswIndex
 
     dim, k, n_q = 128, 10, 256
     for n in sizes:
         x = _clustered(rng, n, dim)
         q = _clustered(rng, n_q, dim)
-        for engine in ("flat", "hnsw"):
+        for engine in ("flat", "quantized", "hnsw"):
             t0 = time.time()
             if engine == "flat":
                 idx = FlatIndex(dim, "cosine")
+                idx.insert(np.arange(n), x)
+            elif engine == "quantized":
+                idx = QuantizedFlatIndex(dim, "cosine")
                 idx.insert(np.arange(n), x)
             else:
                 idx = HnswIndex(dim, "cosine", m=16, ef_construction=100,

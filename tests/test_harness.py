@@ -35,7 +35,9 @@ def test_vss_treatment_ef_sweep_records(tmp_path, rng):
     out.close()
     recs = [json.loads(l) for l in open(tmp_path / "v.jsonl")]
     engines = {r["permutation"]["engine"] for r in recs}
-    assert engines == {"flat", "hnsw"}
+    assert engines == {"flat", "quantized", "hnsw"}
+    qrec = next(r for r in recs if r["permutation"]["engine"] == "quantized")
+    assert qrec["metrics"]["recall_at_k"] >= 0.9
     sweep = [r for r in recs if "ef" in r["permutation"]]
     assert {r["permutation"]["ef"] for r in sweep} == {10, 16, 32, 64, 128}
     for r in sweep:
