@@ -75,9 +75,13 @@ class GraphCache:
         gc._w = np.asarray(g._w, np.float32)
         gc.generation = 1
         if gc._log is not None:
-            for s, d, ww in zip(g._src, g._dst, gc._w):
-                gc._log.append(op="insert", src=gc.nodes.id_of(int(s)),
-                               dst=gc.nodes.id_of(int(d)), w=float(ww))
+            ids = gc.nodes.ids
+            gc._log.append_many(
+                {"op": "insert", "src": ids[s], "dst": ids[d], "w": float(ww)}
+                for s, d, ww in zip(
+                    gc._src.tolist(), gc._dst.tolist(), gc._w.tolist()
+                )
+            )
         return gc
 
     # ── mutation (the trigger role) ──

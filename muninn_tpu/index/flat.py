@@ -155,6 +155,8 @@ class QuantizedFlatIndex:
 
     def insert(self, ids, vectors) -> None:
         ids = np.asarray(ids, np.int64)
+        if len(ids) == 0:
+            return  # match FlatIndex/VectorStore.add on the legal no-op
         v = jnp.asarray(vectors, jnp.float32).reshape(len(ids), self.dim)
         if self.metric is Metric.COSINE:
             v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30)

@@ -171,6 +171,15 @@ class DeltaLog:
         with open(self.path, "a") as f:
             f.write(json.dumps({"op": op, **payload}) + "\n")
 
+    def append_many(self, records) -> None:
+        """Bulk append: one file open + one write for a batch of record
+        dicts (each must carry "op"). The per-record ``append`` costs an
+        open/close per edge — minutes at 10M-edge bulk loads."""
+        with open(self.path, "a") as f:
+            f.write(
+                "".join(json.dumps(r) + "\n" for r in records)
+            )
+
     def __len__(self) -> int:
         if not self.path.exists():
             return 0

@@ -151,7 +151,10 @@ class EchoChatModel:
         elif "relation" in task.lower():
             out = json.dumps({"relations": self._relations(prompt)})
         elif "same real-world entity" in task.lower():
-            names = re.findall(r"'([^']*)'", prompt)
+            # the ER prompt formats names with !r: apostrophes flip the
+            # repr to double quotes, so match either quote style
+            names = re.findall(r"'([^']*)'|\"([^\"]*)\"", prompt)
+            names = [a or b for a, b in names]
             if len(names) >= 2:
                 ta = {w for w in re.split(r"\W+", names[0].lower()) if w}
                 tb = {w for w in re.split(r"\W+", names[1].lower()) if w}
