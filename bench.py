@@ -22,9 +22,18 @@ Baselines (darwin-arm64 CPU, BASELINE.md): query 0.41 ms/query at 100k
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "extras": {...}}
+
+Statistical discipline: every throughput metric is the MEDIAN of
+``REPEATS`` independently timed samples (each itself a multi-dispatch
+loop), with [min, max] ranges in ``extras.ranges`` — the TPU tunnel
+shows 2-3x run-to-run variance, so single-shot numbers can't
+distinguish a regression from noise. Medians below the committed
+``FLOORS`` (conservative: ~half the worst round-1/2 measurement) are
+reported in ``extras.floor_violations`` and warned to stderr.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -36,6 +45,31 @@ K = 10
 BASELINE_QPS = 1000.0 / 0.41      # 0.41 ms/query @ 100k, BASELINE.md
 BASELINE_BUILD = 147.6            # vec/s @ 100k
 BASELINE_RECALL = 0.916           # recall@10 @ 100k
+
+REPEATS = 3                       # timed samples per metric (median wins)
+
+# committed floors: a median below these is a real regression, not
+# tunnel noise (set ~2x below the weakest round-1/2 measurement)
+FLOORS = {
+    "exact_qps": 50_000.0,
+    "fast_mode_qps": 60_000.0,
+    "hnsw_query_qps": 9_000.0,
+    "hnsw_build_vec_per_s": 1_500.0,
+    "northstar_1m_768d_exact_qps": 18_000.0,
+}
+
+
+def sample_rate(fn, n_items, inner, repeats=REPEATS):
+    """Median/min/max items-per-second over `repeats` timed samples of
+    `inner` dispatches each. `fn` must force a tiny host fetch."""
+    vals = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(inner):
+            fn()
+        vals.append(n_items * inner / (time.time() - t0))
+    vals.sort()
+    return vals[len(vals) // 2], vals[0], vals[-1]
 
 
 def make_data(rng, n, dim, n_clusters=1000):
@@ -77,15 +111,18 @@ def main():
     corpus = corpus_all[:N]
     corpus.block_until_ready()
 
+    ranges: dict = {}
+
     # ── exact path: headline is the TRUE-exact f32 ranking ──
     ii = flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
     true_ids = np.asarray(ii)  # exact-f32 ground truth
-    t0 = time.time()
-    reps = 5
-    for _ in range(reps):
+
+    def run_exact():
         ii = flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
         _ = np.asarray(ii)[0, 0]
-    exact_qps = N_QUERIES * reps / (time.time() - t0)
+
+    exact_qps, *ranges_exact = sample_rate(run_exact, N_QUERIES, inner=4)
+    ranges["exact_qps"] = ranges_exact
 
     # fast mode: one bf16 MXU pass; report its measured recall honestly
     ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
@@ -93,11 +130,12 @@ def main():
     fast_recall = sum(
         len(set(a) & set(b)) for a, b in zip(fast_ids, true_ids)
     ) / (N_QUERIES * K)
-    t0 = time.time()
-    for _ in range(reps):
+
+    def run_fast():
         ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
         _ = np.asarray(ii)[0, 0]
-    fast_qps = N_QUERIES * reps / (time.time() - t0)
+
+    fast_qps, *ranges["fast_mode_qps"] = sample_rate(run_fast, N_QUERIES, inner=4)
 
     # ── HNSW path (reference parameters; device-resident corpus) ──
     build_rate = hnsw_qps = hnsw_recall = 0.0
@@ -119,10 +157,13 @@ def main():
 
         hq = queries[:2048]
         ids, _ = idx.search(hq, k=K, ef_search=24)  # warm/compile
-        t0 = time.time()
-        for _ in range(3):
-            ids, _ = idx.search(hq, k=K, ef_search=24)
-        hnsw_qps = 2048 * 3 / (time.time() - t0)
+
+        def run_hnsw():
+            idx.search(hq, k=K, ef_search=24)
+
+        hnsw_qps, *ranges["hnsw_query_qps"] = sample_rate(
+            run_hnsw, 2048, inner=3
+        )
         hits = sum(
             len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids[:2048])
         )
@@ -182,12 +223,15 @@ def main():
         ii = flat_topk(bigq, big, K, metric="cosine",
                        precision="bfloat16", tc=2048)[1]
         _ = np.asarray(ii)[0, 0]
-        t0 = time.time()
-        for _ in range(3):
+
+        def run_ns():
             ii = flat_topk(bigq, big, K, metric="cosine",
                            precision="bfloat16", tc=2048)[1]
             _ = np.asarray(ii)[0, 0]
-        northstar_qps = 4096 * 3 / (time.time() - t0)
+
+        northstar_qps, *ranges["northstar_1m_768d_exact_qps"] = sample_rate(
+            run_ns, 4096, inner=3
+        )
         del big, bigq
     except Exception:
         pass
@@ -218,8 +262,32 @@ def main():
             ),
             "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
             "backend": jax.default_backend(),
+            "repeats": REPEATS,
+            "ranges": {
+                k: [round(lo, 1), round(hi, 1)] for k, (lo, hi) in ranges.items()
+            },
         },
     }
+    medians = {
+        "exact_qps": exact_qps,
+        "fast_mode_qps": fast_qps,
+        "hnsw_query_qps": hnsw_qps,
+        "hnsw_build_vec_per_s": build_rate,
+        "northstar_1m_768d_exact_qps": northstar_qps,
+    }
+    violations = [
+        name for name, floor in FLOORS.items()
+        if medians.get(name) and medians[name] < floor
+    ]
+    if violations:
+        result["extras"]["floor_violations"] = violations
+        print(
+            f"WARNING: bench medians below committed floors: "
+            + ", ".join(
+                f"{v}={medians[v]:.0f}<{FLOORS[v]:.0f}" for v in violations
+            ),
+            file=sys.stderr,
+        )
     print(json.dumps(result))
 
 

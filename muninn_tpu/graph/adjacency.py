@@ -192,6 +192,7 @@ class GraphCache:
         # host arrays: exact in-order replay (cheap, O(delta) transfers)
         self._apply_pending()
         g._src, g._dst, g._w = self._src, self._dst, self._w
+        g._host_csr = {}  # host CSR cache follows the host arrays
         if ok:
             for attr, plan in plans.items():
                 if getattr(g, attr) is not None:
@@ -436,6 +437,7 @@ class GraphCache:
             g._w = self._w.copy()
             g.has_weights = self.weighted
             g._fwd = g._rev = None
+            g._host_csr = {}
             self._graph = g
         return self._graph
 

@@ -8,6 +8,19 @@ The Python-call surface replacing the reference's SQL TVFs
 ``src/graph_community.c``). Hidden-column SQL parameters become keyword
 arguments; results come back as numpy arrays / lists aligned to
 original node ids instead of SQL rows.
+
+Backend routing
+---------------
+Every analytics method takes ``backend='auto'|'host'|'device'``. The
+reference's entire published graph benchmark envelope is 100-10k nodes
+(``docs/benchmarks/graph.md:14-47``, ms scale); at those sizes one TPU
+tunnel dispatch (0.2-0.4 s) already loses by orders of magnitude, so
+'auto' routes small workloads to the native C++ kernels
+(``native/src/muninn_graph.cpp``) and keeps the device fixpoint kernels
+for scale. The decision is work-based: estimated host ops vs
+``MUNINN_HOST_GRAPH_BUDGET`` (default 1e8 ≈ a few hundred ms single
+thread). Both paths produce identical results (same tie-breaks, same
+epsilon rules) — tests assert cross-backend agreement.
 """
 
 from __future__ import annotations
@@ -15,11 +28,13 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from muninn_tpu import native
 from muninn_tpu.graph import core
 from muninn_tpu.graph import traversal as trv
 from muninn_tpu.graph import centrality as ctr
 from muninn_tpu.graph import community as cmty
 from muninn_tpu.graph.pagerank import pagerank_device, pagerank_sorted
+from muninn_tpu.graph.routing import use_host
 
 
 class Graph(core.Graph):
@@ -30,19 +45,29 @@ class Graph(core.Graph):
     'reverse' traverses dst->src, 'both' treats edges as undirected.
     """
 
+    def _use_host(self, backend: str, work: float) -> bool:
+        return use_host(backend, work)
+
     # ── traversal ──
 
-    def bfs(self, start, max_depth: int | None = None, direction: str = "forward"):
+    def bfs(self, start, max_depth: int | None = None,
+            direction: str = "forward", backend: str = "auto"):
         """Breadth-first traversal. Returns list of (node, depth, parent)
         ordered by (depth, node index), parent None for the root —
         the reference TVF's output columns (``src/graph_tvf.c:230-416``).
         """
         s = self.node_index(start)
         md = max_depth if max_depth is not None else self.num_nodes
-        c = self.csr(direction)
-        depth, parent = trv.bfs_device(c.src, c.dst, jnp.int32(s), self.num_nodes, md)
-        depth = np.asarray(depth)
-        parent = np.asarray(parent)
+        if self._use_host(backend, work=float(self.num_edges)):
+            off, _, dd, _ = self.host_csr(direction)
+            depth, parent = native.graph_bfs(off, dd, s, md)
+        else:
+            c = self.csr(direction)
+            depth, parent = trv.bfs_device(
+                c.src, c.dst, jnp.int32(s), self.num_nodes, md
+            )
+            depth = np.asarray(depth)
+            parent = np.asarray(parent)
         reached = np.nonzero(depth < 2**30)[0]
         order = reached[np.lexsort((reached, depth[reached]))]
         return [
@@ -55,13 +80,12 @@ class Graph(core.Graph):
         ]
 
     def dfs(self, start, max_depth: int | None = None, direction: str = "forward"):
-        """Depth-first traversal order (node, depth, parent)."""
+        """Depth-first traversal order (node, depth, parent). DFS is an
+        inherently sequential enumeration — always host."""
         s = self.node_index(start)
         md = max_depth if max_depth is not None else self.num_nodes
-        c = self.csr(direction)
-        rows = trv.dfs_host(
-            np.asarray(c.offsets), np.asarray(c.dst), s, md
-        )
+        off, _, dd, _ = self.host_csr(direction)
+        rows = trv.dfs_host(off, dd, s, md)
         return [
             (
                 self.nodes.id_of(v),
@@ -73,7 +97,7 @@ class Graph(core.Graph):
 
     def shortest_path(
         self, start, end, *, weighted: bool | None = None,
-        direction: str = "forward",
+        direction: str = "forward", backend: str = "auto",
     ):
         """Shortest path. Returns (path list of node ids, distance) or
         ([], inf) when unreachable. ``weighted`` defaults to whether
@@ -83,27 +107,38 @@ class Graph(core.Graph):
         t = self.node_index(end)
         if weighted is None:
             weighted = self.has_weights
-        c = self.csr(direction)
-        w = c.weights if weighted else jnp.ones_like(c.weights)
-        dist, parent = trv.sssp_with_parents(
-            c.src, c.dst, w, jnp.int32(s), self.num_nodes
-        )
-        dist = np.asarray(dist)
-        parent = np.asarray(parent)
+        # Dijkstra is ~E log V; the device Bellman-Ford is depth x E
+        if self._use_host(backend, work=8.0 * self.num_edges):
+            hs, hd, hw = self.host_coo(direction)
+            w = hw if weighted else np.ones_like(hw)
+            dist, parent = native.graph_sssp(hs, hd, w, self.num_nodes, s)
+        else:
+            c = self.csr(direction)
+            w = c.weights if weighted else jnp.ones_like(c.weights)
+            dist, parent = trv.sssp_with_parents(
+                c.src, c.dst, w, jnp.int32(s), self.num_nodes
+            )
+            dist = np.asarray(dist)
+            parent = np.asarray(parent)
         if not np.isfinite(dist[t]):
             return [], float("inf")
         path_idx = trv.reconstruct_path(parent, s, t)
         return [self.nodes.id_of(i) for i in path_idx], float(dist[t])
 
-    def connected_components(self):
+    def connected_components(self, backend: str = "auto"):
         """Returns dict node_id -> (component_id, component_size);
         component ids are 0..k-1 renumbered by first appearance
         (``src/graph_tvf.c:1204-1360``). Undirected semantics (the
         reference's union-find ignores direction)."""
-        c = self.csr("both")
-        comp = np.asarray(
-            trv.connected_components_device(c.src, c.dst, self.num_nodes)
-        )
+        if self._use_host(backend, work=float(self.num_edges)):
+            comp = native.graph_components(
+                self._src, self._dst, self.num_nodes
+            )
+        else:
+            c = self.csr("both")
+            comp = np.asarray(
+                trv.connected_components_device(c.src, c.dst, self.num_nodes)
+            )
         _, inv = np.unique(comp, return_inverse=True)
         sizes = np.bincount(inv)
         return {
@@ -116,10 +151,26 @@ class Graph(core.Graph):
     def pagerank(
         self, damping: float = 0.85, iterations: int = 20,
         *, weighted: bool = False, direction: str = "forward",
+        backend: str = "auto",
     ) -> dict:
         """PageRank with dangling redistribution; defaults match the
         reference (damping=0.85, iterations=20,
         ``src/graph_tvf.c:1631-1717``). Returns node_id -> rank."""
+        e_dir = self.num_edges * (2 if direction == "both" else 1)
+        if self._use_host(backend, work=float(e_dir) * iterations):
+            hs, hd, hw = self.host_coo(direction)
+            deg = np.zeros(self.num_nodes, np.float32)
+            if weighted:
+                np.add.at(deg, hs, hw)
+            else:
+                np.add.at(deg, hs, 1.0)
+            rank = native.graph_pagerank(
+                hs, hd, hw, deg, damping, iterations, weighted
+            )
+            return {
+                self.nodes.id_of(i): float(rank[i])
+                for i in range(self.num_nodes)
+            }
         c = self.csr(direction)
         if weighted:
             hs, _, hw = c.host_coo()
@@ -157,19 +208,19 @@ class Graph(core.Graph):
         self, *, normalized: bool = False, direction: str = "both",
         weighted: bool = False, sample_sources: int | None = None,
         auto_approx_threshold: int = ctr.DEFAULT_APPROX_THRESHOLD,
-        seed: int = 0,
+        seed: int = 0, backend: str = "auto",
     ) -> dict:
         """Brandes node betweenness (``src/graph_centrality.c:393-512``).
         sqrt(N)-source sampling above ``auto_approx_threshold``."""
-        c = self.csr(direction)
-        hs, hd, hw = c.host_coo()
-        w = hw if weighted else np.ones(c.num_edges, np.float32)
+        hs, hd, hw = self.host_coo(direction)
+        w = hw if weighted else np.ones(len(hs), np.float32)
         s, d, w = ctr.dedupe_parallel_edges(hs, hd, w, self.num_nodes)
         cb, _ = ctr.betweenness(
             s, d, w, self.num_nodes,
             undirected=(direction == "both"), normalized=normalized,
             sample_sources=sample_sources,
             auto_approx_threshold=auto_approx_threshold, seed=seed,
+            backend=backend, weighted_alg=weighted,
         )
         return {self.nodes.id_of(i): float(cb[i]) for i in range(self.num_nodes)}
 
@@ -177,19 +228,19 @@ class Graph(core.Graph):
         self, *, normalized: bool = False, direction: str = "both",
         weighted: bool = False, sample_sources: int | None = None,
         auto_approx_threshold: int = ctr.DEFAULT_APPROX_THRESHOLD,
-        seed: int = 0,
+        seed: int = 0, backend: str = "auto",
     ) -> dict:
         """Edge betweenness keyed by (src_id, dst_id). For 'both', the
         two orientations of an input edge are combined."""
-        c = self.csr(direction)
-        hs, hd, hw = c.host_coo()
-        w = hw if weighted else np.ones(c.num_edges, np.float32)
+        hs, hd, hw = self.host_coo(direction)
+        w = hw if weighted else np.ones(len(hs), np.float32)
         srcs, dsts, w = ctr.dedupe_parallel_edges(hs, hd, w, self.num_nodes)
         _, eb = ctr.betweenness(
             srcs, dsts, w, self.num_nodes,
             undirected=(direction == "both"), normalized=normalized,
             want_edge=True, sample_sources=sample_sources,
             auto_approx_threshold=auto_approx_threshold, seed=seed,
+            backend=backend, weighted_alg=weighted,
         )
         out: dict = {}
         for s, d, v in zip(srcs.tolist(), dsts.tolist(), eb.tolist()):
@@ -202,35 +253,37 @@ class Graph(core.Graph):
 
     def closeness(
         self, *, normalized: bool = True, direction: str = "both",
-        weighted: bool = False,
+        weighted: bool = False, backend: str = "auto",
     ) -> dict:
         """Closeness with Wasserman-Faust correction when normalized
         (``src/graph_centrality.c:1404-1434``). For directed graphs the
         standard definition uses *incoming* distances, so 'forward'
         here measures distance from the node along edge direction."""
-        c = self.csr(
+        eff_dir = (
             "both" if direction == "both"
             else ("reverse" if direction == "forward" else "forward")
         )
-        hs, hd, hw = c.host_coo()
-        w = hw if weighted else np.ones(c.num_edges, np.float32)
-        vals = ctr.closeness(hs, hd, w, self.num_nodes, normalized=normalized)
+        hs, hd, hw = self.host_coo(eff_dir)
+        w = hw if weighted else np.ones(len(hs), np.float32)
+        vals = ctr.closeness(
+            hs, hd, w, self.num_nodes, normalized=normalized,
+            backend=backend, weighted_alg=weighted,
+        )
         return {self.nodes.id_of(i): float(vals[i]) for i in range(self.num_nodes)}
 
     # ── communities ──
 
     def leiden(
         self, *, resolution: float = 1.0, seed: int = 0,
-        max_rounds: int = 100,
+        max_rounds: int = 100, backend: str = "auto",
     ):
         """Leiden communities. Returns (node_id -> community_id,
         modularity) — the reference TVF emits (node, community_id,
         modularity) rows (``src/graph_community.c``)."""
-        c = self.csr("both")
-        hs, hd, hw = c.host_coo()
+        hs, hd, hw = self.host_coo("both")
         labels, q = cmty.leiden(
             hs, hd, hw, self.num_nodes, resolution=resolution, seed=seed,
-            max_rounds=max_rounds,
+            max_rounds=max_rounds, backend=backend,
         )
         return (
             {self.nodes.id_of(i): int(labels[i]) for i in range(self.num_nodes)},
@@ -238,8 +291,7 @@ class Graph(core.Graph):
         )
 
     def modularity(self, labels: dict, resolution: float = 1.0) -> float:
-        c = self.csr("both")
-        hs, hd, hw = c.host_coo()
+        hs, hd, hw = self.host_coo("both")
         lab = np.array(
             [labels[self.nodes.id_of(i)] for i in range(self.num_nodes)],
             np.int32,

@@ -26,6 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from muninn_tpu import native
+from muninn_tpu.graph.routing import use_host
 from muninn_tpu.graph.traversal import multi_source_distances
 
 DEFAULT_APPROX_THRESHOLD = 50000
@@ -153,12 +155,19 @@ def betweenness(
     auto_approx_threshold: int = DEFAULT_APPROX_THRESHOLD,
     batch: int = 64,
     seed: int = 0,
+    backend: str = "auto",
+    weighted_alg: bool = True,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Brandes betweenness over all (or sampled) sources.
 
     ``undirected``: pass the 'both'-direction COO and set True — path
     counts are halved like the reference (:478-487). Normalization is
     (N-1)(N-2) [/2 undirected] (:490-499).
+
+    ``backend``/``weighted_alg``: small source x edge workloads route
+    to the native sequential Brandes (``muninn_graph.cpp``) — see
+    ``graph.routing``; ``weighted_alg=False`` lets the host use plain
+    BFS instead of Dijkstra when all weights are 1.
     """
     n = num_nodes
     if n < 2:
@@ -176,6 +185,18 @@ def betweenness(
         rng = np.random.default_rng(seed)
         all_sources = rng.choice(n, size=sample_sources, replace=False).astype(np.int32)
         scale = n / float(sample_sources)
+
+    if use_host(backend, float(len(all_sources)) * max(len(src), 1)):
+        node_cb, edge_raw = native.graph_brandes(
+            src, dst, w, n, all_sources,
+            weighted=weighted_alg, want_edge=want_edge,
+        )
+        node_cb = node_cb.copy()
+        edge_cb = edge_raw.copy() if want_edge else None
+        return _betweenness_post(
+            node_cb, edge_cb, n, len(src), scale, undirected, normalized,
+            want_edge,
+        )
 
     sj = jnp.asarray(src)
     dj = jnp.asarray(dst)
@@ -205,6 +226,17 @@ def betweenness(
         if want_edge:
             edge_cb += ecb
 
+    return _betweenness_post(
+        node_cb, edge_cb, n, len(src), scale, undirected, normalized,
+        want_edge,
+    )
+
+
+def _betweenness_post(
+    node_cb, edge_cb, n, e, scale, undirected, normalized, want_edge,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Shared sampling-scale / undirected-halving / normalization tail
+    applied to raw Brandes sums from either backend."""
     node_cb *= scale
     if want_edge:
         edge_cb *= scale
@@ -236,6 +268,8 @@ def closeness(
     *,
     normalized: bool = True,
     batch: int = 256,
+    backend: str = "auto",
+    weighted_alg: bool = True,
 ) -> np.ndarray:
     """Closeness centrality: per-source SSSP sums
     (``src/graph_centrality.c:1404-1434``). ``normalized`` applies the
@@ -243,6 +277,10 @@ def closeness(
     that edges point *toward* the measured node (reverse direction) for
     the standard definition on directed graphs."""
     n = num_nodes
+    if use_host(backend, float(n) * max(len(src), 1)):
+        return native.graph_closeness(
+            src, dst, w, n, weighted=weighted_alg, normalized=normalized
+        )
     # bound the source batch exactly like betweenness: the Bellman-Ford
     # relax step materializes [S, E] f32 temporaries, so an unbounded
     # batch at 10M edges (~10 GB/array) crashes the TPU worker

@@ -224,10 +224,26 @@ def leiden(
     resolution: float = 1.0,
     max_rounds: int = 100,
     seed: int = 0,
+    backend: str = "auto",
 ) -> tuple[np.ndarray, float]:
     """Full Leiden loop. Inputs are the undirected 'both' COO (each
     edge in both orientations). Returns (labels int32[V], modularity).
+
+    Small graphs route to the native sequential Leiden
+    (``muninn_graph.cpp`` — queue-based local moving, the
+    ``src/graph_community.c`` structure); the device sort-based
+    synchronous sweeps take over at scale. ~40 host ops per edge is the
+    measured cost of a full host run.
     """
+    from muninn_tpu import native
+    from muninn_tpu.graph.routing import use_host
+
+    if use_host(backend, 40.0 * max(len(src), 1)):
+        labels, q = native.graph_leiden(
+            src, dst, w, num_nodes, resolution, max_rounds, seed
+        )
+        return labels, q
+
     rng = np.random.default_rng(seed)
     labels = np.arange(num_nodes, dtype=np.int32)  # node -> community
     cur_src, cur_dst, cur_w = (

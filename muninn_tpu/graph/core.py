@@ -162,6 +162,7 @@ class Graph:
         self.has_weights = weights is not None
         self._fwd: DeviceCsr | None = None
         self._rev: DeviceCsr | None = None
+        self._host_csr: dict[str, tuple] = {}
 
     # ── construction ──
 
@@ -275,6 +276,32 @@ class Graph:
     def _build(self, s: np.ndarray, d: np.ndarray) -> DeviceCsr:
         off, ss, dd, ww = build_csr_arrays(s, d, self._w, self.num_nodes)
         return _to_device_csr(off, ss, dd, ww, self.num_nodes)
+
+    def host_coo(self, direction: str = "forward"):
+        """(src, dst, w) numpy COO in the requested direction with NO
+        device involvement — the small-graph host fast path must never
+        pay a tunnel dispatch. 'both' doubles each edge."""
+        if direction not in DIRECTIONS:
+            raise ValueError(f"direction must be one of {DIRECTIONS}")
+        if direction == "forward":
+            return self._src, self._dst, self._w
+        if direction == "reverse":
+            return self._dst, self._src, self._w
+        return (
+            np.concatenate([self._src, self._dst]),
+            np.concatenate([self._dst, self._src]),
+            np.concatenate([self._w, self._w]),
+        )
+
+    def host_csr(self, direction: str = "forward"):
+        """(offsets, src, dst, w) numpy CSR via the native counting
+        sort, cached per direction. Device arrays are untouched."""
+        hit = self._host_csr.get(direction)
+        if hit is None:
+            s, d, w = self.host_coo(direction)
+            hit = build_csr_arrays(s, d, w, self.num_nodes)
+            self._host_csr[direction] = hit
+        return hit
 
     def node_index(self, node_id) -> int:
         idx = self.nodes.find(node_id)

@@ -22,7 +22,7 @@ from pathlib import Path
 import numpy as np
 
 _DIR = Path(__file__).resolve().parent
-_SRC = _DIR / "src" / "muninn_host.cpp"
+_SRCS = [_DIR / "src" / "muninn_host.cpp", _DIR / "src" / "muninn_graph.cpp"]
 _LIB = _DIR / "libmuninn_host.so"
 
 _lib = None
@@ -34,7 +34,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                "-o", str(_LIB), str(_SRC),
+                "-o", str(_LIB), *map(str, _SRCS),
             ],
             check=True, capture_output=True, timeout=120,
         )
@@ -47,7 +47,8 @@ def _load():
     global _lib, HAVE_NATIVE
     if _lib is not None:
         return _lib
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    src_mtime = max(s.stat().st_mtime for s in _SRCS)
+    if not _LIB.exists() or _LIB.stat().st_mtime < src_mtime:
         if not _build():
             return None
     try:
@@ -63,6 +64,7 @@ def _load():
     lib.muninn_intern_bytes.restype = ctypes.c_int64
     lib.muninn_csr_apply_delta.restype = ctypes.c_int64
     lib.muninn_jaro_winkler.restype = ctypes.c_double
+    lib.muninn_graph_leiden.restype = ctypes.c_double
     _lib = lib
     HAVE_NATIVE = True
     return lib
@@ -315,3 +317,173 @@ def _jw_py(a: str, b: str) -> float:
         else:
             break
     return jv + prefix * 0.1 * (1.0 - jv)
+
+
+# ──────────────── small-graph host kernels (muninn_graph.cpp) ────────────────
+# Below ~10^5 edges the TPU tunnel's 0.2-0.4 s dispatch dwarfs the
+# compute; these route such graphs to classic sequential algorithms at
+# the reference's ms scale (its whole published graph envelope is
+# 100-10k nodes, docs/benchmarks/graph.md). No numpy fallbacks here:
+# callers fall back to the DEVICE kernels when native is unavailable,
+# so results are always produced either way.
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_F32P = ctypes.POINTER(ctypes.c_float)
+_F64P = ctypes.POINTER(ctypes.c_double)
+
+
+def graph_available() -> bool:
+    return _load() is not None
+
+
+def _i32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, np.int32)
+
+
+def _f32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, np.float32)
+
+
+def graph_bfs(offsets, dst, start: int, max_depth: int):
+    """BFS over a forward CSR -> (depth int32[V] (2^30 unreached),
+    parent int32[V]). Same min-index-predecessor tie-break as
+    traversal.bfs_device. None if native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = _i32(offsets)
+    dst = _i32(dst)
+    v = len(offsets) - 1
+    depth = np.empty(v, np.int32)
+    parent = np.empty(v, np.int32)
+    lib.muninn_graph_bfs(
+        offsets.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        ctypes.c_int32(v), ctypes.c_int32(start),
+        ctypes.c_int32(min(max_depth, 2**30)),
+        depth.ctypes.data_as(_I32P), parent.ctypes.data_as(_I32P),
+    )
+    return depth, parent
+
+
+def graph_components(src, dst, num_nodes: int):
+    """Union-find components; labels = min node index per component
+    (what min-label propagation converges to). None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(src), _i32(dst)
+    comp = np.empty(num_nodes, np.int32)
+    lib.muninn_graph_components(
+        src.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        ctypes.c_int64(len(src)), ctypes.c_int32(num_nodes),
+        comp.ctypes.data_as(_I32P),
+    )
+    return comp
+
+
+def graph_pagerank(src, dst, w, out_degree, damping: float,
+                   iterations: int, weighted: bool):
+    """Power iteration with dangling redistribution (the
+    pagerank_device formula, double accumulation)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(src), _i32(dst)
+    w = _f32(w)
+    out_degree = _f32(out_degree)
+    v = len(out_degree)
+    rank = np.empty(v, np.float32)
+    lib.muninn_graph_pagerank(
+        src.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        w.ctypes.data_as(_F32P), out_degree.ctypes.data_as(_F32P),
+        ctypes.c_int64(len(src)), ctypes.c_int32(v),
+        ctypes.c_float(damping), ctypes.c_int32(iterations),
+        ctypes.c_int32(1 if weighted else 0),
+        rank.ctypes.data_as(_F32P),
+    )
+    return rank
+
+
+def graph_sssp(src, dst, w, num_nodes: int, start: int):
+    """Dijkstra + tight-edge min-index parents (the
+    traversal.sssp_with_parents contract). None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(src), _i32(dst)
+    w = _f32(w)
+    dist = np.empty(num_nodes, np.float32)
+    parent = np.empty(num_nodes, np.int32)
+    lib.muninn_graph_sssp(
+        src.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        w.ctypes.data_as(_F32P), ctypes.c_int64(len(src)),
+        ctypes.c_int32(num_nodes), ctypes.c_int32(start),
+        dist.ctypes.data_as(_F32P), parent.ctypes.data_as(_I32P),
+    )
+    return dist, parent
+
+
+def graph_brandes(src, dst, w, num_nodes: int, sources,
+                  weighted: bool, want_edge: bool):
+    """Raw Brandes sums over the given sources -> (node_cb f64[V],
+    edge_cb f64[E] | None). Scaling/halving/normalization stay with the
+    Python wrapper (centrality.betweenness)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(src), _i32(dst)
+    w = _f32(w)
+    sources = _i32(sources)
+    node_cb = np.empty(num_nodes, np.float64)
+    edge_cb = np.empty(len(src) if want_edge else 1, np.float64)
+    lib.muninn_graph_brandes(
+        src.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        w.ctypes.data_as(_F32P), ctypes.c_int64(len(src)),
+        ctypes.c_int32(num_nodes),
+        sources.ctypes.data_as(_I32P), ctypes.c_int32(len(sources)),
+        ctypes.c_int32(1 if weighted else 0),
+        ctypes.c_int32(1 if want_edge else 0),
+        node_cb.ctypes.data_as(_F64P), edge_cb.ctypes.data_as(_F64P),
+    )
+    return node_cb, (edge_cb if want_edge else None)
+
+
+def graph_closeness(src, dst, w, num_nodes: int, weighted: bool,
+                    normalized: bool):
+    """Per-source closeness with Wasserman-Faust correction
+    (centrality.closeness contract)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(src), _i32(dst)
+    w = _f32(w)
+    out = np.empty(num_nodes, np.float32)
+    lib.muninn_graph_closeness(
+        src.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        w.ctypes.data_as(_F32P), ctypes.c_int64(len(src)),
+        ctypes.c_int32(num_nodes),
+        ctypes.c_int32(1 if weighted else 0),
+        ctypes.c_int32(1 if normalized else 0),
+        out.ctypes.data_as(_F32P),
+    )
+    return out
+
+
+def graph_leiden(src, dst, w, num_nodes: int, resolution: float,
+                 max_rounds: int, seed: int):
+    """Sequential queue-based Leiden over the 'both' COO ->
+    (labels int32[V] renumbered, modularity). None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(src), _i32(dst)
+    w = _f32(w)
+    labels = np.empty(num_nodes, np.int32)
+    q = lib.muninn_graph_leiden(
+        src.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        w.ctypes.data_as(_F32P), ctypes.c_int64(len(src)),
+        ctypes.c_int32(num_nodes), ctypes.c_float(resolution),
+        ctypes.c_int32(max_rounds), ctypes.c_uint64(seed),
+        labels.ctypes.data_as(_I32P),
+    )
+    return labels, float(q)

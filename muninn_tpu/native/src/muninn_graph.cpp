@@ -1,0 +1,530 @@
+// muninn-tpu native small-graph kernels.
+//
+// The device paths (muninn_tpu/graph/*) win from ~10^5 edges up, but
+// every dispatch through the TPU tunnel costs 0.2-0.4 s — two to three
+// orders of magnitude above the reference's ms-scale numbers on its own
+// published 100-10k-node benchmark envelope
+// (reference docs/benchmarks/graph.md:14-47). These kernels are the
+// host fast path those sizes route to: same results as the device
+// kernels (same parent tie-breaks, same epsilon rules, same Leiden
+// gain formula), classic sequential algorithms where the reference
+// uses them (graph_tvf.c BFS/Dijkstra, graph_centrality.c Brandes,
+// graph_community.c Leiden).
+//
+// All entry points are a flat C ABI consumed through ctypes.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+constexpr int32_t kIntInf = 1 << 30;  // matches traversal.INT_INF
+
+struct Csr {
+    std::vector<int32_t> offsets;  // [V+1]
+    std::vector<int32_t> dst;      // [E]
+    std::vector<float> w;          // [E]
+    std::vector<int64_t> eid;      // [E] original edge index
+};
+
+// Counting-sort CSR preserving input order within a source (stable),
+// keeping the original edge index for edge-aligned outputs.
+Csr build_csr(const int32_t* src, const int32_t* dst, const float* w,
+              int64_t e, int32_t v) {
+    Csr c;
+    c.offsets.assign(static_cast<size_t>(v) + 1, 0);
+    for (int64_t i = 0; i < e; i++) c.offsets[static_cast<size_t>(src[i]) + 1]++;
+    for (int32_t i = 0; i < v; i++) c.offsets[i + 1] += c.offsets[i];
+    c.dst.resize(static_cast<size_t>(e));
+    c.w.resize(static_cast<size_t>(e));
+    c.eid.resize(static_cast<size_t>(e));
+    std::vector<int32_t> cursor(c.offsets.begin(), c.offsets.end() - 1);
+    for (int64_t i = 0; i < e; i++) {
+        int32_t p = cursor[src[i]]++;
+        c.dst[p] = dst[i];
+        c.w[p] = w ? w[i] : 1.0f;
+        c.eid[p] = i;
+    }
+    return c;
+}
+
+// Relative tie tolerance shared with the device kernels
+// (traversal.sssp_with_parents, centrality._brandes_batch).
+inline bool tight(double du, double wuv, double dv) {
+    return std::abs(du + wuv - dv) <= 1e-9 * std::max(1.0, std::abs(dv));
+}
+
+void dijkstra(const Csr& c, int32_t v, int32_t start, std::vector<double>& dist) {
+    dist.assign(static_cast<size_t>(v),
+                std::numeric_limits<double>::infinity());
+    dist[start] = 0.0;
+    using Item = std::pair<double, int32_t>;
+    std::priority_queue<Item, std::vector<Item>, std::greater<Item>> pq;
+    pq.push({0.0, start});
+    while (!pq.empty()) {
+        auto [d, u] = pq.top();
+        pq.pop();
+        if (d > dist[u]) continue;
+        for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+            double nd = d + c.w[p];
+            if (nd < dist[c.dst[p]]) {
+                dist[c.dst[p]] = nd;
+                pq.push({nd, c.dst[p]});
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ───────────────────────── BFS ─────────────────────────
+
+// Forward-CSR BFS. depth[V] = kIntInf unreached; parent[V] = -1 for
+// root/unreached. Parent = minimum-index predecessor at the previous
+// depth — the device kernel's deterministic segment-min choice
+// (traversal.bfs_device): iterating the frontier in ascending node
+// order with first-writer-wins yields exactly that.
+void muninn_graph_bfs(const int32_t* offsets, const int32_t* dst, int32_t v,
+                      int32_t start, int32_t max_depth, int32_t* depth,
+                      int32_t* parent) {
+    std::fill(depth, depth + v, kIntInf);
+    std::fill(parent, parent + v, -1);
+    depth[start] = 0;
+    std::vector<int32_t> frontier{start}, next;
+    int32_t d = 0;
+    while (!frontier.empty() && d < max_depth) {
+        next.clear();
+        for (int32_t u : frontier) {  // ascending: frontier built in order
+            for (int32_t p = offsets[u]; p < offsets[u + 1]; p++) {
+                int32_t t = dst[p];
+                if (depth[t] == kIntInf) {
+                    depth[t] = d + 1;
+                    parent[t] = u;
+                    next.push_back(t);
+                }
+            }
+        }
+        std::sort(next.begin(), next.end());
+        next.erase(std::unique(next.begin(), next.end()), next.end());
+        frontier.swap(next);
+        d++;
+    }
+}
+
+// ───────────────────────── components ─────────────────────────
+
+// Union-find with path halving (the reference's structure,
+// graph_tvf.c:1204-1360), labels = min node index per component — the
+// same labels the device min-label propagation converges to.
+void muninn_graph_components(const int32_t* src, const int32_t* dst,
+                             int64_t e, int32_t v, int32_t* comp) {
+    std::vector<int32_t> par(static_cast<size_t>(v));
+    for (int32_t i = 0; i < v; i++) par[i] = i;
+    auto find = [&](int32_t x) {
+        while (par[x] != x) {
+            par[x] = par[par[x]];
+            x = par[x];
+        }
+        return x;
+    };
+    for (int64_t i = 0; i < e; i++) {
+        int32_t a = find(src[i]), b = find(dst[i]);
+        if (a != b) par[std::max(a, b)] = std::min(a, b);
+    }
+    for (int32_t i = 0; i < v; i++) comp[i] = find(i);
+}
+
+// ───────────────────────── PageRank ─────────────────────────
+
+// Power iteration with dangling redistribution — the device formula
+// (pagerank.pagerank_device) in double accumulation.
+void muninn_graph_pagerank(const int32_t* src, const int32_t* dst,
+                           const float* w, const float* out_degree,
+                           int64_t e, int32_t v, float damping,
+                           int32_t iterations, int32_t weighted,
+                           float* rank_out) {
+    std::vector<double> rank(static_cast<size_t>(v), 1.0 / v);
+    std::vector<double> share(static_cast<size_t>(e));
+    for (int64_t i = 0; i < e; i++) {
+        double deg = std::max(static_cast<double>(out_degree[src[i]]), 1e-30);
+        share[i] = (weighted ? static_cast<double>(w[i]) : 1.0) / deg;
+    }
+    std::vector<double> pulled(static_cast<size_t>(v));
+    for (int32_t it = 0; it < iterations; it++) {
+        std::fill(pulled.begin(), pulled.end(), 0.0);
+        double dangling = 0.0;
+        for (int32_t u = 0; u < v; u++)
+            if (out_degree[u] <= 0.0f) dangling += rank[u];
+        for (int64_t i = 0; i < e; i++)
+            pulled[dst[i]] += rank[src[i]] * share[i];
+        double base = (1.0 - damping) / v;
+        for (int32_t u = 0; u < v; u++)
+            rank[u] = base + damping * (pulled[u] + dangling / v);
+    }
+    for (int32_t u = 0; u < v; u++) rank_out[u] = static_cast<float>(rank[u]);
+}
+
+// ───────────────────────── SSSP ─────────────────────────
+
+// Dijkstra + tight-edge min-index parents: parent[t] = min src among
+// edges with |dist[src]+w-dist[t]| within the device epsilon
+// (traversal.sssp_with_parents).
+void muninn_graph_sssp(const int32_t* src, const int32_t* dst, const float* w,
+                       int64_t e, int32_t v, int32_t start, float* dist_out,
+                       int32_t* parent) {
+    Csr c = build_csr(src, dst, w, e, v);
+    std::vector<double> dist;
+    dijkstra(c, v, start, dist);
+    std::fill(parent, parent + v, -1);
+    for (int64_t i = 0; i < e; i++) {
+        int32_t t = dst[i];
+        if (t == start || !std::isfinite(dist[t])) continue;
+        if (tight(dist[src[i]], w ? w[i] : 1.0, dist[t])) {
+            if (parent[t] < 0 || src[i] < parent[t]) parent[t] = src[i];
+        }
+    }
+    for (int32_t u = 0; u < v; u++)
+        dist_out[u] = static_cast<float>(dist[u]);
+}
+
+// ───────────────────────── Brandes betweenness ─────────────────────────
+
+// Per-source SSSP + forward sigma sweep + backward delta sweep over
+// tight edges in distance order — the sequential form of the device
+// Jacobi fixpoints (centrality._brandes_batch), same epsilon, same
+// source-exclusion. node_cb[V] and (optional) edge_cb[E] accumulate
+// RAW sums over the given sources; the Python wrapper applies
+// sampling scale / undirected halving / normalization.
+void muninn_graph_brandes(const int32_t* src, const int32_t* dst,
+                          const float* w, int64_t e, int32_t v,
+                          const int32_t* sources, int32_t n_sources,
+                          int32_t weighted, int32_t want_edge,
+                          double* node_cb, double* edge_cb) {
+    Csr c = build_csr(src, dst, w, e, v);
+    std::fill(node_cb, node_cb + v, 0.0);
+    if (want_edge) std::fill(edge_cb, edge_cb + e, 0.0);
+    std::vector<double> dist;
+    std::vector<double> sigma(static_cast<size_t>(v));
+    std::vector<double> delta(static_cast<size_t>(v));
+    std::vector<int32_t> order(static_cast<size_t>(v));
+    for (int32_t si = 0; si < n_sources; si++) {
+        int32_t s = sources[si];
+        if (weighted) {
+            dijkstra(c, v, s, dist);
+        } else {
+            // BFS distances (all weights 1)
+            dist.assign(static_cast<size_t>(v),
+                        std::numeric_limits<double>::infinity());
+            dist[s] = 0.0;
+            std::vector<int32_t> q{s};
+            size_t head = 0;
+            while (head < q.size()) {
+                int32_t u = q[head++];
+                for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+                    int32_t t = c.dst[p];
+                    if (!std::isfinite(dist[t])) {
+                        dist[t] = dist[u] + 1.0;
+                        q.push_back(t);
+                    }
+                }
+            }
+        }
+        // nodes reachable, ordered by distance ascending
+        order.clear();
+        for (int32_t u = 0; u < v; u++)
+            if (std::isfinite(dist[u])) order.push_back(u);
+        std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+            return dist[a] < dist[b];
+        });
+        // sigma: forward sweep
+        std::fill(sigma.begin(), sigma.end(), 0.0);
+        sigma[s] = 1.0;
+        for (int32_t u : order) {
+            if (sigma[u] == 0.0) continue;
+            for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+                int32_t t = c.dst[p];
+                if (c.w[p] > 0.0f && std::isfinite(dist[t]) &&
+                    tight(dist[u], c.w[p], dist[t]))
+                    sigma[t] += sigma[u];
+            }
+        }
+        // delta: backward accumulation over out-edges, nodes in reverse
+        // distance order — when u is visited every deeper delta[t] is
+        // final (tight edges strictly increase distance).
+        std::fill(delta.begin(), delta.end(), 0.0);
+        for (auto it = order.rbegin(); it != order.rend(); ++it) {
+            int32_t u = *it;
+            if (sigma[u] == 0.0) continue;
+            for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+                int32_t t = c.dst[p];
+                if (c.w[p] > 0.0f && std::isfinite(dist[t]) &&
+                    tight(dist[u], c.w[p], dist[t]) && sigma[t] > 0.0) {
+                    double contrib = sigma[u] / sigma[t] * (1.0 + delta[t]);
+                    delta[u] += contrib;
+                    if (want_edge) edge_cb[c.eid[p]] += contrib;
+                }
+            }
+        }
+        for (int32_t u = 0; u < v; u++)
+            if (u != s) node_cb[u] += delta[u];
+    }
+}
+
+// ───────────────────────── closeness ─────────────────────────
+
+// Per-source distance sums with the Wasserman-Faust reachable/(N-1)
+// correction (graph_centrality.c:1404-1434 role; matches
+// centrality.closeness).
+void muninn_graph_closeness(const int32_t* src, const int32_t* dst,
+                            const float* w, int64_t e, int32_t v,
+                            int32_t weighted, int32_t normalized,
+                            float* out) {
+    Csr c = build_csr(src, dst, w, e, v);
+    std::vector<double> dist;
+    for (int32_t s = 0; s < v; s++) {
+        if (weighted) {
+            dijkstra(c, v, s, dist);
+        } else {
+            dist.assign(static_cast<size_t>(v),
+                        std::numeric_limits<double>::infinity());
+            dist[s] = 0.0;
+            std::vector<int32_t> q{s};
+            size_t head = 0;
+            while (head < q.size()) {
+                int32_t u = q[head++];
+                for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+                    int32_t t = c.dst[p];
+                    if (!std::isfinite(dist[t])) {
+                        dist[t] = dist[u] + 1.0;
+                        q.push_back(t);
+                    }
+                }
+            }
+        }
+        double sd = 0.0;
+        int64_t r = 0;
+        for (int32_t u = 0; u < v; u++) {
+            if (u == s || !std::isfinite(dist[u])) continue;
+            sd += dist[u];
+            r++;
+        }
+        double cval = sd > 0.0 ? static_cast<double>(r) / sd : 0.0;
+        if (normalized && v > 1) cval *= static_cast<double>(r) / (v - 1);
+        out[s] = static_cast<float>(cval);
+    }
+}
+
+// ───────────────────────── Leiden ─────────────────────────
+
+namespace {
+
+// Queue-based local moving (Traag 2019 Alg. 1 lines 2-13 /
+// graph_community.c:150-231's gain formula). `restrict_to`: moves only
+// between communities whose nodes share a restrict label (refinement);
+// nullptr = unrestricted. Returns number of moves.
+int64_t local_move(const Csr& c, int32_t v, double m, double gamma,
+                   std::vector<int32_t>& comm, const int32_t* restrict_to,
+                   const std::vector<double>& k, std::mt19937_64& rng) {
+    std::vector<double> sigma(static_cast<size_t>(v), 0.0);
+    for (int32_t u = 0; u < v; u++) sigma[comm[u]] += k[u];
+    std::vector<int32_t> queue(static_cast<size_t>(v));
+    for (int32_t i = 0; i < v; i++) queue[i] = i;
+    std::shuffle(queue.begin(), queue.end(), rng);
+    std::vector<uint8_t> in_queue(static_cast<size_t>(v), 1);
+    std::vector<double> wvc(static_cast<size_t>(v), 0.0);  // scratch W(v,C)
+    std::vector<int32_t> touched;
+    size_t head = 0;
+    int64_t moves = 0;
+    while (head < queue.size()) {
+        int32_t u = queue[head++];
+        in_queue[u] = 0;
+        int32_t cu = comm[u];
+        touched.clear();
+        double w_own = 0.0;
+        for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+            int32_t t = c.dst[p];
+            if (t == u) continue;  // self-loops don't count toward W(v,C)
+            if (restrict_to && restrict_to[t] != restrict_to[u]) continue;
+            int32_t ct = comm[t];
+            if (ct == cu) {
+                w_own += c.w[p];
+            } else {
+                if (wvc[ct] == 0.0) touched.push_back(ct);
+                wvc[ct] += c.w[p];
+            }
+        }
+        double best_gain = 1e-12;  // moves need strictly positive gain
+        int32_t best_c = -1;
+        for (int32_t ct : touched) {
+            double gain = (wvc[ct] - w_own) / m +
+                          gamma * k[u] * (sigma[cu] - k[u] - sigma[ct]) /
+                              (2.0 * m * m);
+            if (gain > best_gain ||
+                (gain == best_gain && best_c >= 0 && ct < best_c)) {
+                best_gain = gain;
+                best_c = ct;
+            }
+        }
+        for (int32_t ct : touched) wvc[ct] = 0.0;
+        if (best_c >= 0) {
+            sigma[cu] -= k[u];
+            sigma[best_c] += k[u];
+            comm[u] = best_c;
+            moves++;
+            // re-enqueue neighbors not in the new community
+            for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+                int32_t t = c.dst[p];
+                if (t != u && comm[t] != best_c && !in_queue[t]) {
+                    in_queue[t] = 1;
+                    queue.push_back(t);
+                }
+            }
+        }
+    }
+    return moves;
+}
+
+int32_t renumber(std::vector<int32_t>& labels) {
+    std::vector<int32_t> map(labels.size(), -1);
+    int32_t next = 0;
+    // stable by smallest label value (matches np.unique-based renumber)
+    std::vector<int32_t> seen(labels.begin(), labels.end());
+    std::sort(seen.begin(), seen.end());
+    seen.erase(std::unique(seen.begin(), seen.end()), seen.end());
+    for (int32_t s : seen) map[s] = next++;
+    for (auto& l : labels) l = map[l];
+    return next;
+}
+
+double modularity_q(const int32_t* src, const int32_t* dst, const float* w,
+                    int64_t e, const std::vector<int32_t>& labels,
+                    double gamma) {
+    // Q over the undirected both-direction COO (community.modularity)
+    double two_m = 0.0, intra = 0.0;
+    for (int64_t i = 0; i < e; i++) {
+        two_m += w[i];
+        if (labels[src[i]] == labels[dst[i]]) intra += w[i];
+    }
+    if (two_m <= 0.0) return 0.0;
+    int32_t nc = 0;
+    for (int32_t l : labels) nc = std::max(nc, l + 1);
+    std::vector<double> ksum(static_cast<size_t>(nc), 0.0);
+    for (int64_t i = 0; i < e; i++) ksum[labels[src[i]]] += w[i];
+    double pen = 0.0;
+    for (double kc : ksum) pen += (kc / two_m) * (kc / two_m);
+    return intra / two_m - gamma * pen;
+}
+
+}  // namespace
+
+// Full Leiden over the undirected 'both' COO (each edge in both
+// orientations). Writes labels int32[V] renumbered 0..k-1; returns
+// final modularity. Mirrors the device loop's structure
+// (community.leiden): phase-1 local moving from the current meta
+// partition, singleton refinement restricted to phase-1 communities,
+// fallback to phase 1 when refinement only fragments, aggregation
+// initialized with the phase-1 partition, stop when Q stops improving.
+double muninn_graph_leiden(const int32_t* src, const int32_t* dst,
+                           const float* w, int64_t e, int32_t v,
+                           float resolution, int32_t max_rounds,
+                           uint64_t seed, int32_t* labels_out) {
+    std::mt19937_64 rng(seed);
+    double gamma = resolution;
+    std::vector<int32_t> labels(static_cast<size_t>(v));
+    for (int32_t i = 0; i < v; i++) labels[i] = i;
+    std::vector<int32_t> cur_src(src, src + e), cur_dst(dst, dst + e);
+    std::vector<float> cur_w(w, w + e);
+    int32_t cur_n = v;
+    std::vector<int32_t> node_map(static_cast<size_t>(v));
+    for (int32_t i = 0; i < v; i++) node_map[i] = i;
+    std::vector<int32_t> init_comm(static_cast<size_t>(v));
+    for (int32_t i = 0; i < v; i++) init_comm[i] = i;
+
+    double prev_q = -std::numeric_limits<double>::infinity();
+    for (int32_t round = 0; round < max_rounds; round++) {
+        int64_t ce = static_cast<int64_t>(cur_src.size());
+        Csr c = build_csr(cur_src.data(), cur_dst.data(), cur_w.data(), ce,
+                          cur_n);
+        double m = 0.0;
+        for (float ww : cur_w) m += ww;
+        m /= 2.0;
+        if (m <= 0.0) break;
+        std::vector<double> k(static_cast<size_t>(cur_n), 0.0);
+        for (int64_t i = 0; i < ce; i++) k[cur_src[i]] += cur_w[i];
+
+        // phase 1
+        std::vector<int32_t> comm = init_comm;
+        local_move(c, cur_n, m, gamma, comm, nullptr, k, rng);
+        std::vector<int32_t> comm_r = comm;
+        int32_t nc1 = renumber(comm_r);
+
+        // phase 2: singleton refinement restricted to phase-1 communities
+        std::vector<int32_t> refined(static_cast<size_t>(cur_n));
+        for (int32_t i = 0; i < cur_n; i++) refined[i] = i;
+        local_move(c, cur_n, m, gamma, refined, comm_r.data(), k, rng);
+        std::vector<int32_t> refined_r = refined;
+        int32_t ncr = renumber(refined_r);
+
+        const std::vector<int32_t>& use = (ncr > nc1) ? comm_r : refined_r;
+        int32_t nc = (ncr > nc1) ? nc1 : ncr;
+
+        // project to original nodes, measure Q on the ORIGINAL graph
+        std::vector<int32_t> full(static_cast<size_t>(v));
+        for (int32_t i = 0; i < v; i++) full[i] = use[node_map[i]];
+        double q = modularity_q(src, dst, w, e, full, gamma);
+        if (q <= prev_q + 1e-9) break;
+        prev_q = q;
+        labels = full;
+
+        if (nc == cur_n) break;
+        // next round's init: phase-1 community of each refined super-node
+        std::vector<int32_t> rep(static_cast<size_t>(nc), 0);
+        for (int32_t i = 0; i < cur_n; i++) rep[use[i]] = i;
+        std::vector<int32_t> next_init(static_cast<size_t>(nc));
+        for (int32_t ci = 0; ci < nc; ci++) next_init[ci] = comm_r[rep[ci]];
+        // aggregate: contract `use`, merge parallel edges
+        std::vector<int64_t> keys(static_cast<size_t>(ce));
+        std::vector<int64_t> order(static_cast<size_t>(ce));
+        for (int64_t i = 0; i < ce; i++) {
+            keys[i] = static_cast<int64_t>(use[cur_src[i]]) * nc +
+                      use[cur_dst[i]];
+            order[i] = i;
+        }
+        std::sort(order.begin(), order.end(),
+                  [&](int64_t a, int64_t b) { return keys[a] < keys[b]; });
+        std::vector<int32_t> ns, nd;
+        std::vector<float> nw;
+        int64_t i = 0;
+        while (i < ce) {
+            int64_t key = keys[order[i]];
+            double acc = 0.0;
+            while (i < ce && keys[order[i]] == key) acc += cur_w[order[i++]];
+            ns.push_back(static_cast<int32_t>(key / nc));
+            nd.push_back(static_cast<int32_t>(key % nc));
+            nw.push_back(static_cast<float>(acc));
+        }
+        cur_src.swap(ns);
+        cur_dst.swap(nd);
+        cur_w.swap(nw);
+        for (int32_t i2 = 0; i2 < v; i2++) node_map[i2] = use[node_map[i2]];
+        init_comm = next_init;
+        cur_n = nc;
+    }
+    std::vector<int32_t> final_labels = labels;
+    renumber(final_labels);
+    std::memcpy(labels_out, final_labels.data(),
+                static_cast<size_t>(v) * sizeof(int32_t));
+    if (!std::isfinite(prev_q))
+        prev_q = modularity_q(src, dst, w, e, labels, gamma);
+    return prev_q;
+}
+
+}  // extern "C"

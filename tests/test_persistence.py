@@ -92,9 +92,9 @@ def test_graph_cache_incremental_patches_device_csr(rng):
     w = rng.random(E).astype(np.float32)
     gc = GraphCache.from_edges(src.tolist(), dst.tolist(), w)
     g = gc.graph()
-    g.pagerank(iterations=2)      # materialize fwd
-    g.bfs(int(src[0]))            # materialize... (uses csr too)
-    g.connected_components()      # materialize both
+    # materialize the device CSRs (small graphs route analytics to
+    # the host fast path, so materialize explicitly)
+    g.csr("forward"); g.csr("reverse"); g.csr("both")
 
     gc.add_edges(
         rng.integers(0, V, 50).tolist(), rng.integers(0, V, 50).tolist(),
