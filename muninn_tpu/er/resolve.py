@@ -88,75 +88,93 @@ def resolve_entities(
     vecs = np.asarray(index.store.vectors[jnp.asarray(slots)])
     ids, dists = index.search(vecs, k=k + 1)
 
-    row_of = {_row_id(e, i): i for i, e in enumerate(ents)}
-    pairs: dict[tuple[int, int], float] = {}
-    for i in range(n):
-        for j_id, dist in zip(ids[i], dists[i]):
-            if j_id < 0 or int(j_id) not in row_of:
-                continue
-            j = row_of[int(j_id)]
-            if j == i:
-                continue
-            a, b = (i, j) if i < j else (j, i)
-            cos_sim = _similarity(float(dist), index)
-            if (a, b) not in pairs or cos_sim > pairs[(a, b)]:
-                pairs[(a, b)] = cos_sim
+    # candidate-pair assembly, fully vectorized (the round-2 dict loop
+    # over n*k results capped the cascade at ~50 entities/s; array ops
+    # make it linear in pairs with tiny constants):
+    # result external ids -> entity rows by sorted binary search
+    ids = np.asarray(ids, np.int64)
+    dists = np.asarray(dists, np.float64)
+    rid = np.asarray(row_ids, np.int64)
+    rorder = np.argsort(rid, kind="stable").astype(np.int64)
+    srid = rid[rorder]
+    flat = ids.reshape(-1)
+    pos = np.clip(np.searchsorted(srid, flat), 0, n - 1)
+    valid = (flat >= 0) & (srid[pos] == flat)
+    j = np.where(valid, rorder[pos], -1)
+    i = np.repeat(np.arange(n, dtype=np.int64), ids.shape[1])
+    valid &= j != i
+    cos = _similarity(dists.reshape(-1), index)
+    a = np.minimum(i, j)[valid]
+    b = np.maximum(i, j)[valid]
+    cos = cos[valid]
+    if len(a) == 0:
+        return {"clusters": {e.id: ci for ci, e in enumerate(ents)}}
+    # dedup (a, b), keeping the max similarity
+    uk, inv = np.unique(a * n + b, return_inverse=True)
+    best = np.full(len(uk), -np.inf)
+    np.maximum.at(best, inv, cos)
+    pa = (uk // n).astype(np.int64)
+    pb = (uk % n).astype(np.int64)
 
-    if not pairs:
+    # 2. guards + scoring cascade (all-array form of llama_er.c:289-332)
+    # Both guards compare the `source` field (the reference's entities
+    # carry one field doubling as source/entity-type, llama_er.c:299-309);
+    # entities that populate only `type` fall back to it.
+    g_code = np.empty(n, np.int64)
+    _guard_codes: dict = {}
+    for idx, e in enumerate(ents):
+        v = e.source if e.source is not None else e.type
+        g_code[idx] = (
+            -1 if v is None else _guard_codes.setdefault(v, len(_guard_codes))
+        )
+    ga, gb = g_code[pa], g_code[pb]
+    if type_guard == "same_source":
+        keep = ~((ga >= 0) & (ga == gb))
+    elif type_guard == "diff_type":
+        keep = ~((ga >= 0) & (gb >= 0) & (ga != gb))
+    else:
+        keep = np.ones(len(pa), bool)
+    pa, pb, best = pa[keep], pb[keep], best[keep]
+    if len(pa) == 0:
         return {"clusters": {e.id: ci for ci, e in enumerate(ents)}}
 
-    # 2. guards + scoring cascade
-    match_threshold = 1.0 - dist_threshold + borderline_delta
-    keys = list(pairs.keys())
+    names = np.array([e.name for e in ents], object)
+    lowers = np.array([e.name.lower() for e in ents], object)
+    _, name_code = np.unique(names, return_inverse=True)
+    _, lower_code = np.unique(lowers, return_inverse=True)
     # JW scores lowercased names (reference llama_er.c:320 compares
     # name_lower vs name_lower), so mixed-case variants score the same
-    names_a = [ents[a].name.lower() for a, _ in keys]
-    names_b = [ents[b].name.lower() for _, b in keys]
-    jw = jaro_winkler_batch(names_a, names_b)
+    jw = jaro_winkler_batch(lowers[pa].tolist(), lowers[pb].tolist())
+    exact = name_code[pa] == name_code[pb]
+    ci_eq = (lower_code[pa] == lower_code[pb]) & ~exact
+    score = np.where(
+        exact, 1.0,
+        np.where(ci_eq, 0.9, jw_weight * jw + (1.0 - jw_weight) * best),
+    )
 
+    match_threshold = 1.0 - dist_threshold + borderline_delta
     base_threshold = 1.0 - dist_threshold
-    edges_src, edges_dst, edges_w = [], [], []
-    borderline: list[tuple[int, int, float]] = []
-    for (a, b), jww in zip(keys, jw):
-        ea, eb = ents[a], ents[b]
-        # Both guards compare the `source` field (the reference's
-        # entities carry one field doubling as source/entity-type,
-        # llama_er.c:299-309); entities that populate only `type` fall
-        # back to it.
-        ga = ea.source if ea.source is not None else ea.type
-        gb = eb.source if eb.source is not None else eb.type
-        if type_guard == "same_source" and ga is not None and ga == gb:
-            continue
-        if type_guard == "diff_type" and ga is not None and gb is not None and ga != gb:
-            continue
-        if ea.name == eb.name:
-            score = 1.0
-        elif ea.name.lower() == eb.name.lower():
-            score = 0.9
-        else:
-            score = jw_weight * float(jww) + (1.0 - jw_weight) * pairs[(a, b)]
-        if score >= match_threshold:
-            edges_src.append(a)
-            edges_dst.append(b)
-            edges_w.append(score)
-        elif (
-            chat_model is not None
-            and score >= base_threshold - borderline_delta
-        ):
-            borderline.append((a, b, score))
+    matched = score >= match_threshold
+    edges_src = pa[matched]
+    edges_dst = pb[matched]
+    edges_w = score[matched]
 
     # LLM adjudication of borderline pairs: one batched yes/no decode
     # under a two-token grammar (src/llama_er.c:291-293's declared TODO)
-    if borderline:
-        for (a, b, score), verdict in zip(
-            borderline, _adjudicate(chat_model, borderline, ents)
-        ):
-            if verdict:
-                edges_src.append(a)
-                edges_dst.append(b)
-                edges_w.append(max(score, base_threshold))
+    if chat_model is not None:
+        bl = ~matched & (score >= base_threshold - borderline_delta)
+        if bl.any():
+            borderline = list(zip(pa[bl], pb[bl], score[bl]))
+            verdicts = np.array(
+                _adjudicate(chat_model, borderline, ents), bool
+            )
+            edges_src = np.concatenate([edges_src, pa[bl][verdicts]])
+            edges_dst = np.concatenate([edges_dst, pb[bl][verdicts]])
+            edges_w = np.concatenate(
+                [edges_w, np.maximum(score[bl][verdicts], base_threshold)]
+            )
 
-    if not edges_src:
+    if len(edges_src) == 0:
         return {"clusters": {e.id: ci for ci, e in enumerate(ents)}}
 
     # 3. Leiden over the match graph

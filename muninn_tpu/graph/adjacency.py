@@ -41,6 +41,10 @@ class GraphCache:
     INCREMENTAL_FRACTION = 0.1
     INCREMENTAL_MIN = 10
 
+    #: edges per persisted block (the reference's 4096-node CSR blocks,
+    #: graph_csr.c:341-478; only dirty blocks are rewritten on save)
+    BLOCK_EDGES = 131072
+
     def __init__(self, *, weighted: bool = False, log_path: str | None = None):
         self.nodes = NodeTable()
         self._src = np.zeros(0, np.int32)
@@ -52,6 +56,13 @@ class GraphCache:
         self._pending: list[dict] = []
         self._mirror: dict[str, tuple] = {}
         self._log = DeltaLog(log_path) if log_path else None
+        # persisted block layout: lengths per saved block (None until a
+        # save/load establishes one), dirty block indices, and how many
+        # node ids the save directory already holds (ids are append-only)
+        self._block_lens: list[int] | None = None
+        self._dirty_blocks: set[int] = set()
+        self._saved_nodes = 0
+        self._saved_dir: Path | None = None
 
     # ── construction ──
 
@@ -395,6 +406,7 @@ class GraphCache:
             self._src = np.concatenate([self._src, si.astype(np.int32)])
             self._dst = np.concatenate([self._dst, di.astype(np.int32)])
             self._w = np.concatenate([self._w, wi])
+            self._note_inserts(len(si))
             return
         nd = len(pending)
         d_src = np.full(nd, -1, np.int32)
@@ -419,9 +431,43 @@ class GraphCache:
                     d_dst[i] = d
         from muninn_tpu.native import csr_apply_delta
 
-        self._src, self._dst, self._w = csr_apply_delta(
-            self._src, self._dst, self._w, d_src, d_dst, d_w, d_op
+        old_e = len(self._src)
+        self._src, self._dst, self._w, removed_pos = csr_apply_delta(
+            self._src, self._dst, self._w, d_src, d_dst, d_w, d_op,
+            return_removed=True,
         )
+        self._note_removed(removed_pos)
+        self._note_inserts(len(self._src) - (old_e - len(removed_pos)))
+
+    # ── block layout bookkeeping (dirty tracking for save()) ──
+
+    def _note_inserts(self, n: int) -> None:
+        """Inserts append to (and dirty) the tail block; oversized tails
+        split so steady-state blocks stay near BLOCK_EDGES."""
+        if self._block_lens is None or n == 0:
+            return
+        if not self._block_lens:
+            self._block_lens.append(0)
+        self._block_lens[-1] += n
+        self._dirty_blocks.add(len(self._block_lens) - 1)
+        while self._block_lens[-1] > 2 * self.BLOCK_EDGES:
+            tail = self._block_lens.pop()
+            self._block_lens.append(self.BLOCK_EDGES)
+            self._block_lens.append(tail - self.BLOCK_EDGES)
+            self._dirty_blocks.add(len(self._block_lens) - 2)
+            self._dirty_blocks.add(len(self._block_lens) - 1)
+
+    def _note_removed(self, removed_pos: np.ndarray) -> None:
+        """A removed edge shrinks only its owning block (relative order
+        inside every other block is untouched, so concatenation of the
+        blocks still equals the compacted COO)."""
+        if self._block_lens is None or len(removed_pos) == 0:
+            return
+        bounds = np.cumsum(self._block_lens)
+        bi = np.searchsorted(bounds, removed_pos, side="right")
+        for b, c in zip(*np.unique(bi, return_counts=True)):
+            self._block_lens[int(b)] -= int(c)
+            self._dirty_blocks.add(int(b))
 
     # ── reads ──
 
@@ -462,17 +508,59 @@ class GraphCache:
     # ── persistence ──
 
     def save(self, path: str | os.PathLike) -> None:
+        """Block-granular checkpoint (``src/graph_csr.c:341-478`` role):
+        the edge COO persists as fixed-capacity blocks and only blocks
+        dirtied since the previous save to the SAME directory are
+        rewritten — save-after-small-delta is O(delta) on disk. Node ids
+        are append-only, so only fresh ids append to ``nodes.jsonl``.
+        """
         p = Path(path)
         p.mkdir(parents=True, exist_ok=True)
         self._ensure_fresh()
-        np.savez(
-            p / "arrays.npz", src=self._src, dst=self._dst, w=self._w
+        # dirty tracking is only valid against the directory this
+        # instance last saved to / loaded from
+        fresh_layout = (
+            self._block_lens is None or p.resolve() != self._saved_dir
         )
-        (p / "nodes.json").write_text(json.dumps(self.nodes.ids))
+        if fresh_layout:
+            # (re)chunk into BLOCK_EDGES-sized blocks and write them all
+            e = len(self._src)
+            nb = max(1, -(-e // self.BLOCK_EDGES))
+            self._block_lens = [
+                min(self.BLOCK_EDGES, e - i * self.BLOCK_EDGES)
+                for i in range(nb)
+            ]
+            self._dirty_blocks = set(range(nb))
+            self._saved_nodes = 0
+            (p / "nodes.jsonl").unlink(missing_ok=True)
+        bounds = np.concatenate([[0], np.cumsum(self._block_lens)])
+        for b in sorted(self._dirty_blocks):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            np.savez(
+                p / f"block_{b:05d}.npz",
+                src=self._src[lo:hi], dst=self._dst[lo:hi], w=self._w[lo:hi],
+            )
+        # drop stale higher-numbered block files from earlier layouts
+        for f in p.glob("block_*.npz"):
+            if int(f.stem.split("_")[1]) >= len(self._block_lens):
+                f.unlink()
+        (p / "arrays.npz").unlink(missing_ok=True)  # pre-block format
+        if self._saved_nodes < len(self.nodes):
+            with open(p / "nodes.jsonl", "a") as f:
+                for i in range(self._saved_nodes, len(self.nodes)):
+                    f.write(json.dumps(self.nodes.id_of(i)) + "\n")
+            self._saved_nodes = len(self.nodes)
         _write_manifest(
             p, "graph_cache",
-            {"generation": self.generation, "weighted": self.weighted},
+            {
+                "generation": self.generation,
+                "weighted": self.weighted,
+                "block_lens": self._block_lens,
+                "num_nodes": len(self.nodes),
+            },
         )
+        self._dirty_blocks = set()
+        self._saved_dir = p.resolve()
         if self._log is not None:
             self._log.clear()
 
@@ -480,14 +568,31 @@ class GraphCache:
     def load(cls, path: str | os.PathLike, log_path: str | None = None) -> "GraphCache":
         p = Path(path)
         m = _read_manifest(p, "graph_cache")
-        z = np.load(p / "arrays.npz")
         gc = cls(weighted=m["weighted"])
-        ids = json.loads((p / "nodes.json").read_text())
-        for i in ids:
-            gc.nodes.find_or_add(i)
-        gc._src = z["src"]
-        gc._dst = z["dst"]
-        gc._w = z["w"]
+        if (p / "arrays.npz").exists():  # pre-block format
+            z = np.load(p / "arrays.npz")
+            gc._src, gc._dst, gc._w = z["src"], z["dst"], z["w"]
+        else:
+            lens = m["block_lens"]
+            parts = [np.load(p / f"block_{b:05d}.npz") for b in range(len(lens))]
+            for b, (z, ln) in enumerate(zip(parts, lens)):
+                if len(z["src"]) != ln:
+                    raise ValueError(
+                        f"block {b} length {len(z['src'])} != manifest {ln}"
+                    )
+            gc._src = np.concatenate([z["src"] for z in parts])
+            gc._dst = np.concatenate([z["dst"] for z in parts])
+            gc._w = np.concatenate([z["w"] for z in parts])
+            gc._block_lens = list(lens)
+        if (p / "nodes.jsonl").exists():
+            with open(p / "nodes.jsonl") as f:
+                for line in f:
+                    gc.nodes.find_or_add(json.loads(line))
+        else:  # pre-block format
+            for i in json.loads((p / "nodes.json").read_text()):
+                gc.nodes.find_or_add(i)
+        gc._saved_nodes = len(gc.nodes)
+        gc._saved_dir = p.resolve()
         gc.generation = m["generation"]
         if log_path:
             gc._log = DeltaLog(log_path)

@@ -168,13 +168,18 @@ def csr_build(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None, num_nodes:
     return offsets, s, d, ow
 
 
-def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
+def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op,
+                    return_removed: bool = False):
     """Apply a delta (op 0=insert, 1=delete) to an edge list.
 
     Deltas replay in order; a delete removes only the first live
     matching (src, dst) occurrence — existing edges before same-batch
     inserts (reference graph_csr.c:219-247: linear scan, remove one,
-    break)."""
+    break).
+
+    ``return_removed``: also return the ascending original positions of
+    removed pre-existing edges (int64) — block-granular persistence
+    shrinks only the owning blocks (graph_csr.c:341-478 role)."""
     lib = _load()
     e, nd = len(src), len(d_src)
     src = np.ascontiguousarray(src, np.int32)
@@ -192,6 +197,10 @@ def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        n_del = int((d_op == 1).sum())
+        rem = np.empty(max(n_del, 1), np.int64)
+        n_rem = ctypes.c_int64(0)
         n = lib.muninn_csr_apply_delta(
             src.ctypes.data_as(i32p), dst.ctypes.data_as(i32p),
             w.ctypes.data_as(f32p), ctypes.c_int64(e),
@@ -200,8 +209,10 @@ def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
             ctypes.c_int64(nd),
             out_s.ctypes.data_as(i32p), out_d.ctypes.data_as(i32p),
             out_w.ctypes.data_as(f32p),
+            rem.ctypes.data_as(i64p), ctypes.byref(n_rem),
         )
-        return out_s[:n], out_d[:n], out_w[:n]
+        out = (out_s[:n], out_d[:n], out_w[:n])
+        return out + (rem[: n_rem.value],) if return_removed else out
     # numpy fallback: same in-order single-match replay as the C++
     from collections import deque
 
@@ -242,11 +253,14 @@ def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op):
                     nrem[q.popleft()] = True
     keep = ~removed
     live = [i for i, r in enumerate(nrem) if not r]
-    return (
+    out = (
         np.concatenate([src[keep], np.array([ns[i] for i in live], np.int32)]),
         np.concatenate([dst[keep], np.array([ndd[i] for i in live], np.int32)]),
         np.concatenate([w[keep], np.array([nw[i] for i in live], np.float32)]),
     )
+    if return_removed:
+        return out + (np.nonzero(removed)[0].astype(np.int64),)
+    return out
 
 
 def jaro_winkler(a: str, b: str) -> float:

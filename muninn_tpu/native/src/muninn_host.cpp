@@ -119,12 +119,16 @@ void muninn_csr_build(const int32_t* src, const int32_t* dst, const float* w,
 // existing edges scan before same-batch inserts — matching the
 // reference's sequential apply loop (graph_csr.c:219-247: linear scan,
 // remove one, break). Returns new edge count; outputs must be sized
-// e + n_ins.
+// e + n_ins. When non-null, `removed_pos` (sized >= #deletes) receives
+// the ascending ORIGINAL positions of removed pre-existing edges and
+// `*n_removed` their count — block-granular persistence uses these to
+// shrink only the owning blocks (graph_csr.c:341-478 role).
 int64_t muninn_csr_apply_delta(
     const int32_t* src, const int32_t* dst, const float* w, int64_t e,
     const int32_t* d_src, const int32_t* d_dst, const float* d_w,
     const uint8_t* d_op, int64_t nd,
-    int32_t* out_src, int32_t* out_dst, float* out_w) {
+    int32_t* out_src, int32_t* out_dst, float* out_w,
+    int64_t* removed_pos, int64_t* n_removed) {
     auto pack = [](int32_t s, int32_t d) {
         return (static_cast<int64_t>(s) << 32) | static_cast<uint32_t>(d);
     };
@@ -175,13 +179,19 @@ int64_t muninn_csr_apply_delta(
         }
     }
     int64_t n = 0;
+    int64_t nr = 0;
     for (int64_t i = 0; i < e; i++) {
-        if (removed[static_cast<size_t>(i)]) continue;
+        if (removed[static_cast<size_t>(i)]) {
+            if (removed_pos) removed_pos[nr] = i;
+            nr++;
+            continue;
+        }
         out_src[n] = src[i];
         out_dst[n] = dst[i];
         out_w[n] = w ? w[i] : 1.0f;
         n++;
     }
+    if (n_removed) *n_removed = nr;
     for (size_t i = 0; i < ns.size(); i++) {
         if (nrem[i]) continue;
         out_src[n] = ns[i];

@@ -169,6 +169,48 @@ def _pad_to(x: jax.Array, mult: int, axis: int, value) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _xla_topk(q, c, cp, qn, cs, k, mode, mxu_precision, int8, chunk=65536):
+    """Non-Pallas path (CPU backend / debugging): the kernel's exact
+    tile math as chunked XLA matmul + top_k merges. Pallas interpret
+    mode emulates the kernel ~100x slower than this on CPU; results are
+    identical up to ties."""
+    bp = q.shape[0]
+    bd = jnp.full((bp, k), _BIG, jnp.float32)
+    bi = jnp.full((bp, k), -1, jnp.int32)
+    n = c.shape[0]
+    for lo in range(0, n, chunk):
+        cc = c[lo : lo + chunk]
+        cpc = cp[:, lo : lo + chunk]
+        if int8:
+            dots = jax.lax.dot_general(
+                q, cc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qn * cs[:, lo : lo + chunk]
+            tile = (1.0 - dots) + cpc if mode == 1 else cpc - dots
+        else:
+            dots = jax.lax.dot_general(
+                q, cc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )
+            if mode == 0:
+                tile = (qn - 2.0 * dots) + cpc
+            elif mode == 1:
+                tile = (1.0 - dots) + cpc
+            else:
+                tile = cpc - dots
+        kk = min(k, tile.shape[1])
+        td, tpos = jax.lax.top_k(-tile.astype(jnp.float32), kk)
+        cat_d = jnp.concatenate([bd, -td], axis=1)
+        cat_i = jnp.concatenate([bi, (lo + tpos).astype(jnp.int32)], axis=1)
+        md, mpos = jax.lax.top_k(-cat_d, k)
+        bd = -md
+        bi = jnp.take_along_axis(cat_i, mpos, axis=1)
+    od = jnp.where(bd >= _BIG * 0.5, jnp.inf, bd)
+    oi = jnp.where(bd >= _BIG * 0.5, -1, bi)
+    return od, oi
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "metric", "tb", "tc", "interpret", "precision"),
@@ -254,6 +296,20 @@ def flat_topk(
     # per-tile top-k entry rate ~ k/nj per row: on long streams (many
     # chunks) 2 eager rounds + a rare cond tail wins; on short streams
     # most tiles would take the tail, so unroll all k rounds instead
+    if interpret:
+        # CPU backend / debugging: same math via chunked XLA (Pallas
+        # interpret mode emulates the kernel orders of magnitude slower)
+        od, oi = _xla_topk(
+            q, c, cp, qn, cs, k, _MODE[metric], mxu_precision,
+            precision == "int8",
+        )
+        od, oi = od[:b], oi[:b]
+        order = jnp.argsort(od, axis=-1)
+        return (
+            jnp.take_along_axis(od, order, axis=-1),
+            jnp.take_along_axis(oi, order, axis=-1),
+        )
+
     nj = np_ // tc
     eager_rounds = 2 if nj >= 256 else k
     kernel = partial(
@@ -350,6 +406,17 @@ def flat_topk_int8(
 
     bp, dp = qi.shape
     np_, _ = c.shape
+    if interpret:
+        od, oi = _xla_topk(
+            qi, c, cp, qs, cs, k, _MODE[metric],
+            jax.lax.Precision.DEFAULT, int8=True,
+        )
+        od, oi = od[:b], oi[:b]
+        order = jnp.argsort(od, axis=-1)
+        return (
+            jnp.take_along_axis(od, order, axis=-1),
+            jnp.take_along_axis(oi, order, axis=-1),
+        )
     grid = (bp // tb, np_ // tc)
     nj = np_ // tc
     kernel = partial(

@@ -226,3 +226,67 @@ def test_graph_cache_incremental_threshold_boundary(rng):
     gc.add_edges(["n1"] * 50, [f"q{i}" for i in range(50)])   # > E/10 -> full
     g = gc.graph()
     assert gc.num_edges == 260
+
+
+def test_graph_cache_block_granular_save(rng, tmp_path):
+    """save() rewrites only dirty blocks: a small delta after a big save
+    must not touch clean block files (the reference's 4096-node-block
+    rewrite granularity, src/graph_csr.c:341-478)."""
+    import os
+    import time
+
+    V, E = 500, 40_000
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    gc = GraphCache.from_edges(src.tolist(), dst.tolist())
+    gc.BLOCK_EDGES  # class attr sanity
+    # shrink blocks for the test so multiple blocks exist
+    gc_blocks = 4096
+    old_block = GraphCache.BLOCK_EDGES
+    GraphCache.BLOCK_EDGES = gc_blocks
+    try:
+        d = tmp_path / "ck"
+        gc.save(d)
+        files = sorted(d.glob("block_*.npz"))
+        assert len(files) == -(-E // gc_blocks)
+        mtimes0 = {f.name: f.stat().st_mtime_ns for f in files}
+        time.sleep(0.01)
+
+        # small mixed delta: delete 3 edges from block 0, insert 5
+        gc.remove_edges(src[:3].tolist(), dst[:3].tolist())
+        gc.add_edges(
+            rng.integers(0, V, 5).tolist(), rng.integers(0, V, 5).tolist()
+        )
+        gc.rebuild()
+        gc.save(d)
+        files1 = sorted(d.glob("block_*.npz"))
+        changed = [
+            f.name for f in files1
+            if mtimes0.get(f.name) != f.stat().st_mtime_ns
+        ]
+        # only the deletion-owning block(s) + the tail block rewrite
+        assert len(changed) <= 3, changed
+        assert f"block_{len(files) - 1:05d}.npz" in changed
+
+        # round trip equals the live arrays
+        gc2 = GraphCache.load(d)
+        np.testing.assert_array_equal(gc2._src, gc._src)
+        np.testing.assert_array_equal(gc2._dst, gc._dst)
+        np.testing.assert_array_equal(gc2._w, gc._w)
+        assert gc2.nodes.ids == gc.nodes.ids
+        # incremental save continues to work from the loaded instance
+        gc2.add_edges([0], [1])
+        gc2.rebuild()
+        gc2.save(d)
+        gc3 = GraphCache.load(d)
+        np.testing.assert_array_equal(gc3._src, gc2._src)
+    finally:
+        GraphCache.BLOCK_EDGES = old_block
+
+
+def test_graph_cache_save_load_unweighted_roundtrip_blocks(tmp_path):
+    gc = GraphCache.from_edges(["a", "b", "c"], ["b", "c", "a"])
+    gc.save(tmp_path / "g")
+    gc2 = GraphCache.load(tmp_path / "g")
+    assert gc2.num_edges == 3
+    assert gc2.graph().bfs("a") == gc.graph().bfs("a")
