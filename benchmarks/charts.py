@@ -81,19 +81,23 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
 
     vss = by_treatment.get("vss", [])
     if vss:
-        sr = _series(vss, ["engine"], "n", "recall_at_k")
+        # group recall by engine AND query distribution: the held-out
+        # series is the reference-comparable curve; ood is the stress
+        # series (mixing them was round 2's recall artifact)
+        base = [r for r in vss if "ef" not in r["permutation"]]
+        sr = _series(base, ["engine", "queries"], "n", "recall_at_k")
         charts["vss_recall"] = _fig(
             "Recall@k vs corpus size", "N vectors", "recall@k",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sr.items()],
             log_x=True,
         )
-        sq = _series(vss, ["engine"], "n", "query_qps")
+        sq = _series(base, ["engine", "queries"], "n", "query_qps")
         charts["vss_query_qps"] = _fig(
             "Query throughput vs corpus size", "N vectors", "queries/s",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sq.items()],
             log_x=True, log_y=True,
         )
-        sb = _series(vss, ["engine"], "n", "build_vec_per_s")
+        sb = _series(base, ["engine"], "n", "build_vec_per_s")
         charts["vss_build"] = _fig(
             "Build throughput vs corpus size", "N vectors", "vectors/s",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sb.items()],
@@ -105,15 +109,17 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
         if sweep:
             by_n = defaultdict(list)
             for r in sweep:
-                by_n[r["permutation"]["n"]].append(
+                perm = r["permutation"]
+                key = (perm["n"], perm.get("queries", "heldout"))
+                by_n[key].append(
                     (r["metrics"]["recall_at_k"], r["metrics"]["query_qps"],
-                     r["permutation"]["ef"])
+                     perm["ef"])
                 )
             traces = []
-            for n, pts in sorted(by_n.items()):
+            for (n, qdist), pts in sorted(by_n.items()):
                 pts.sort()
                 traces.append({
-                    "name": f"n={n}",
+                    "name": f"n={n}" + ("" if qdist == "heldout" else f" ({qdist})"),
                     "x": [p[0] for p in pts], "y": [p[1] for p in pts],
                     "text": [f"ef={p[2]}" for p in pts],
                 })

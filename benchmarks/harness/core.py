@@ -1,0 +1,128 @@
+"""Treatment registry + record plumbing (reference ``treatments/base.py``
++ ``harness.py`` roles).
+
+A Treatment owns a parameter ``grid`` (the permutations) and a
+``run(params, rng, emit)`` callable that measures ONE permutation and
+emits one or more records through ``emit(perm_dict, metrics, wall_s)``.
+"""
+
+from __future__ import annotations
+
+import platform
+import resource
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+
+@dataclass
+class Record:
+    treatment: str
+    permutation: dict
+    metrics: dict
+    wall_s: float
+    peak_rss_mb: float
+    platform: str = field(
+        default_factory=lambda: f"{platform.system()}-{platform.machine()}".lower()
+    )
+    ts: float = field(default_factory=time.time)
+
+
+@dataclass
+class Treatment:
+    """One benchmark family: a permutation grid + a single-permutation
+    runner (the reference's Treatment ABC, collapsed to data + fns)."""
+
+    name: str
+    grid: Callable[[list[int]], list[dict]]
+    run: Callable[[dict, np.random.Generator, Callable], None]
+
+
+REGISTRY: dict[str, Treatment] = {}
+
+
+def treatment(name: str, grid):
+    def deco(fn):
+        REGISTRY[name] = Treatment(name, grid, fn)
+        return fn
+
+    return deco
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def emit_for(treatment_name: str, out, collect: list | None = None):
+    """Build the ``emit(perm, metrics, wall_s)`` callback: prints the
+    JSONL line, appends to the open ``out`` file (if any), and collects
+    Record objects for per-permutation artifacts."""
+    import json
+
+    def emit(perm: dict, metrics: dict, wall_s: float):
+        rec = Record(treatment_name, perm, metrics, wall_s, _rss_mb())
+        line = json.dumps(rec.__dict__)
+        print(line)
+        if out:
+            out.write(line + "\n")
+            out.flush()
+        if collect is not None:
+            collect.append(rec)
+
+    return emit
+
+
+# ───────────────────── shared data generators ─────────────────────
+
+
+def _clustered(rng, n, dim):
+    """Clustered unit vectors: the corpus model for vss treatments."""
+    c = rng.standard_normal((max(n // 100, 4), dim)).astype(np.float32)
+    x = c[rng.integers(0, len(c), n)] + 0.3 * rng.standard_normal(
+        (n, dim)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def _heldout_queries(rng, x, n_q):
+    """Held-out same-distribution queries: perturbed corpus points —
+    the reference's methodology (AG News queries are documents drawn
+    from the same corpus distribution,
+    ``benchmarks/harness/treatments/vss.py`` role). Round-2 drew
+    queries from FRESH random cluster centers, i.e. out-of-distribution
+    — that artifact, not the engine, produced the 0.72-0.91 small-N
+    recall (in-distribution recall measures 0.99+)."""
+    base = x[rng.integers(0, len(x), n_q)]
+    q = base + 0.05 * rng.standard_normal((n_q, x.shape[1])).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q
+
+
+def _er_graph(rng, n, avg_deg):
+    e = n * avg_deg
+    return rng.integers(0, n, e), rng.integers(0, n, e)
+
+
+def _er_names(n_base: int) -> list[str]:
+    """Synthetic company-name dataset for kg_resolve: n_base distinct
+    names, each with 2 systematic variants."""
+    syll = ["zor", "mak", "tel", "vin", "qua", "rex", "bol", "nim",
+            "gar", "plu", "sev", "tro", "wik", "yam", "dex", "cor"]
+
+    def mk(i):
+        r = np.random.default_rng(i)
+        return (
+            "".join(r.choice(syll, 3)).capitalize()
+            + " "
+            + "".join(r.choice(syll, 2)).capitalize()
+        )
+
+    base = [f"{mk(i)} Holdings" for i in range(n_base)]
+    return (
+        base
+        + [b.upper() for b in base]
+        + [b.replace(" Holdings", " Hldgs") for b in base]
+    )

@@ -1,0 +1,331 @@
+"""Treatment implementations, one permutation per ``run`` call.
+
+Covers the reference's treatment families (vss, graph traversal /
+centrality / community, graph_vt CSR cache, node2vec, embed,
+kg_extract, kg_resolve, kg_graphrag —
+``/root/reference/benchmarks/harness/treatments/``)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from benchmarks.harness.core import _er_graph, treatment
+from benchmarks.harness import prep as prep_mod
+
+
+# ───────────────────────── vss ─────────────────────────
+
+
+def _vss_grid(sizes):
+    out = []
+    for n in sizes:
+        for engine in ("flat", "quantized", "hnsw"):
+            out.append({"engine": engine, "n": n, "dim": 128, "k": 10,
+                        "queries": "heldout"})
+        # OOD stress point (queries disjoint from corpus clusters):
+        # recorded separately — the reference-comparable recall curve is
+        # the held-out series (see core._heldout_queries)
+        out.append({"engine": "hnsw", "n": n, "dim": 128, "k": 10,
+                    "queries": "ood"})
+    return out
+
+
+@treatment("vss", _vss_grid)
+def run_vss(params, rng, emit):
+    """Vector search: build + query throughput + recall for one engine
+    at one corpus size (the reference's vss treatment compares engines
+    across N, ``recall_models_ag_news.json``)."""
+    from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex
+    from muninn_tpu.index.hnsw import HnswIndex
+
+    n, dim, k = params["n"], params["dim"], params["k"]
+    engine = params["engine"]
+    x, q_heldout, q_ood = prep_mod.vss_data(rng, n, dim)
+    q = q_heldout if params["queries"] == "heldout" else q_ood
+    n_q = len(q)
+
+    t0 = time.time()
+    if engine == "flat":
+        idx = FlatIndex(dim, "cosine")
+        idx.insert(np.arange(n), x)
+    elif engine == "quantized":
+        idx = QuantizedFlatIndex(dim, "cosine")
+        idx.insert(np.arange(n), x)
+    else:
+        idx = HnswIndex(dim, "cosine", m=16, ef_construction=100,
+                        wave_size=2048, capacity=max(2048, n * 2))
+        idx.insert(np.arange(n), x)
+    build_s = time.time() - t0
+
+    flat = FlatIndex(dim, "cosine")
+    flat.insert(np.arange(n), x)
+    tid, _ = flat.search(q, k=k)
+
+    def _recall(a_ids):
+        return float(np.mean([
+            len(set(a[a >= 0]) & set(b[b >= 0])) / k
+            for a, b in zip(a_ids, tid)
+        ]))
+
+    idx.search(q, k=k)  # warm
+    t0 = time.time()
+    ids, _ = idx.search(q, k=k)
+    query_s = time.time() - t0
+    emit(
+        dict(params),
+        {"build_s": build_s, "build_vec_per_s": n / build_s,
+         "query_qps": n_q / query_s, "recall_at_k": _recall(ids)},
+        build_s + query_s,
+    )
+    if engine == "hnsw":
+        # ef_search sweep -> the recall-QPS operating curve
+        # (reference sweep space: efS in {10,50,100,200,400})
+        for ef in (10, 16, 32, 64, 128):
+            idx.search(q, k=k, ef_search=ef)  # warm
+            t0 = time.time()
+            sids, _ = idx.search(q, k=k, ef_search=ef)
+            qs = time.time() - t0
+            emit(
+                {**params, "ef": ef},
+                {"query_qps": n_q / qs, "recall_at_k": _recall(sids)},
+                qs,
+            )
+
+
+# ───────────────────────── graph families ─────────────────────────
+
+
+def _sized_grid(extra):
+    def grid(sizes):
+        return [{"n": n, **extra(n)} for n in sizes]
+
+    return grid
+
+
+@treatment("graph_traversal", _sized_grid(lambda n: {"avg_deg": 5}))
+def run_traversal(params, rng, emit):
+    from muninn_tpu.graph import Graph
+
+    n = params["n"]
+    src, dst = _er_graph(rng, n, params["avg_deg"])
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+    t0 = time.time(); g.host_csr("forward"); build_s = time.time() - t0
+    t0 = time.time(); rows = g.bfs(int(src[0])); bfs_s = time.time() - t0
+    t0 = time.time(); _, _ = g.shortest_path(int(src[0]), int(dst[-1])); sp_s = time.time() - t0
+    t0 = time.time(); g.connected_components(); cc_s = time.time() - t0
+    emit(
+        dict(params),
+        {"csr_build_ms": build_s * 1e3, "bfs_ms": bfs_s * 1e3,
+         "shortest_path_ms": sp_s * 1e3, "components_ms": cc_s * 1e3,
+         "bfs_reached": len(rows)},
+        build_s + bfs_s + sp_s + cc_s,
+    )
+
+
+@treatment(
+    "graph_centrality",
+    _sized_grid(lambda n: {"avg_deg": 5, "bc_sources": min(n, 64)}),
+)
+def run_centrality(params, rng, emit):
+    from muninn_tpu.graph import Graph
+
+    n = params["n"]
+    src, dst = _er_graph(rng, n, params["avg_deg"])
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+    t0 = time.time(); g.pagerank(); pr_s = time.time() - t0
+    t0 = time.time(); g.degree(); dg_s = time.time() - t0
+    t0 = time.time(); g.betweenness(sample_sources=params["bc_sources"]); bc_s = time.time() - t0
+    emit(
+        dict(params),
+        {"pagerank_ms": pr_s * 1e3, "degree_ms": dg_s * 1e3,
+         "betweenness_ms": bc_s * 1e3},
+        pr_s + dg_s + bc_s,
+    )
+
+
+@treatment("graph_community", _sized_grid(lambda n: {"avg_deg": 8}))
+def run_community(params, rng, emit):
+    from muninn_tpu.graph import Graph
+
+    n = params["n"]
+    src, dst = _er_graph(rng, n, params["avg_deg"])
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+    t0 = time.time(); labels, q = g.leiden(seed=0); s = time.time() - t0
+    emit(
+        dict(params),
+        {"leiden_ms": s * 1e3, "modularity": q,
+         "communities": len(set(labels.values()))},
+        s,
+    )
+
+
+@treatment("graph_vt", _sized_grid(lambda n: {"avg_deg": 5}))
+def run_graph_vt(params, rng, emit):
+    """CSR cache build + incremental delta (the reference's graph_vt
+    treatment over CSR strategies)."""
+    from muninn_tpu.graph.adjacency import GraphCache
+
+    n = params["n"]
+    src, dst = _er_graph(rng, n, params["avg_deg"])
+    t0 = time.time()
+    gc = GraphCache.from_edges(src.tolist(), dst.tolist())
+    full_s = time.time() - t0
+    gc.add_edges(src[:10].tolist(), dst[:10].tolist())
+    t0 = time.time(); gc.graph(); inc_s = time.time() - t0
+    emit(
+        {**params, "edges": len(src)},
+        {"full_build_ms": full_s * 1e3, "incremental_ms": inc_s * 1e3},
+        full_s + inc_s,
+    )
+
+
+@treatment(
+    "node2vec",
+    lambda sizes: [{"n": min(n, 2000), "dim": 32} for n in
+                   sorted({min(s, 2000) for s in sizes})],
+)
+def run_node2vec(params, rng, emit):
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.models.node2vec import node2vec_train
+
+    n = params["n"]
+    src, dst = _er_graph(rng, n, 5)
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+    t0 = time.time()
+    ids, _ = node2vec_train(
+        g, dim=params["dim"], num_walks=2, walk_length=20, epochs=1,
+        walk_batch=1024, sgns_chunk=256,
+    )
+    s = time.time() - t0
+    emit(dict(params), {"train_s": s, "nodes_per_s": len(ids) / s}, s)
+
+
+# ───────────────────────── text / KG ─────────────────────────
+
+
+@treatment(
+    "embed", lambda sizes: [{"n_texts": 2000, "dim": 128, "backend": "hash"}]
+)
+def run_embed(params, rng, emit):
+    """Text embedding throughput (the reference's embed treatment runs
+    GGUF models; here the deterministic backend exercises the same
+    pipeline, and a real Flax encoder can be swapped via path=)."""
+    from muninn_tpu.models.embed import HashEmbedModel
+
+    model = HashEmbedModel(dim=params["dim"])
+    texts = [
+        f"document number {i} about topic {i % 50}"
+        for i in range(params["n_texts"])
+    ]
+    t0 = time.time()
+    vecs = model.embed(texts)
+    s = time.time() - t0
+    emit(
+        dict(params),
+        {"texts_per_s": len(texts) / s, "embed_s": s,
+         "unit_norm": bool(np.allclose(
+             np.linalg.norm(vecs, axis=1), 1, atol=1e-4))},
+        s,
+    )
+
+
+@treatment("kg_extract", lambda sizes: [{"n_docs": 200, "backend": "echo"}])
+def run_kg_extract(params, rng, emit):
+    """NER/RE extraction throughput over the chat backend."""
+    from muninn_tpu.models.chat import load_chat_model
+    from muninn_tpu.models.registry import registry
+    from muninn_tpu.text import extract_ner_re_batch
+
+    if "harness-chat" not in registry.names():
+        load_chat_model("harness-chat")
+    docs = [
+        f"Person{i} Works at Company{i % 20} in City{i % 7}."
+        for i in range(params["n_docs"])
+    ]
+    t0 = time.time()
+    outs = extract_ner_re_batch("harness-chat", docs)
+    s = time.time() - t0
+    emit(
+        dict(params),
+        {"docs_per_s": len(docs) / s,
+         "entities": sum(len(o["entities"]) for o in outs),
+         "relations": sum(len(o["relations"]) for o in outs)},
+        s,
+    )
+
+
+@treatment(
+    "kg_resolve",
+    lambda sizes: [{"n_entities": 3 * max(n // 3, 100)} for n in sizes],
+)
+def run_kg_resolve(params, rng, emit):
+    """Entity-resolution cascade end to end."""
+    from muninn_tpu.models.embed import HashEmbedModel
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.er import Entity, resolve_entities
+
+    n_base = params["n_entities"] // 3
+    names = prep_mod.er_names(n_base)
+    ents = [Entity(id=str(i), name=nm) for i, nm in enumerate(names)]
+    model = HashEmbedModel(dim=96)
+    idx = FlatIndex(96, "cosine")
+    idx.insert(np.arange(len(names)), model.embed(names))
+    t0 = time.time()
+    res = resolve_entities(ents, idx, k=6, dist_threshold=0.45, jw_weight=0.7)
+    s = time.time() - t0
+    clusters = res["clusters"]
+    good = sum(
+        1 for i in range(n_base)
+        if clusters[str(i)] == clusters[str(i + n_base)]
+        and clusters[str(i)] == clusters[str(i + 2 * n_base)]
+    )
+    emit(
+        dict(params),
+        {"resolve_s": s, "entities_per_s": len(names) / s,
+         "triple_merge_rate": good / n_base},
+        s,
+    )
+
+
+@treatment("kg_graphrag", lambda sizes: [{"n_docs": 100}])
+def run_kg_graphrag(params, rng, emit):
+    """End-to-end GraphRAG: extract -> graph -> Leiden -> labels ->
+    embed -> community-aware retrieval (reference kg_graphrag)."""
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.models.chat import load_chat_model
+    from muninn_tpu.models.embed import HashEmbedModel
+    from muninn_tpu.models.registry import registry
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.text import extract_ner_re_batch, label_groups
+
+    if "harness-chat" not in registry.names():
+        load_chat_model("harness-chat")
+    docs = [
+        f"Alice{i} Works at Acme{i % 10} in Springfield{i % 4}."
+        for i in range(params["n_docs"])
+    ]
+    t0 = time.time()
+    outs = extract_ner_re_batch("harness-chat", docs)
+    src = [r["head"] for o in outs for r in o["relations"]]
+    dst = [r["tail"] for o in outs for r in o["relations"]]
+    g = Graph.from_edges(src, dst)
+    labels, q = g.leiden(seed=0)
+    members = {}
+    for node, comm in labels.items():
+        members.setdefault(comm, []).append(node)
+    named = label_groups("harness-chat", members)
+    model = HashEmbedModel(dim=64)
+    ents = list(labels)
+    idx = FlatIndex(64, "cosine")
+    idx.insert(np.arange(len(ents)), model.embed(ents))
+    ids, _ = idx.search(model.embed(["Acme3"]), k=5)
+    s_total = time.time() - t0
+    emit(
+        dict(params),
+        {"pipeline_s": s_total, "communities": len(members),
+         "modularity": q, "labeled": len(named),
+         "retrieved": int((np.asarray(ids) >= 0).sum())},
+        s_total,
+    )

@@ -1,0 +1,50 @@
+"""Registry: permutation enumeration, ids, filtering, status."""
+
+from benchmarks.harness import REGISTRY
+from benchmarks.harness.registry import (
+    all_permutations,
+    filter_permutations,
+    permutation_status,
+)
+
+
+def test_registry_has_all_treatment_families():
+    assert {
+        "vss", "graph_traversal", "graph_centrality", "graph_community",
+        "graph_vt", "node2vec", "embed", "kg_extract", "kg_resolve",
+        "kg_graphrag",
+    } <= set(REGISTRY)
+
+
+def test_all_permutations_cover_grid():
+    perms = all_permutations([500, 1000])
+    by_treatment = {}
+    for p in perms:
+        by_treatment.setdefault(p.treatment, []).append(p)
+    # vss: 3 engines heldout + 1 hnsw ood, per size
+    assert len(by_treatment["vss"]) == 8
+    assert len(by_treatment["graph_traversal"]) == 2
+    # singletons appear once regardless of sizes
+    assert len(by_treatment["embed"]) == 1
+
+
+def test_permutation_ids_unique_and_stable():
+    perms = all_permutations([1000, 5000])
+    ids = [p.perm_id for p in perms]
+    assert len(ids) == len(set(ids))
+    # stable across calls (canonical JSON params)
+    assert ids == [p.perm_id for p in all_permutations([1000, 5000])]
+    assert any("vss" in i and "n1000" in i for i in ids)
+
+
+def test_filter_permutations():
+    vss = filter_permutations([1000], treatment="vss")
+    assert vss and all(p.treatment == "vss" for p in vss)
+    one = filter_permutations([1000], perm_id=vss[0].perm_id)
+    assert len(one) == 1 and one[0] == vss[0]
+    assert filter_permutations([1000], perm_id="nope") == []
+
+
+def test_permutation_status_missing_by_default(tmp_path):
+    rows = permutation_status([500], results_dir=tmp_path)
+    assert rows and all(not done for _, done in rows)
