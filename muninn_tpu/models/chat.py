@@ -180,60 +180,17 @@ class EchoChatModel:
         return [self.generate(p, **kw) for p in prompts]
 
 
-class _GrammarLogitsProcessor:
-    """Token-level grammar constraint as a pure logit mask.
+def _grammar_tables(tg, vocab_size: int):
+    """Pad the compiled token-transition/mask tables to the model's
+    vocab (tokens beyond the table are never legal)."""
+    import numpy as np
 
-    Stateless across decode steps: the DFA state is recomputed each step
-    by scanning the generated suffix of ``input_ids`` (a [B]-wide gather
-    chain under ``lax.scan``), so the processor composes with
-    transformers' jitted KV-cache greedy loop without threading custom
-    state. This is the TPU-native form of the reference's GBNF sampler
-    chain (``src/llama_chat.c:110-210``): llama.cpp re-evaluates the
-    grammar on host per step; here the compiled mask/transition tables
-    live on device and the whole decode stays one XLA program.
-    """
-
-    def __init__(self, tg, prompt_len: int, vocab_size: int,
-                 eos_bias: float = 0.0):
-        import numpy as np
-        import jax.numpy as jnp
-
-        s, v = tg.trans.shape
-        trans = np.full((s, vocab_size), -1, np.int32)
-        trans[:, : min(v, vocab_size)] = tg.trans[:, :vocab_size]
-        mask = np.zeros((s, vocab_size), bool)
-        mask[:, : min(v, vocab_size)] = tg.mask[:, :vocab_size]
-        self.trans = jnp.asarray(trans)
-        self.mask = jnp.asarray(mask)
-        self.prompt_len = int(prompt_len)
-        self.eos_id = int(tg.eos_id)
-        # added to the EOS logit; the EOS column is unmasked exactly in
-        # accepting states, so a positive bias means "prefer finishing
-        # as soon as the output is a complete sentence of the grammar"
-        self.eos_bias = float(eos_bias)
-
-    def __call__(self, input_ids, scores, cur_len):
-        import jax
-        import jax.numpy as jnp
-
-        b, length = input_ids.shape
-
-        def body(st, t):
-            tok = input_ids[:, t]
-            act = (t >= self.prompt_len) & (t < cur_len)
-            nst = self.trans[st, tok]
-            return jnp.where(act, jnp.maximum(nst, 0), st), None
-
-        st, _ = jax.lax.scan(
-            body, jnp.zeros((b,), jnp.int32), jnp.arange(length)
-        )
-        allowed = self.mask[st]
-        neg = jnp.finfo(scores.dtype).min
-        out = jnp.where(allowed, scores, neg)
-        if self.eos_bias and self.eos_id < out.shape[-1]:
-            bump = jnp.where(allowed[:, self.eos_id], self.eos_bias, 0.0)
-            out = out.at[:, self.eos_id].add(bump)
-        return out
+    s, v = tg.trans.shape
+    trans = np.full((s, vocab_size), -1, np.int32)
+    trans[:, : min(v, vocab_size)] = tg.trans[:, :vocab_size]
+    mask = np.zeros((s, vocab_size), bool)
+    mask[:, : min(v, vocab_size)] = tg.mask[:, :vocab_size]
+    return trans, mask
 
 
 class FlaxChatModel:
@@ -289,6 +246,103 @@ class FlaxChatModel:
     def generate(self, prompt: str, **kw) -> str:
         return self.generate_batch([prompt], **kw)[0]
 
+    def _grammar_greedy_decode(
+        self, input_ids, attention_mask, max_new: int, tg,
+        eos_bias: float,
+    ):
+        """Grammar-constrained greedy decode as ONE XLA program.
+
+        The KV cache AND the grammar DFA state are both loop carries of
+        a single ``lax.scan`` — O(1) grammar work per step (a [B]-wide
+        table gather), unlike the round-2 stateless logits processor
+        that rescanned the whole generated suffix every step (O(L^2)
+        over a long constrained generation). This is the TPU-native
+        form of the reference's GBNF sampler chain
+        (``src/llama_chat.c:110-210``): llama.cpp re-evaluates the
+        grammar on host per step; here the compiled mask/transition
+        tables live on device and the decode never leaves the device.
+        """
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        model = self._model
+        trans, mask = _grammar_tables(tg, model.config.vocab_size)
+        trans_j = jnp.asarray(trans)
+        mask_j = jnp.asarray(mask)
+        eos_id = int(tg.eos_id)
+        pad_id = int(self._tok.pad_token_id)
+        b, in_len = input_ids.shape
+        max_len = in_len + max_new
+        bias = float(eos_bias)
+
+        def constrain(logits, st):
+            allowed = mask_j[st]
+            neg = jnp.finfo(logits.dtype).min
+            out = jnp.where(allowed, logits, neg)
+            if bias:
+                # EOS is unmasked exactly in accepting states: a
+                # positive bias means "finish at the first point the
+                # output is a complete sentence of the grammar"
+                out = out.at[:, eos_id].add(
+                    jnp.where(allowed[:, eos_id], bias, 0.0)
+                )
+            return out
+
+        @jax.jit
+        def run(input_ids, attention_mask, params):
+            cache = model.init_cache(b, max_len)
+            # extended mask covers future cache positions (the
+            # prepare_inputs_for_generation contract of HF Flax LMs)
+            ext_mask = jax.lax.dynamic_update_slice(
+                jnp.ones((b, max_len), dtype=attention_mask.dtype),
+                attention_mask, (0, 0),
+            )
+            pos = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+            out = model(
+                input_ids, attention_mask=ext_mask, position_ids=pos,
+                past_key_values=cache, params=params,
+            )
+            st0 = jnp.zeros((b,), jnp.int32)
+            tok0 = jnp.argmax(
+                constrain(out.logits[:, -1], st0), axis=-1
+            ).astype(jnp.int32)
+            done0 = tok0 == eos_id
+            st1 = jnp.where(
+                done0, st0, jnp.maximum(trans_j[st0, tok0], 0)
+            )
+
+            def step(carry, _):
+                cache, tok, posn, st, done = carry
+                out = model(
+                    tok[:, None], attention_mask=ext_mask,
+                    position_ids=posn[:, None], past_key_values=cache,
+                    params=params,
+                )
+                nxt = jnp.argmax(
+                    constrain(out.logits[:, -1], st), axis=-1
+                ).astype(jnp.int32)
+                nxt = jnp.where(done, pad_id, nxt)
+                fin = nxt == eos_id
+                nst = jnp.where(
+                    done | fin, st, jnp.maximum(trans_j[st, nxt], 0)
+                )
+                return (
+                    out.past_key_values, nxt, posn + 1, nst, done | fin
+                ), nxt
+
+            _, toks = jax.lax.scan(
+                step,
+                (out.past_key_values, tok0, pos[:, -1] + 1, st1, done0),
+                None, length=max_new - 1,
+            )
+            return jnp.concatenate([tok0[:, None], toks.T], axis=1)
+
+        return np.asarray(run(
+            jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            model.params,
+        ))
+
     def generate_batch(
         self,
         prompts,
@@ -310,26 +364,20 @@ class FlaxChatModel:
             self._tok.pad_token = self._tok.eos_token
         enc = self._tok(texts, return_tensors="np", padding=True)
         in_len = enc["input_ids"].shape[1]
-        processor = None
         if grammar is not None:
-            from transformers import FlaxLogitsProcessorList
-
-            tg = self._token_grammar(grammar)
-            processor = FlaxLogitsProcessorList(
-                [_GrammarLogitsProcessor(
-                    tg, in_len, self._model.config.vocab_size,
-                    eos_bias=grammar_eos_bias,
-                )]
+            seqs = self._grammar_greedy_decode(
+                enc["input_ids"], enc["attention_mask"],
+                max_tokens, self._token_grammar(grammar), grammar_eos_bias,
             )
-        out = self._model.generate(
-            enc["input_ids"],
-            attention_mask=enc["attention_mask"],
-            max_new_tokens=max_tokens,
-            do_sample=False,
-            pad_token_id=self._tok.pad_token_id,
-            logits_processor=processor,
-        )
-        seqs = out.sequences[:, in_len:]
+        else:
+            out = self._model.generate(
+                enc["input_ids"],
+                attention_mask=enc["attention_mask"],
+                max_new_tokens=max_tokens,
+                do_sample=False,
+                pad_token_id=self._tok.pad_token_id,
+            )
+            seqs = out.sequences[:, in_len:]
         outs = [self._tok.decode(s, skip_special_tokens=True) for s in seqs]
         if grammar is not None:
             # the token budget can truncate mid-sentence; the output is

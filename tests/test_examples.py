@@ -124,15 +124,13 @@ def test_er_pipeline():
 
 def test_notebooks_exist_and_are_valid():
     """Reference parity: each example dir ships .py + .ipynb + README;
-    the notebooks are generated by examples/make_notebooks.py and must
-    stay in sync with the scripts."""
+    the notebooks are generated EXECUTED by examples/make_notebooks.py
+    (real outputs committed) and must stay in sync with the scripts."""
     import json
-    from pathlib import Path
 
-    from examples.make_notebooks import HERE, build_notebook
+    from examples.make_notebooks import build_notebook, example_dirs
 
-    dirs = [d for d in HERE.iterdir()
-            if d.is_dir() and (d / "README.md").exists()]
+    dirs = example_dirs()
     assert len(dirs) >= 13
     for d in dirs:
         nb_path = d / f"{d.name}.ipynb"
@@ -141,6 +139,11 @@ def test_notebooks_exist_and_are_valid():
         assert nb["nbformat"] == 4
         kinds = [c["cell_type"] for c in nb["cells"]]
         assert kinds == ["markdown", "code"]
+        # committed notebooks carry real outputs, none of them errors
+        code = nb["cells"][1]
+        assert code["outputs"], f"{d.name}.ipynb has no outputs — run " \
+            "python -m examples.make_notebooks"
+        assert all(o["output_type"] != "error" for o in code["outputs"])
         # in sync with the current script + README
         script = d / "main.py"
         if not script.exists():
@@ -149,3 +152,20 @@ def test_notebooks_exist_and_are_valid():
                               script.read_text())
         assert nb["cells"][1]["source"] == want["cells"][1]["source"], (
             f"{d.name}.ipynb is stale — run python -m examples.make_notebooks")
+
+
+def test_notebooks_execute():
+    """CI gate: every example notebook's code cell re-executes cleanly
+    through the generation-time executor (hash/echo backends, tiny
+    sizes) — the reference's runnable-examples guarantee."""
+    import json
+
+    from examples.make_notebooks import example_dirs, execute_source
+
+    for d in example_dirs():
+        nb = json.loads((d / f"{d.name}.ipynb").read_text())
+        src = "".join(nb["cells"][1]["source"])
+        outputs = execute_source(src)
+        errs = [o for o in outputs if o["output_type"] == "error"]
+        assert not errs, f"{d.name}: {errs and errs[0]['evalue']}"
+        assert outputs, f"{d.name} produced no output"

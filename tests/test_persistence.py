@@ -290,3 +290,32 @@ def test_graph_cache_save_load_unweighted_roundtrip_blocks(tmp_path):
     gc2 = GraphCache.load(tmp_path / "g")
     assert gc2.num_edges == 3
     assert gc2.graph().bfs("a") == gc.graph().bfs("a")
+
+
+def test_graph_cache_incremental_fast_path_matches_replay(rng):
+    """The mirror-driven delete fast path (no O(E) replay scan) is
+    bit-identical to sequential replay across randomized mixed
+    batches, including duplicate edges and delete-then-re-add."""
+    V, E = 80, 400
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    w = rng.random(E).astype(np.float32)
+    gc1 = GraphCache.from_edges(src.tolist(), dst.tolist(), w)
+    gc2 = GraphCache.from_edges(src.tolist(), dst.tolist(), w)
+    g1 = gc1.graph()
+    g1.csr("forward"); g1.csr("reverse")  # materialize -> incremental path
+    for batch in range(3):
+        for _ in range(30):
+            if rng.random() < 0.5:
+                i = rng.integers(0, E)
+                a, b = int(src[i]), int(dst[i])
+                gc1.remove_edges([a], [b]); gc2.remove_edges([a], [b])
+            else:
+                a, b = int(rng.integers(0, V)), int(rng.integers(0, V))
+                ww = float(rng.random())
+                gc1.add_edges([a], [b], [ww]); gc2.add_edges([a], [b], [ww])
+        gc1.incremental_rebuild()
+        gc2.rebuild()
+        np.testing.assert_array_equal(gc1._src, gc2._src)
+        np.testing.assert_array_equal(gc1._dst, gc2._dst)
+        np.testing.assert_allclose(gc1._w, gc2._w)
