@@ -283,7 +283,15 @@ def _beam_search_level0(
         new_i = jnp.where(jnp.isinf(new_d), -1, new_i)
         new_f = new_f & (new_i >= 0)
 
-        improved = new_d[:, ef - 1] < beam_d[:, ef - 1]
+        # an expansion improves when the beam tail tightens OR the beam
+        # is still filling (reference: a candidate improves the results
+        # heap when it beats the worst result OR results aren't full,
+        # src/hnsw_algo.c:368-392). Without the fill term, inf < inf
+        # counts every early expansion as a stall and patience kills
+        # wide-beam queries after ~patience/expand iterations.
+        improved = (new_d[:, ef - 1] < beam_d[:, ef - 1]) | (
+            jnp.sum(new_i >= 0, axis=1) > jnp.sum(beam_i >= 0, axis=1)
+        )
         # patience counts expansions, not iterations
         stall = jnp.where(
             live, jnp.where(improved, 0, stall + jnp.sum(do, axis=1)), stall
@@ -427,6 +435,13 @@ class HnswIndex:
         # the gather bytes; exact rescore still fixes final ranking)
         self.search_quant = "bf16"
         self.beam_patience = 0  # 0 -> reference default max(ef/4, 10)
+        # below this live-store size, search runs the EXACT fused flat
+        # kernel instead of routing+beam: at tiny N the promoted pool is
+        # a handful of nodes (n/m), cluster coverage is luck, and one
+        # MXU pass is both exact and faster than any beam (the repo's
+        # design invariant; the reference's own tipping-point chart
+        # shows graph search only pays off at scale)
+        self.exact_small_n = 4096
         self._v16: jax.Array | None = None
         self._v8: tuple | None = None
         self._pool_vecs_cache: jax.Array | None = None
@@ -506,6 +521,17 @@ class HnswIndex:
             empty_ids = np.full((b, k), -1, np.int64)
             empty_d = np.full((b, k), np.inf, np.float32)
             return (empty_ids[0], empty_d[0]) if single else (empty_ids, empty_d)
+
+        hw = self.store.high_watermark
+        if hw <= self.exact_small_n:
+            d, slots = flat_topk(
+                q, self.store.vectors[:hw], k, metric=self.metric,
+                corpus_valid=self.store.valid[:hw], precision="highest",
+                interpret=jax.default_backend() != "tpu",
+            )
+            ids = self.store.ids_of(np.asarray(slots))
+            d = np.asarray(d)
+            return (ids[0], d[0]) if single else (ids, d)
 
         pool = self._routing_pool()
         if self.search_bf16 and pool is not None:

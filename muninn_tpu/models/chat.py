@@ -231,15 +231,41 @@ class FlaxChatModel:
             self._tg_cache[gbnf] = TokenGrammar.from_gbnf(gbnf, tb, eos)
         return self._tg_cache[gbnf]
 
-    def _render(self, prompt: str, system_prompt: str | None) -> str:
+    def _render(self, prompt: str, system_prompt: str | None,
+                skip_think: bool = True) -> str:
         msgs = []
         if system_prompt:
             msgs.append({"role": "system", "content": system_prompt})
         msgs.append({"role": "user", "content": prompt})
-        if getattr(self._tok, "chat_template", None):
-            return self._tok.apply_chat_template(
-                msgs, tokenize=False, add_generation_prompt=True
-            )
+        tmpl = getattr(self._tok, "chat_template", None)
+        if tmpl:
+            # Gemma-4 family templates use <|turn>/<turn|> tokens; the
+            # reference renders them by hand because llama.cpp's
+            # heuristic matcher fails on them (src/llama_chat.c:440-459).
+            # HF executes the Jinja directly, so hand-rendering is only
+            # the fallback when the template itself won't execute.
+            try:
+                text = self._tok.apply_chat_template(
+                    msgs, tokenize=False, add_generation_prompt=True
+                )
+            except Exception:
+                if "<turn|>" in tmpl:
+                    text = "<bos>"
+                    if system_prompt:
+                        text += f"<|turn>system\n{system_prompt}<turn|>\n"
+                    text += f"<|turn>user\n{prompt}<turn|>\n<|turn>model\n"
+                    return text
+                raise
+            # Qwen3.5 thinking models: inject an empty closed think
+            # block to disable reasoning when the caller asked to skip
+            # it (src/llama_chat.c:478-489's inject_skip_think)
+            if (
+                skip_think
+                and "enable_thinking" in tmpl
+                and not text.rstrip().endswith("</think>")
+            ):
+                text += "<think>\n\n</think>\n\n"
+            return text
         parts = [f"{m['role']}: {m['content']}" for m in msgs]
         return "\n".join(parts) + "\nassistant:"
 
@@ -358,7 +384,7 @@ class FlaxChatModel:
         <= 8 seqs into one ``llama_decode``; on TPU the batch axis is
         that, unbounded). ``grammar_eos_bias > 0`` makes the decode
         finish at the first grammar-acceptance point."""
-        texts = [self._render(p, system_prompt) for p in prompts]
+        texts = [self._render(p, system_prompt, skip_think) for p in prompts]
         self._tok.padding_side = "left"
         if self._tok.pad_token is None:
             self._tok.pad_token = self._tok.eos_token

@@ -124,3 +124,26 @@ def test_flax_chat_through_registry_and_extract(tiny_model_dir):
             assert set(e) == {"name", "type"}
     finally:
         registry.remove("tiny-chat")
+
+
+def test_chat_template_special_cases(tiny_model_dir):
+    """Reference chat-template special cases (src/llama_chat.c:424-494):
+    Gemma-4 <|turn> hand-rendering when the template won't execute, and
+    Qwen think-injection when the template mentions enable_thinking."""
+    from muninn_tpu.models.chat import FlaxChatModel
+
+    m = FlaxChatModel(tiny_model_dir)
+    # broken Jinja + <turn|> marker -> hand-rendered Gemma-4 format
+    m._tok.chat_template = "{% broken jinja <turn|> %}"
+    out = m._render("hi", "sys")
+    assert out == "<bos><|turn>system\nsys<turn|>\n<|turn>user\nhi<turn|>\n<|turn>model\n"
+    out = m._render("hi", None)
+    assert out == "<bos><|turn>user\nhi<turn|>\n<|turn>model\n"
+
+    # enable_thinking template -> closed think block injected iff skip_think
+    m._tok.chat_template = (
+        "{%- for m in messages %}{{ m['role'] }}: {{ m['content'] }}\n"
+        "{%- endfor %}{# enable_thinking #}assistant:"
+    )
+    assert m._render("q", None, skip_think=True).endswith("<think>\n\n</think>\n\n")
+    assert not m._render("q", None, skip_think=False).endswith("</think>\n\n")
