@@ -16,6 +16,15 @@ from benchmarks.harness import registry as reg
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin ignores the env var and would grab the
+        # exclusive tunnel even for CPU runs; force it off properly
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser(prog="benchmarks.harness")
     ap.add_argument(
         "command",

@@ -36,6 +36,9 @@ from muninn_tpu.graph import community as cmty
 from muninn_tpu.graph.pagerank import pagerank_device, pagerank_sorted
 from muninn_tpu.graph.routing import use_host
 
+#: traversal along a direction pulls over the opposite CSR's segments
+_OPP = {"forward": "reverse", "reverse": "forward", "both": "both"}
+
 
 class Graph(core.Graph):
     """Graph with analytics methods. Construct via ``Graph.from_edges``.
@@ -62,9 +65,11 @@ class Graph(core.Graph):
             off, _, dd, _ = self.host_csr(direction)
             depth, parent = native.graph_bfs(off, dd, s, md)
         else:
-            c = self.csr(direction)
-            depth, parent = trv.bfs_device(
-                c.src, c.dst, jnp.int32(s), self.num_nodes, md
+            # pull-form kernel: traversal along `direction` consumes the
+            # OPPOSITE CSR (its segments are each node's in-edges)
+            c = self.csr(_OPP[direction])
+            depth, parent = trv.bfs_pull(
+                c.offsets, c.dst, jnp.int32(s), self.num_nodes, md
             )
             depth = np.asarray(depth)
             parent = np.asarray(parent)
@@ -113,10 +118,10 @@ class Graph(core.Graph):
             w = hw if weighted else np.ones_like(hw)
             dist, parent = native.graph_sssp(hs, hd, w, self.num_nodes, s)
         else:
-            c = self.csr(direction)
+            c = self.csr(_OPP[direction])  # pull CSR
             w = c.weights if weighted else jnp.ones_like(c.weights)
-            dist, parent = trv.sssp_with_parents(
-                c.src, c.dst, w, jnp.int32(s), self.num_nodes
+            dist, parent = trv.sssp_with_parents_pull(
+                c.offsets, c.dst, w, jnp.int32(s), self.num_nodes
             )
             dist = np.asarray(dist)
             parent = np.asarray(parent)
@@ -135,9 +140,11 @@ class Graph(core.Graph):
                 self._src, self._dst, self.num_nodes
             )
         else:
-            c = self.csr("both")
+            c = self.csr("both")  # undirected: own segments = neighborhoods
             comp = np.asarray(
-                trv.connected_components_device(c.src, c.dst, self.num_nodes)
+                trv.connected_components_pull(
+                    c.offsets, c.dst, self.num_nodes
+                )
             )
         _, inv = np.unique(comp, return_inverse=True)
         sizes = np.bincount(inv)

@@ -28,43 +28,71 @@ import jax.numpy as jnp
 
 from muninn_tpu import native
 from muninn_tpu.graph.routing import use_host
-from muninn_tpu.graph.traversal import multi_source_distances
+from muninn_tpu.graph.traversal import multi_source_distances_pull
+from muninn_tpu.ops.segments import seg_sum, segment_starts
 
 DEFAULT_APPROX_THRESHOLD = 50000
 
 
+def _node_of(offsets: jax.Array, e_pad: int, num_nodes: int) -> jax.Array:
+    """Node id per CSR position (the segment each edge belongs to)."""
+    pos = jnp.arange(e_pad, dtype=jnp.int32)
+    return jnp.minimum(
+        jnp.searchsorted(offsets, pos, side="right").astype(jnp.int32) - 1,
+        num_nodes - 1,
+    )
+
+
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters", "want_edge"))
 def _brandes_batch(
-    src: jax.Array,
-    dst: jax.Array,
-    w: jax.Array,
+    foff: jax.Array,   # [V+1] forward CSR offsets
+    fdst: jax.Array,   # [E_pad] forward targets (pads = V)
+    fw: jax.Array,     # [E_pad] weights (pads = 0)
+    roff: jax.Array,   # [V+1] reverse (pull) CSR offsets
+    resrc: jax.Array,  # [E_pad] in-edge source endpoints (pads = V)
+    rw: jax.Array,     # [E_pad]
     sources: jax.Array,       # [S]
     num_nodes: int,
     max_iters: int = 0,
     want_edge: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """One batch of Brandes sources. Returns (node_cb [V], edge_cb [E])
-    summed over the batch (edge_cb is zeros-shaped [E] if not wanted)."""
+    """One batch of Brandes sources over SORTED edge arrays — every
+    per-node reduction is a sorted-segment sum (``ops/segments``), no
+    scatters (XLA scatter capped the round-2 version at ~36-60M
+    edge/s). Returns (node_cb [V], edge_cb [E_pad] aligned to the
+    forward-sorted order; zeros if not wanted), summed over the batch.
+    """
     s_count = sources.shape[0]
-    e = src.shape[0]
+    e_pad = fdst.shape[0]
     if max_iters <= 0:
         # shortest-path hop depth bounds every fixpoint here; cap it so
         # a non-converging loop (fp noise at extreme scale) cannot run
         # for num_nodes iterations and trip device watchdogs
         max_iters = min(num_nodes, 1024)
 
-    dist = multi_source_distances(src, dst, w, sources, num_nodes, max_iters)
+    dist = multi_source_distances_pull(
+        roff, resrc, rw, sources, num_nodes, max_iters
+    )
+
+    fsrc = _node_of(foff, e_pad, num_nodes)       # fwd edge source node
+    rtgt = _node_of(roff, e_pad, num_nodes)       # rev edge target node
+    fd = jnp.minimum(fdst, num_nodes - 1)
+    rs = jnp.minimum(resrc, num_nodes - 1)
+    fstarts = segment_starts(foff, e_pad)
+    rstarts = segment_starts(roff, e_pad)
 
     # tight-edge DAG: strictly increasing distance (positive weights)
-    reach = jnp.isfinite(dist)                                  # [S, V]
-    tight = (
-        reach[:, src]
-        & (jnp.abs(dist[:, src] + w[None, :] - dist[:, dst])
-           <= 1e-9 * jnp.maximum(1.0, jnp.abs(dist[:, dst])))
-        & (w[None, :] > 0)
-    )                                                           # [S, E]
+    def tight(du, wv, dv):
+        return (
+            jnp.isfinite(du)
+            & (jnp.abs(du + wv - dv) <= 1e-9 * jnp.maximum(1.0, jnp.abs(dv)))
+            & (wv > 0)
+        )
 
-    # sigma fixpoint
+    tight_f = tight(dist[:, fsrc], fw[None, :], dist[:, fd])    # [S, E]
+    tight_r = tight(dist[:, rs], rw[None, :], dist[:, rtgt])    # [S, E]
+
+    # sigma fixpoint: per-node sums over IN-edges = reverse segments
     base = jnp.zeros((s_count, num_nodes), jnp.float32).at[
         jnp.arange(s_count), sources
     ].set(1.0)
@@ -75,20 +103,17 @@ def _brandes_batch(
 
     def sig_body(state):
         sigma, it, _ = state
-        contrib = jnp.where(tight, sigma[:, src], 0.0)          # [S, E]
-        agg = jax.vmap(
-            lambda c: jax.ops.segment_sum(c, dst, num_segments=num_nodes)
-        )(contrib)
-        new = base + agg
+        contrib = jnp.where(tight_r, sigma[:, rs], 0.0)         # [S, E]
+        new = base + seg_sum(contrib, roff)
         return new, it + 1, jnp.any(jnp.abs(new - sigma) > 1e-6)
 
     sigma, _, _ = jax.lax.while_loop(
         sig_cond, sig_body, (base, jnp.int32(0), jnp.bool_(True))
     )
 
-    # delta fixpoint (backward accumulation)
+    # delta fixpoint: per-node sums over OUT-edges = forward segments
     safe_sigma = jnp.maximum(sigma, 1e-30)
-    ratio = jnp.where(tight, sigma[:, src] / safe_sigma[:, dst], 0.0)
+    ratio = jnp.where(tight_f, sigma[:, fsrc] / safe_sigma[:, fd], 0.0)
 
     def del_cond(state):
         delta, it, changed = state
@@ -96,10 +121,8 @@ def _brandes_batch(
 
     def del_body(state):
         delta, it, _ = state
-        contrib = ratio * (1.0 + delta[:, dst])                 # [S, E]
-        new = jax.vmap(
-            lambda c: jax.ops.segment_sum(c, src, num_segments=num_nodes)
-        )(contrib)
+        contrib = ratio * (1.0 + delta[:, fd])                  # [S, E]
+        new = seg_sum(contrib, foff)
         return new, it + 1, jnp.any(jnp.abs(new - delta) > 1e-6)
 
     delta0 = jnp.zeros((s_count, num_nodes), jnp.float32)
@@ -114,10 +137,10 @@ def _brandes_batch(
     node_cb = jnp.sum(jnp.where(mask, delta, 0.0), axis=0)
 
     if want_edge:
-        edge_contrib = ratio * (1.0 + delta[:, dst])            # [S, E]
+        edge_contrib = ratio * (1.0 + delta[:, fd])             # [S, E]
         edge_cb = jnp.sum(edge_contrib, axis=0)
     else:
-        edge_cb = jnp.zeros((e,), jnp.float32)
+        edge_cb = jnp.zeros((e_pad,), jnp.float32)
     return node_cb, edge_cb
 
 
@@ -198,11 +221,10 @@ def betweenness(
             want_edge,
         )
 
-    sj = jnp.asarray(src)
-    dj = jnp.asarray(dst)
-    wj = jnp.asarray(w)
+    e = len(src)
+    foff, fdst, fw, roff, resrc, rw = _sorted_pair(src, dst, w, n)
     node_cb = np.zeros(n, np.float64)
-    edge_cb = np.zeros(len(src), np.float64) if want_edge else None
+    edge_cb = np.zeros(e, np.float64) if want_edge else None
     for i in range(0, len(all_sources), batch):
         chunk = all_sources[i : i + batch]
         pad = 0
@@ -211,17 +233,19 @@ def betweenness(
             pad = batch - len(chunk)
             chunk = np.concatenate([chunk, np.full(pad, chunk[0], np.int32)])
         ncb, ecb = _brandes_batch(
-            sj, dj, wj, jnp.asarray(chunk), n, want_edge=want_edge
+            foff, fdst, fw, roff, resrc, rw,
+            jnp.asarray(chunk), n, want_edge=want_edge,
         )
         ncb = np.asarray(ncb, np.float64)
-        ecb = np.asarray(ecb, np.float64) if want_edge else None
+        ecb = np.asarray(ecb, np.float64)[:e] if want_edge else None
         if pad:
             ncb1, ecb1 = _brandes_batch(
-                sj, dj, wj, jnp.asarray(chunk[:1]), n, want_edge=want_edge
+                foff, fdst, fw, roff, resrc, rw,
+                jnp.asarray(chunk[:1]), n, want_edge=want_edge,
             )
             ncb -= pad * np.asarray(ncb1, np.float64)
             if want_edge:
-                ecb -= pad * np.asarray(ecb1, np.float64)
+                ecb -= pad * np.asarray(ecb1, np.float64)[:e]
         node_cb += ncb
         if want_edge:
             edge_cb += ecb
@@ -230,6 +254,25 @@ def betweenness(
         node_cb, edge_cb, n, len(src), scale, undirected, normalized,
         want_edge,
     )
+
+
+def _sorted_pair(src, dst, w, n):
+    """Forward + reverse (pull) CSR device arrays from a COO, padded to
+    a pow2 capacity (index pads = n, weight pads = 0). The forward
+    order equals the input order when the input is already src-sorted
+    (stable counting sort), which keeps edge_cb aligned."""
+    e = len(src)
+    e_pad = max(64, 1 << int(np.ceil(np.log2(max(e, 1)))))
+
+    def build(a, b):
+        off, _, bb, ww = native.csr_build(a, b, w, n)
+        bb = np.pad(bb, (0, e_pad - e), constant_values=n)
+        ww = np.pad(ww, (0, e_pad - e))
+        return jnp.asarray(off), jnp.asarray(bb), jnp.asarray(ww)
+
+    foff, fdst, fw = build(src, dst)
+    roff, resrc, rw = build(dst, src)
+    return foff, fdst, fw, roff, resrc, rw
 
 
 def _betweenness_post(
@@ -286,12 +329,20 @@ def closeness(
     # batch at 10M edges (~10 GB/array) crashes the TPU worker
     per_source_bytes = max(len(src), n) * 4 * 6
     batch = max(1, min(batch, (2 << 30) // per_source_bytes))
-    sj, dj, wj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+    # pull CSR: distances relax src -> dst, so pull over dst-sorted
+    e = len(src)
+    e_pad = max(64, 1 << int(np.ceil(np.log2(max(e, 1)))))
+    roff_, _, resrc_, rw_ = native.csr_build(dst, src, w, n)
+    roff = jnp.asarray(roff_)
+    resrc = jnp.asarray(np.pad(resrc_, (0, e_pad - e), constant_values=n))
+    rw = jnp.asarray(np.pad(rw_, (0, e_pad - e)))
     out = np.zeros(n, np.float32)
     for i in range(0, n, batch):
         chunk = np.arange(i, min(i + batch, n), dtype=np.int32)
         dist = np.array(
-            multi_source_distances(sj, dj, wj, jnp.asarray(chunk), n)
+            multi_source_distances_pull(
+                roff, resrc, rw, jnp.asarray(chunk), n
+            )
         )  # writable host copy
         dist[np.arange(len(chunk)), chunk] = np.inf  # exclude self
         finite = np.isfinite(dist)

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-from muninn_tpu.graph.traversal import bfs_device, seeded_bfs_depths
+from muninn_tpu.graph.traversal import bfs_pull, seeded_bfs_depths_pull
 
 _IDENT_RE = re.compile(r"[A-Za-z0-9_.\-]+")
 
@@ -139,8 +139,13 @@ def parse_selector(text: str) -> Expression:
 # ───────────────────────── evaluator ─────────────────────────
 
 
-def _bfs_depths(csr, start: int, num_nodes: int, max_depth: int) -> np.ndarray:
-    depth, _ = bfs_device(csr.src, csr.dst, jnp.int32(start), num_nodes, max_depth)
+def _bfs_depths(pull_csr, start: int, num_nodes: int, max_depth: int) -> np.ndarray:
+    """BFS depths via the pull-form kernel: traversal along direction d
+    consumes the OPPOSITE direction's CSR (whose segments are each
+    node's in-edges along d)."""
+    depth, _ = bfs_pull(
+        pull_csr.offsets, pull_csr.dst, jnp.int32(start), num_nodes, max_depth
+    )
     return np.asarray(depth)
 
 
@@ -172,11 +177,11 @@ def _eval_atom(graph, a: Atom) -> dict[int, tuple[int, str]]:
         # seeded multi-source BFS on the reverse graph: seeding each
         # descendant v at depth down[v] yields exactly
         # min_v(down[v] + hops_rev(v, u)) per node u.
-        down = _bfs_depths(graph.csr("forward"), idx, n, n)
+        down = _bfs_depths(graph.csr("reverse"), idx, n, n)
         add(down, "descendant")
-        rev = graph.csr("reverse")
-        up = np.asarray(seeded_bfs_depths(
-            rev.src, rev.dst, jnp.asarray(down), n
+        fwd = graph.csr("forward")  # pull CSR of the reverse graph
+        up = np.asarray(seeded_bfs_depths_pull(
+            fwd.offsets, fwd.dst, jnp.asarray(down), n
         ))
         for u in np.nonzero(up < 2**30)[0]:
             if int(u) not in out:
@@ -185,11 +190,11 @@ def _eval_atom(graph, a: Atom) -> dict[int, tuple[int, str]]:
 
     if a.up is not None:
         md = n if a.up < 0 else a.up
-        up = _bfs_depths(graph.csr("reverse"), idx, n, md)
+        up = _bfs_depths(graph.csr("forward"), idx, n, md)
         add(up, "ancestor")
     if a.down is not None:
         md = n if a.down < 0 else a.down
-        down = _bfs_depths(graph.csr("forward"), idx, n, md)
+        down = _bfs_depths(graph.csr("reverse"), idx, n, md)
         add(down, "descendant")
     return out
 

@@ -2,10 +2,22 @@
 
 TPU re-design of the reference's per-step SQL neighbor lookups and
 hash-set visited tracking (``src/graph_tvf.c:230-416,472-753,1204-1360``):
-frontier expansion becomes edge-parallel segment-min/max over the COO
+frontier expansion becomes edge-parallel reductions over the COO
 arrays; the visited set becomes the dist array itself; weighted paths
 use synchronous Bellman-Ford relaxation instead of a lazy-deletion
 Dijkstra heap (same results, all-MXU/VPU-friendly fixed shapes).
+
+All fixpoints consume a **pull CSR** — in-edges sorted by target node:
+``roff [V+1]`` offsets, ``esrc [E_pad]`` source endpoint per edge
+(pads = V), optional ``w``. Per-node reductions are then *sorted
+segment* ops (``ops/segments``): sums via chunked prefix windows,
+min via a segmented associative scan — NO scatters anywhere. XLA's
+scatter caps edge ops at ~36-60M edge/s on v5e (round-2 measurement);
+the sorted forms are bandwidth-bound instead.
+
+For direction ``d``, the pull CSR is the OPPOSITE direction's CSR
+(its ``src`` is the pull target, its ``dst`` the source endpoint) —
+the convention ``pagerank_sorted`` established.
 """
 
 from __future__ import annotations
@@ -16,14 +28,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from muninn_tpu.ops.segments import seg_min, seg_sum, segment_starts
+
 INT_INF = jnp.int32(2**30)
 _F_INF = jnp.float32(jnp.inf)
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_depth"))
-def bfs_device(
-    src: jax.Array,
-    dst: jax.Array,
+def bfs_pull(
+    roff: jax.Array,        # [V+1] pull-CSR offsets
+    esrc: jax.Array,        # [E_pad] in-edge source endpoints (pads = V)
     start: jax.Array,       # scalar int32
     num_nodes: int,
     max_depth: int,
@@ -35,8 +49,11 @@ def bfs_device(
     deterministic (the reference's parent is SQL-iteration-order
     dependent; determinism here is a feature, not a parity break).
     """
+    e_pad = esrc.shape[0]
+    starts = segment_starts(roff, e_pad)
     depth = jnp.full((num_nodes,), INT_INF, jnp.int32).at[start].set(0)
     parent = jnp.full((num_nodes,), -1, jnp.int32)
+    es = jnp.minimum(esrc, num_nodes - 1)
 
     def cond(state):
         depth, parent, d, changed = state
@@ -44,11 +61,9 @@ def bfs_device(
 
     def body(state):
         depth, parent, d, _ = state
-        active = depth[src] == d                              # [E]
-        cand_src = jnp.where(active, src, INT_INF)
-        best_pred = jax.ops.segment_min(
-            cand_src, dst, num_segments=num_nodes
-        )                                                     # [V]
+        active = depth[es] == d                                # [E_pad]
+        cand = jnp.where(active, es, INT_INF)
+        best_pred = seg_min(cand, starts, roff, INT_INF)       # [V]
         reach = (best_pred < INT_INF) & (depth >= INT_INF)
         depth = jnp.where(reach, d + 1, depth)
         parent = jnp.where(reach, best_pred.astype(jnp.int32), parent)
@@ -61,22 +76,24 @@ def bfs_device(
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
-def seeded_bfs_depths(
-    src: jax.Array,
-    dst: jax.Array,
+def seeded_bfs_depths_pull(
+    roff: jax.Array,
+    esrc: jax.Array,
     init: jax.Array,        # int32 [V]; INT_INF = not a seed
     num_nodes: int,
     max_iters: int = 0,
 ) -> jax.Array:
     """Multi-source BFS from *seeded* integer depths: returns
     ``d[u] = min_v (init[v] + hops(v, u))`` over all seeds v. One
-    device fixpoint replaces a per-seed BFS launch loop (each eager
-    dispatch costs ~0.2-0.4s through this environment's TPU tunnel) —
-    used by the selector's closure atoms where the reference walks each
+    device fixpoint replaces a per-seed BFS launch loop — used by the
+    selector's closure atoms where the reference walks each
     descendant's ancestor set separately
     (``src/graph_selector_eval.c:153-232``)."""
     if max_iters <= 0:
         max_iters = num_nodes
+    e_pad = esrc.shape[0]
+    starts = segment_starts(roff, e_pad)
+    es = jnp.minimum(esrc, num_nodes - 1)
 
     def cond(state):
         d, it, changed = state
@@ -84,11 +101,9 @@ def seeded_bfs_depths(
 
     def body(state):
         d, it, _ = state
-        ds = d[src]
-        relax = jnp.where(ds < INT_INF, ds + 1, INT_INF)      # [E]
-        new = jnp.minimum(
-            d, jax.ops.segment_min(relax, dst, num_segments=num_nodes)
-        )
+        ds = d[es]
+        relax = jnp.where(ds < INT_INF, ds + 1, INT_INF)       # [E_pad]
+        new = jnp.minimum(d, seg_min(relax, starts, roff, INT_INF))
         return new, it + 1, jnp.any(new < d)
 
     dist, _, _ = jax.lax.while_loop(
@@ -98,10 +113,10 @@ def seeded_bfs_depths(
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
-def multi_source_distances(
-    src: jax.Array,
-    dst: jax.Array,
-    w: jax.Array,
+def multi_source_distances_pull(
+    roff: jax.Array,
+    esrc: jax.Array,
+    w: jax.Array,           # [E_pad] f32
     sources: jax.Array,     # [S] int32
     num_nodes: int,
     max_iters: int = 0,
@@ -112,6 +127,9 @@ def multi_source_distances(
     s_count = sources.shape[0]
     if max_iters <= 0:
         max_iters = num_nodes
+    e_pad = esrc.shape[0]
+    starts = segment_starts(roff, e_pad)
+    es = jnp.minimum(esrc, num_nodes - 1)
     dist = jnp.full((s_count, num_nodes), jnp.inf, jnp.float32)
     dist = dist.at[jnp.arange(s_count), sources].set(0.0)
 
@@ -121,11 +139,8 @@ def multi_source_distances(
 
     def body(state):
         dist, it, _ = state
-        relax = dist[:, src] + w[None, :]                     # [S, E]
-        new = jax.vmap(
-            lambda r: jax.ops.segment_min(r, dst, num_segments=num_nodes)
-        )(relax)
-        new = jnp.minimum(dist, new)
+        relax = dist[:, es] + w[None, :]                       # [S, E_pad]
+        new = jnp.minimum(dist, seg_min(relax, starts, roff, jnp.inf))
         changed = jnp.any(new < dist)
         return new, it + 1, changed
 
@@ -136,13 +151,19 @@ def multi_source_distances(
 
 
 @partial(jax.jit, static_argnames=("num_nodes",))
-def connected_components_device(
-    src: jax.Array, dst: jax.Array, num_nodes: int
+def connected_components_pull(
+    offsets: jax.Array,     # [V+1] 'both'-CSR offsets
+    dst: jax.Array,         # [E_pad] neighbor per edge (pads = V)
+    num_nodes: int,
 ) -> jax.Array:
     """Connected components by min-label propagation + pointer jumping
     (converges in ~O(log V) sweeps vs the reference's union-find with
-    path halving, ``src/graph_tvf.c:1204-1360``). Edges are treated as
-    undirected by the caller (pass the 'both' direction COO)."""
+    path halving, ``src/graph_tvf.c:1204-1360``). Pass the 'both'
+    direction CSR (undirected: its own segments ARE each node's
+    neighborhood)."""
+    e_pad = dst.shape[0]
+    starts = segment_starts(offsets, e_pad)
+    ds = jnp.minimum(dst, num_nodes - 1)
     comp = jnp.arange(num_nodes, dtype=jnp.int32)
 
     def cond(state):
@@ -151,12 +172,9 @@ def connected_components_device(
 
     def body(state):
         comp, _ = state
-        # min neighbor label per node
-        nbr_min = jax.ops.segment_min(
-            comp[src], dst, num_segments=num_nodes,
-            indices_are_sorted=False,
-        )
-        new = jnp.minimum(comp, nbr_min)
+        nbr = jnp.where(dst < num_nodes, comp[ds], INT_INF)
+        nbr_min = seg_min(nbr, starts, offsets, INT_INF)
+        new = jnp.minimum(comp, nbr_min.astype(jnp.int32))
         # pointer jumping: follow labels two hops
         new = jnp.minimum(new, new[new])
         new = jnp.minimum(new, new[new])
@@ -167,9 +185,9 @@ def connected_components_device(
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
-def sssp_with_parents(
-    src: jax.Array,
-    dst: jax.Array,
+def sssp_with_parents_pull(
+    roff: jax.Array,
+    esrc: jax.Array,
     w: jax.Array,
     start: jax.Array,
     num_nodes: int,
@@ -180,6 +198,9 @@ def sssp_with_parents(
     predecessor achieving the optimal distance."""
     if max_iters <= 0:
         max_iters = num_nodes
+    e_pad = esrc.shape[0]
+    starts = segment_starts(roff, e_pad)
+    es = jnp.minimum(esrc, num_nodes - 1)
     dist = jnp.full((num_nodes,), jnp.inf, jnp.float32).at[start].set(0.0)
 
     def cond(state):
@@ -188,21 +209,25 @@ def sssp_with_parents(
 
     def body(state):
         dist, it, _ = state
-        relax = dist[src] + w
-        new = jax.ops.segment_min(relax, dst, num_segments=num_nodes)
-        new = jnp.minimum(dist, new)
+        relax = dist[es] + w
+        new = jnp.minimum(dist, seg_min(relax, starts, roff, jnp.inf))
         return new, it + 1, jnp.any(new < dist)
 
     dist, _, _ = jax.lax.while_loop(
         cond, body, (dist, jnp.int32(0), jnp.bool_(True))
     )
-    # tight edges: dist[src] + w == dist[dst] (epsilon like the
-    # reference's tie detection, src/graph_centrality.c:212-214)
-    tight = jnp.abs(dist[src] + w - dist[dst]) <= 1e-9 * jnp.maximum(
-        1.0, jnp.abs(dist[dst])
+    # tight edges: dist[esrc] + w == dist[v] (epsilon like the
+    # reference's tie detection, src/graph_centrality.c:212-214);
+    # v = each edge's pull target = its segment's node id, recovered by
+    # searchsorted on the offsets (no per-edge target array needed)
+    pos = jnp.arange(e_pad, dtype=jnp.int32)
+    node_of = (
+        jnp.searchsorted(roff, pos, side="right").astype(jnp.int32) - 1
     )
-    pred = jnp.where(tight & jnp.isfinite(dist[dst]), src, INT_INF)
-    parent = jax.ops.segment_min(pred, dst, num_segments=num_nodes)
+    dv = dist[jnp.minimum(node_of, num_nodes - 1)]
+    tight = jnp.abs(dist[es] + w - dv) <= 1e-9 * jnp.maximum(1.0, jnp.abs(dv))
+    pred = jnp.where(tight & jnp.isfinite(dv), es, INT_INF)
+    parent = seg_min(pred, starts, roff, INT_INF)
     parent = jnp.where(
         (parent < INT_INF) & (jnp.arange(num_nodes) != start), parent, -1
     ).astype(jnp.int32)

@@ -436,12 +436,13 @@ class HnswIndex:
         self.search_quant = "bf16"
         self.beam_patience = 0  # 0 -> reference default max(ef/4, 10)
         # below this live-store size, search runs the EXACT fused flat
-        # kernel instead of routing+beam: at tiny N the promoted pool is
-        # a handful of nodes (n/m), cluster coverage is luck, and one
+        # kernel instead of routing+beam: at small N the promoted pool
+        # is a handful of nodes (n/m), cluster coverage is luck, and one
         # MXU pass is both exact and faster than any beam (the repo's
         # design invariant; the reference's own tipping-point chart
-        # shows graph search only pays off at scale)
-        self.exact_small_n = 4096
+        # shows graph search only pays off at scale — its recall curve
+        # is already degrading at these sizes: 0.9722 @ 5k)
+        self.exact_small_n = 8192
         self._v16: jax.Array | None = None
         self._v8: tuple | None = None
         self._pool_vecs_cache: jax.Array | None = None
