@@ -68,20 +68,19 @@ def _flat_topk_kernel(
 
     if q_ref.dtype == jnp.int8:
         # int8 x int8 -> int32 on the MXU (2x the bf16 rate, 1/4 the
-        # corpus HBM bytes); per-row scales de-quantize the dot:
-        # dot_f32 ~= dots_i32 * (qs * cs). qn_ref carries the QUERY
-        # scales and cs_ref the CORPUS scales (see caller).
+        # corpus HBM bytes). RANK-ONLY epilogue: the query scale qs is
+        # constant within a row, so ranking needs only the corpus
+        # scale — tile = cp - dots*cs is rank-equivalent to the full
+        # 1 - dots*qs*cs (qs > 0), one VPU multiply cheaper per
+        # element. _emit rescales only the surviving [TB, k] values to
+        # true distances (qn_ref carries the QUERY scales).
         dots_i = jax.lax.dot_general(
             q_ref[:], c_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [TB, TC]
-        dots = dots_i.astype(jnp.float32) * qn_ref[:] * cs_ref[0, :][None, :]
         cp = cp_ref[0, :][None, :]
-        if mode == 1:      # cosine on pre-normalized vectors: 1 - dot
-            tile = (1.0 - dots) + cp
-        else:              # inner product: -dot
-            tile = cp - dots
+        tile = cp - dots_i.astype(jnp.float32) * cs_ref[0, :][None, :]
     else:
         dots = jax.lax.dot_general(
             q_ref[:], c_ref[:],
@@ -155,7 +154,14 @@ def _flat_topk_kernel(
 
     @pl.when(j == nj - 1)
     def _emit():
-        od_ref[:] = jnp.where(sd >= _BIG * 0.5, jnp.inf, sd)
+        if q_ref.dtype == jnp.int8:
+            # rescale the k survivors to true distances:
+            # cosine 1 - dot*qs*cs = 1 + qs*(-dot*cs); ip = qs*(-dot*cs)
+            base = 1.0 if mode == 1 else 0.0
+            vals = base + qn_ref[:] * sd
+        else:
+            vals = sd
+        od_ref[:] = jnp.where(sd >= _BIG * 0.5, jnp.inf, vals)
         oi_ref[:] = jnp.where(sd >= _BIG * 0.5, -1, si)
 
 
@@ -182,11 +188,13 @@ def _xla_topk(q, c, cp, qn, cs, k, mode, mxu_precision, int8, chunk=65536):
         cc = c[lo : lo + chunk]
         cpc = cp[:, lo : lo + chunk]
         if int8:
+            # rank-only form, matching the kernel: corpus scale only;
+            # survivors rescale to true distances at the end
             dots = jax.lax.dot_general(
                 q, cc, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * qn * cs[:, lo : lo + chunk]
-            tile = (1.0 - dots) + cpc if mode == 1 else cpc - dots
+            ).astype(jnp.float32) * cs[:, lo : lo + chunk]
+            tile = cpc - dots
         else:
             dots = jax.lax.dot_general(
                 q, cc, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -206,7 +214,12 @@ def _xla_topk(q, c, cp, qn, cs, k, mode, mxu_precision, int8, chunk=65536):
         md, mpos = jax.lax.top_k(-cat_d, k)
         bd = -md
         bi = jnp.take_along_axis(cat_i, mpos, axis=1)
-    od = jnp.where(bd >= _BIG * 0.5, jnp.inf, bd)
+    if int8:
+        base = 1.0 if mode == 1 else 0.0
+        vals = base + qn * bd
+    else:
+        vals = bd
+    od = jnp.where(bd >= _BIG * 0.5, jnp.inf, vals)
     oi = jnp.where(bd >= _BIG * 0.5, -1, bi)
     return od, oi
 
