@@ -472,3 +472,45 @@ def flat_topk_int8(
     od = jnp.take_along_axis(od, order, axis=-1)
     oi = jnp.take_along_axis(oi, order, axis=-1)
     return od, oi
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "r", "metric", "tb", "tc", "interpret"),
+)
+def flat_topk_int8_rescored(
+    queries: jax.Array,
+    corpus: jax.Array,        # [N, d] f32 store (exact rescore source)
+    corpus_i8: jax.Array,     # [N, d] int8 shadow
+    corpus_scale: jax.Array,  # [N] f32
+    k: int,
+    r: int = 64,
+    *,
+    metric: Metric | str = Metric.COSINE,
+    corpus_valid: jax.Array | None = None,
+    tb: int = 256,
+    tc: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-tier exact-quality search: the int8 stream (2x MXU rate,
+    1/4 the HBM bytes) retrieves top-``r`` candidates; an exact f32
+    rescore of the surviving ``[B, r]`` rows picks the final ``k`` —
+    the same architecture as the HNSW bf16-beam + f32-rescore path.
+    int8-only ranking measures recall ~0.93 @ 1M x 768 on clustered
+    data; containment of the true top-k within the top-r is far
+    tighter, so the rescored result is near-exact."""
+    from muninn_tpu.ops.distance import gathered_distances
+    from muninn_tpu.ops.topk import sorted_topk_unique
+
+    metric = parse_metric(metric)
+    _, cand = flat_topk_int8(
+        queries, corpus_i8, corpus_scale, r, metric=metric,
+        corpus_valid=corpus_valid, tb=tb, tc=tc, interpret=interpret,
+    )
+    q = queries.astype(jnp.float32)
+    if metric is Metric.COSINE:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    cv = corpus[jnp.maximum(cand, 0)]                      # [B, r, d]
+    d = gathered_distances(q, cv, metric)
+    d = jnp.where(cand >= 0, d, jnp.inf)
+    return sorted_topk_unique(d, cand, k)

@@ -40,3 +40,52 @@ def test_viz_server_endpoints():
         assert {n["id"] for n in payload["nodes"]} == {"a", "b", "c"}
     finally:
         srv.stop()
+
+
+def test_embed_payload_endpoints(rng):
+    """Embedding-projection payloads (reference viz/server/embed.py:
+    /embed/:table_id shape: table_id, count, points with id/x/y/z/
+    label/category)."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from muninn_tpu.graph import Graph
+    from viz.server import VizServer
+
+    g = Graph.from_edges(["a", "b", "c"], ["b", "c", "a"])
+    # two separable clusters in 8-d
+    v = np.concatenate([
+        rng.normal(0, 0.1, (20, 8)) + np.array([3.0] + [0.0] * 7),
+        rng.normal(0, 0.1, (20, 8)) - np.array([3.0] + [0.0] * 7),
+    ]).astype(np.float32)
+    labels = [f"doc {i} " + "x" * 200 for i in range(40)]
+    cats = ["A"] * 20 + ["B"] * 20
+    srv = VizServer(g, embeddings={"chunks": (labels, v, cats)})
+    port = srv.start(port=0)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        tables = json.load(urllib.request.urlopen(f"{base}/api/embed"))
+        assert tables["tables"] == ["chunks"]
+        p = json.load(urllib.request.urlopen(f"{base}/api/embed/chunks"))
+        assert p["table_id"] == "chunks" and p["count"] == 40
+        pt = p["points"][0]
+        assert {"id", "x", "y", "z", "label", "category"} <= set(pt)
+        assert len(pt["label"]) <= 120
+        # PCA separates the two planted clusters on the first axis
+        xs = np.array([q["x"] for q in p["points"]])
+        assert (xs[:20] > 0).all() != (xs[20:] > 0).all()
+        assert abs(xs[:20].mean() - xs[20:].mean()) > 3
+        # unknown table -> 404
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"{base}/api/embed/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # page advertises the embed view
+        html = urllib.request.urlopen(base).read().decode()
+        assert "api/embed" in html and "drawEmbed" in html
+    finally:
+        srv.stop()

@@ -17,6 +17,13 @@ Endpoints:
     GET /            -> HTML page
     GET /api/graph?min_degree=N -> {"nodes": [...], "edges": [...]}
     GET /api/stats   -> counts + modularity
+    GET /api/embed   -> {"tables": [...]}
+    GET /api/embed/<name> -> {"table_id", "count", "points": [{id, x,
+        y, z, label, category}]} — the reference's 3D scatter payload
+        (``viz/server/embed.py:20-36``), except the projection is a 3D
+        PCA computed on the TPU (the reference precomputes UMAP into
+        SQLite offline; here any registered embedding matrix projects
+        on demand).
 """
 
 from __future__ import annotations
@@ -25,6 +32,8 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+LABEL_MAX_CHARS = 120  # reference viz/server/embed.py:15
 
 _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>muninn-tpu graph</title>
@@ -36,6 +45,7 @@ _PAGE = """<!doctype html>
 <body>
 <div id="bar">muninn-tpu graph viewer — <span id="stats"></span>
  &nbsp; min degree <input id="mind" type="number" value="0" min="0" style="width:4em">
+ &nbsp; view <select id="view"><option value="graph">graph</option></select>
 </div>
 <canvas id="c"></canvas>
 <script>
@@ -87,9 +97,54 @@ function draw(){
     if (nodes.length <= 200){ cx.fillStyle = '#bbb'; cx.fillText(n.id, n.x+r+2, n.y+3); }
   }
 }
-function loop(){ if (nodes.length){ step(); draw(); } requestAnimationFrame(loop); }
+// ── 3D embedding scatter (the reference's Deck.GL view, canvas-native) ──
+let points = [], angle = 0, catColor = {};
+async function loadEmbed(name){
+  const p = await (await fetch('/api/embed/' + name)).json();
+  points = p.points; catColor = {}; let ci = 0;
+  for (const pt of points)
+    if (pt.category != null && !(pt.category in catColor))
+      catColor[pt.category] = palette[ci++ % palette.length];
+  document.getElementById('stats').textContent =
+    `${p.count} points — ${name} (3D PCA)`;
+}
+function drawEmbed(){
+  cx.clearRect(0,0,cv.width,cv.height);
+  angle += 0.004;
+  const xs = points.map(p=>p.x), ys = points.map(p=>p.y);
+  const sc = Math.min(cv.width, cv.height) /
+    (2.5 * Math.max(...xs.map(Math.abs), ...ys.map(Math.abs), 1e-6));
+  const ca = Math.cos(angle), sa = Math.sin(angle);
+  for (const p of points){
+    const rx = p.x*ca + p.z*sa, rz = -p.x*sa + p.z*ca;
+    const px = cv.width/2 + rx*sc, py = cv.height/2 - p.y*sc;
+    const depth = 0.6 + 0.4/(1 + Math.exp(-rz*sc/100));
+    cx.fillStyle = p.category != null ? catColor[p.category] : '#4fc3f7';
+    cx.globalAlpha = depth;
+    cx.beginPath(); cx.arc(px, py, 2 + depth*2, 0, 7); cx.fill();
+  }
+  cx.globalAlpha = 1;
+}
+const viewSel = document.getElementById('view');
+async function initViews(){
+  const t = await (await fetch('/api/embed')).json();
+  for (const name of t.tables){
+    const o = document.createElement('option');
+    o.value = 'embed:' + name; o.textContent = 'embed: ' + name;
+    viewSel.appendChild(o);
+  }
+}
+viewSel.addEventListener('change', () => {
+  if (viewSel.value.startsWith('embed:')) loadEmbed(viewSel.value.slice(6));
+  else load();
+});
+function loop(){
+  if (viewSel.value.startsWith('embed:')){ if (points.length) drawEmbed(); }
+  else if (nodes.length){ step(); draw(); }
+  requestAnimationFrame(loop);
+}
 document.getElementById('mind').addEventListener('change', load);
-load(); loop();
+initViews(); load(); loop();
 </script></body></html>"""
 
 
@@ -100,13 +155,24 @@ class VizServer:
     Leiden communities (coloring) are computed once lazily.
     """
 
-    def __init__(self, graph, *, max_bc_nodes: int = 5000):
+    def __init__(self, graph, *, embeddings: dict | None = None,
+                 max_bc_nodes: int = 5000):
+        """``embeddings``: optional ``{table_name: (labels, vectors[,
+        categories])}`` — served as 3D scatter payloads (the
+        reference's chunks/entities UMAP tables)."""
         self.graph = graph
         self._bc = None
         self._communities = None
         self._modularity = 0.0
         self._max_bc_nodes = max_bc_nodes
         self._httpd = None
+        self._embeddings = dict(embeddings or {})
+        self._embed_cache: dict[str, dict] = {}
+
+    def add_embeddings(self, name: str, labels, vectors,
+                       categories=None) -> None:
+        self._embeddings[name] = (labels, vectors, categories)
+        self._embed_cache.pop(name, None)
 
     # ── payloads ──
 
@@ -145,6 +211,41 @@ class VizServer:
         ]
         return {"nodes": nodes, "edges": edges}
 
+    def embed_payload(self, name: str) -> dict:
+        """3D projection payload (reference ``EmbedPayload`` shape).
+        Projection = top-3 principal components of the centered
+        embedding matrix, computed on device via the d x d covariance
+        eigendecomposition (one matmul + eigh — no O(N^2) work)."""
+        if name not in self._embeddings:
+            raise KeyError(name)
+        if name not in self._embed_cache:
+            import jax.numpy as jnp
+            import numpy as np
+
+            spec = self._embeddings[name]
+            labels, vectors = spec[0], spec[1]
+            categories = spec[2] if len(spec) > 2 else None
+            x = jnp.asarray(np.asarray(vectors, np.float32))
+            xc = x - jnp.mean(x, axis=0, keepdims=True)
+            cov = (xc.T @ xc) / max(x.shape[0] - 1, 1)
+            _, vecs = jnp.linalg.eigh(cov)      # ascending eigenvalues
+            proj = np.asarray(xc @ vecs[:, -3:][:, ::-1])  # [N, 3]
+            pts = [
+                {
+                    "id": i,
+                    "x": float(p[0]), "y": float(p[1]), "z": float(p[2]),
+                    "label": str(labels[i])[:LABEL_MAX_CHARS],
+                    "category": (
+                        str(categories[i]) if categories is not None else None
+                    ),
+                }
+                for i, p in enumerate(proj)
+            ]
+            self._embed_cache[name] = {
+                "table_id": name, "count": len(pts), "points": pts,
+            }
+        return self._embed_cache[name]
+
     def stats_payload(self) -> dict:
         self._ensure_analytics()
         return {
@@ -175,6 +276,20 @@ class VizServer:
                     ctype = "application/json"
                 elif url.path == "/api/stats":
                     body = json.dumps(server.stats_payload()).encode()
+                    ctype = "application/json"
+                elif url.path == "/api/embed":
+                    body = json.dumps(
+                        {"tables": sorted(server._embeddings)}
+                    ).encode()
+                    ctype = "application/json"
+                elif url.path.startswith("/api/embed/"):
+                    name = url.path[len("/api/embed/"):]
+                    try:
+                        body = json.dumps(server.embed_payload(name)).encode()
+                    except KeyError:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
                     ctype = "application/json"
                 else:
                     self.send_response(404)
