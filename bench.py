@@ -214,6 +214,7 @@ def main():
 
     # ── north-star workload: 1M x 768 cosine (BASELINE.json) ──
     northstar_qps = None
+    ns_int8_qps = ns_int8_recall = ns_bf16_recall = None
     try:
         del corpus_all, corpus
         big, bigq = jax.jit(gen, static_argnums=(1, 2, 3))(
@@ -232,7 +233,44 @@ def main():
         northstar_qps, *ranges["northstar_1m_768d_exact_qps"] = sample_rate(
             run_ns, 4096, inner=3
         )
-        del big, bigq
+
+        # int8-retrieve + exact-f32-rescore tier (r=16): near-exact
+        # recall at the int8 stream rate (ops/pallas_flat.py)
+        from muninn_tpu.ops.pallas_flat import flat_topk_int8_rescored
+
+        sc8 = jnp.max(jnp.abs(big), axis=1) / 127.0
+        bi8 = jnp.clip(
+            jnp.round(big / jnp.maximum(sc8[:, None], 1e-30)), -127, 127
+        ).astype(jnp.int8)
+
+        def run_ns8():
+            ii = flat_topk_int8_rescored(
+                bigq, big, bi8, sc8, K, r=16, metric="cosine", tc=2048
+            )[1]
+            _ = np.asarray(ii)[0, 0]
+
+        ns_int8_qps, *ranges["northstar_1m_768d_int8_qps"] = sample_rate(
+            run_ns8, 4096, inner=3
+        )
+        # recall of both modes vs the exact-f32 ranking on a 512 slice
+        ns_true = np.asarray(
+            flat_topk(bigq[:512], big, K, metric="cosine",
+                      precision="highest")[1]
+        )
+        ii8 = np.asarray(flat_topk_int8_rescored(
+            bigq[:512], big, bi8, sc8, K, r=16, metric="cosine", tc=2048
+        )[1])
+        ns_int8_recall = float(np.mean(
+            [len(set(a) & set(b)) / K for a, b in zip(ii8, ns_true)]
+        ))
+        ii16 = np.asarray(flat_topk(
+            bigq[:512], big, K, metric="cosine", precision="bfloat16",
+            tc=2048,
+        )[1])
+        ns_bf16_recall = float(np.mean(
+            [len(set(a) & set(b)) / K for a, b in zip(ii16, ns_true)]
+        ))
+        del big, bigq, bi8, sc8
     except Exception:
         pass
 
@@ -259,6 +297,15 @@ def main():
             ),
             "northstar_1m_768d_exact_qps": (
                 round(northstar_qps, 1) if northstar_qps else None
+            ),
+            "northstar_1m_768d_bf16_recall": (
+                round(ns_bf16_recall, 4) if ns_bf16_recall else None
+            ),
+            "northstar_1m_768d_int8_qps": (
+                round(ns_int8_qps, 1) if ns_int8_qps else None
+            ),
+            "northstar_1m_768d_int8_recall": (
+                round(ns_int8_recall, 4) if ns_int8_recall else None
             ),
             "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
             "backend": jax.default_backend(),

@@ -138,9 +138,18 @@ def _flat_topk_kernel(
     for _ in range(eager):
         state = one_round(state)
 
-    if k > eager:
-        def tail(state):
-            for _ in range(k - eager):
+    # tiered tails: a cheap few-round cond first (it covers nearly all
+    # tiles that still hold an improving candidate — per-row admissions
+    # are ~Poisson(k ln nj / nj)), then the full worst-case tail, which
+    # at large k (the retrieve-r path) would otherwise fire on most
+    # tiles through the 256-row union and cost k unrolled rounds each.
+    remaining = k - eager
+    for rounds in (min(4, remaining), max(remaining - 4, 0)):
+        if rounds <= 0:
+            continue
+
+        def tail(state, rounds=rounds):
+            for _ in range(rounds):
                 state = one_round(state)
             return state
 

@@ -187,3 +187,35 @@ def test_quantized_flat_index(rng):
 
     with pytest.raises(ValueError, match="cosine/inner_product"):
         QuantizedFlatIndex(d, "l2")
+
+
+def test_int8_rescored_precision_mode(rng):
+    """FlatIndex precision='int8_rescored': int8 retrieval + exact f32
+    rescore matches the exact ranking (near-exact recall; exact
+    distances for returned ids)."""
+    n, d, k = 500, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:32] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+
+    exact = FlatIndex(d, "cosine")
+    exact.insert(np.arange(n), x)
+    tid, tdist = exact.search(q, k=k)
+
+    idx = FlatIndex(d, "cosine", precision="int8_rescored")
+    idx.insert(np.arange(n), x)
+    ids, dist = idx.search(q, k=k)
+    recall = np.mean([
+        len(set(a[a >= 0]) & set(b[b >= 0])) / k for a, b in zip(ids, tid)
+    ])
+    assert recall >= 0.95
+    # returned distances are exact f32 (not quantized approximations)
+    for a, da, b, db in zip(ids, dist, tid, tdist):
+        common = set(a) & set(b)
+        for cid in common:
+            ia = list(a).index(cid); ib = list(b).index(cid)
+            assert abs(da[ia] - db[ib]) < 1e-5
+    # deletes respected without shadow rebuild
+    idx.delete(tid[0][:3])
+    ids2, _ = idx.search(q[:1], k=k)
+    assert not (set(tid[0][:3]) & set(ids2[0]))
