@@ -99,3 +99,18 @@ def test_merge_topk_flagged_keeps_expanded_copy():
     # the surviving id-5 copy keeps its expanded flag
     assert bool(np.asarray(mf)[0][0]) is True
     np.testing.assert_allclose(np.asarray(md)[0], [1.0, 2.0])
+
+
+def test_pallas_gather_rows_interpret(rng):
+    """DMA row-gather kernel (ops/pallas_gather) matches fancy indexing
+    (interpret mode; the TPU path is exercised by bench probes)."""
+    import jax.numpy as jnp
+
+    from muninn_tpu.ops.pallas_gather import gather_rows
+
+    x = rng.standard_normal((512, 128)).astype(np.float32)
+    idx = rng.integers(0, 512, 256).astype(np.int32)
+    out = np.asarray(
+        gather_rows(jnp.asarray(x), jnp.asarray(idx), rb=64, interpret=True)
+    )
+    np.testing.assert_array_equal(out, x[idx])
