@@ -402,8 +402,12 @@ class GraphCache:
             num_nodes=v,
         )
         # the host replay already knows the exact new edge count (no
-        # device sync needed): host COO is the source of truth
-        setattr(g, attr, DeviceCsr(off, ss, dd, ww, len(self._src)))
+        # device sync needed): host COO is the source of truth.
+        # max_deg: inserts can only grow a segment by the insert count
+        # (upper bound keeps the static reduction pass count valid)
+        setattr(g, attr, DeviceCsr(
+            off, ss, dd, ww, len(self._src), c.max_deg + len(pis)
+        ))
 
         # patch the mirror the same way (np.delete keeps order; inserts
         # land after existing equal-src edges, in rank order — exactly

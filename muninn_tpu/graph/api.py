@@ -35,6 +35,7 @@ from muninn_tpu.graph import centrality as ctr
 from muninn_tpu.graph import community as cmty
 from muninn_tpu.graph.pagerank import pagerank_device, pagerank_sorted
 from muninn_tpu.graph.routing import use_host
+from muninn_tpu.ops.segments import n_passes_for
 
 #: traversal along a direction pulls over the opposite CSR's segments
 _OPP = {"forward": "reverse", "reverse": "forward", "both": "both"}
@@ -69,7 +70,8 @@ class Graph(core.Graph):
             # OPPOSITE CSR (its segments are each node's in-edges)
             c = self.csr(_OPP[direction])
             depth, parent = trv.bfs_pull(
-                c.offsets, c.dst, jnp.int32(s), self.num_nodes, md
+                c.offsets, c.dst, jnp.int32(s), self.num_nodes, md,
+                n_passes=n_passes_for(c.max_deg),
             )
             depth = np.asarray(depth)
             parent = np.asarray(parent)
@@ -121,7 +123,8 @@ class Graph(core.Graph):
             c = self.csr(_OPP[direction])  # pull CSR
             w = c.weights if weighted else jnp.ones_like(c.weights)
             dist, parent = trv.sssp_with_parents_pull(
-                c.offsets, c.dst, w, jnp.int32(s), self.num_nodes
+                c.offsets, c.dst, w, jnp.int32(s), self.num_nodes,
+                n_passes=n_passes_for(c.max_deg),
             )
             dist = np.asarray(dist)
             parent = np.asarray(parent)
@@ -143,7 +146,8 @@ class Graph(core.Graph):
             c = self.csr("both")  # undirected: own segments = neighborhoods
             comp = np.asarray(
                 trv.connected_components_pull(
-                    c.offsets, c.dst, self.num_nodes
+                    c.offsets, c.dst, self.num_nodes,
+                    n_passes=n_passes_for(c.max_deg),
                 )
             )
         _, inv = np.unique(comp, return_inverse=True)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from muninn_tpu import native
 from muninn_tpu.graph.routing import use_host
 from muninn_tpu.graph.traversal import multi_source_distances_pull
-from muninn_tpu.ops.segments import seg_sum, segment_starts
+from muninn_tpu.ops.segments import n_passes_for, seg_sum
 
 DEFAULT_APPROX_THRESHOLD = 50000
 
@@ -43,7 +43,8 @@ def _node_of(offsets: jax.Array, e_pad: int, num_nodes: int) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "max_iters", "want_edge"))
+@partial(jax.jit, static_argnames=("num_nodes", "max_iters", "want_edge",
+                                   "n_passes"))
 def _brandes_batch(
     foff: jax.Array,   # [V+1] forward CSR offsets
     fdst: jax.Array,   # [E_pad] forward targets (pads = V)
@@ -55,6 +56,7 @@ def _brandes_batch(
     num_nodes: int,
     max_iters: int = 0,
     want_edge: bool = False,
+    n_passes: int = 24,
 ) -> tuple[jax.Array, jax.Array]:
     """One batch of Brandes sources over SORTED edge arrays — every
     per-node reduction is a sorted-segment sum (``ops/segments``), no
@@ -71,15 +73,13 @@ def _brandes_batch(
         max_iters = min(num_nodes, 1024)
 
     dist = multi_source_distances_pull(
-        roff, resrc, rw, sources, num_nodes, max_iters
+        roff, resrc, rw, sources, num_nodes, max_iters, n_passes
     )
 
     fsrc = _node_of(foff, e_pad, num_nodes)       # fwd edge source node
     rtgt = _node_of(roff, e_pad, num_nodes)       # rev edge target node
     fd = jnp.minimum(fdst, num_nodes - 1)
     rs = jnp.minimum(resrc, num_nodes - 1)
-    fstarts = segment_starts(foff, e_pad)
-    rstarts = segment_starts(roff, e_pad)
 
     # tight-edge DAG: strictly increasing distance (positive weights)
     def tight(du, wv, dv):
@@ -222,7 +222,8 @@ def betweenness(
         )
 
     e = len(src)
-    foff, fdst, fw, roff, resrc, rw = _sorted_pair(src, dst, w, n)
+    foff, fdst, fw, roff, resrc, rw, max_deg = _sorted_pair(src, dst, w, n)
+    npass = n_passes_for(max_deg)
     node_cb = np.zeros(n, np.float64)
     edge_cb = np.zeros(e, np.float64) if want_edge else None
     for i in range(0, len(all_sources), batch):
@@ -234,7 +235,7 @@ def betweenness(
             chunk = np.concatenate([chunk, np.full(pad, chunk[0], np.int32)])
         ncb, ecb = _brandes_batch(
             foff, fdst, fw, roff, resrc, rw,
-            jnp.asarray(chunk), n, want_edge=want_edge,
+            jnp.asarray(chunk), n, want_edge=want_edge, n_passes=npass,
         )
         ncb = np.asarray(ncb, np.float64)
         ecb = np.asarray(ecb, np.float64)[:e] if want_edge else None
@@ -242,6 +243,7 @@ def betweenness(
             ncb1, ecb1 = _brandes_batch(
                 foff, fdst, fw, roff, resrc, rw,
                 jnp.asarray(chunk[:1]), n, want_edge=want_edge,
+                n_passes=npass,
             )
             ncb -= pad * np.asarray(ncb1, np.float64)
             if want_edge:
@@ -258,21 +260,25 @@ def betweenness(
 
 def _sorted_pair(src, dst, w, n):
     """Forward + reverse (pull) CSR device arrays from a COO, padded to
-    a pow2 capacity (index pads = n, weight pads = 0). The forward
+    a pow2 capacity (index pads = n, weight pads = 0), plus the max
+    segment length (static shift-doubling pass count). The forward
     order equals the input order when the input is already src-sorted
     (stable counting sort), which keeps edge_cb aligned."""
     e = len(src)
     e_pad = max(64, 1 << int(np.ceil(np.log2(max(e, 1)))))
+    max_deg = 1
 
     def build(a, b):
+        nonlocal max_deg
         off, _, bb, ww = native.csr_build(a, b, w, n)
+        max_deg = max(max_deg, int(np.max(np.diff(off))) if n else 1)
         bb = np.pad(bb, (0, e_pad - e), constant_values=n)
         ww = np.pad(ww, (0, e_pad - e))
         return jnp.asarray(off), jnp.asarray(bb), jnp.asarray(ww)
 
     foff, fdst, fw = build(src, dst)
     roff, resrc, rw = build(dst, src)
-    return foff, fdst, fw, roff, resrc, rw
+    return foff, fdst, fw, roff, resrc, rw, max_deg
 
 
 def _betweenness_post(
@@ -333,6 +339,7 @@ def closeness(
     e = len(src)
     e_pad = max(64, 1 << int(np.ceil(np.log2(max(e, 1)))))
     roff_, _, resrc_, rw_ = native.csr_build(dst, src, w, n)
+    npass = n_passes_for(int(np.max(np.diff(roff_))) if n else 1)
     roff = jnp.asarray(roff_)
     resrc = jnp.asarray(np.pad(resrc_, (0, e_pad - e), constant_values=n))
     rw = jnp.asarray(np.pad(rw_, (0, e_pad - e)))
@@ -341,7 +348,7 @@ def closeness(
         chunk = np.arange(i, min(i + batch, n), dtype=np.int32)
         dist = np.array(
             multi_source_distances_pull(
-                roff, resrc, rw, jnp.asarray(chunk), n
+                roff, resrc, rw, jnp.asarray(chunk), n, n_passes=npass
             )
         )  # writable host copy
         dist[np.arange(len(chunk)), chunk] = np.inf  # exclude self

@@ -94,6 +94,9 @@ class DeviceCsr:
     dst: jnp.ndarray      # int32 [E_cap] (pads = V)
     weights: jnp.ndarray  # float32 [E_cap] (pads = 0)
     e_valid: int
+    #: host-known max segment length (upper bound OK) — sets the STATIC
+    #: pass count of the shift-doubling segment reductions
+    max_deg: int = 1
 
     @property
     def num_nodes(self) -> int:
@@ -322,8 +325,10 @@ def _to_device_csr(
     ss = np.pad(ss, (0, cap - e), constant_values=num_nodes)
     dd = np.pad(dd, (0, cap - e), constant_values=num_nodes)
     ww = np.pad(ww, (0, cap - e))
+    max_deg = int(np.max(np.diff(off))) if num_nodes > 0 else 1
     return DeviceCsr(
-        jnp.asarray(off), jnp.asarray(ss), jnp.asarray(dd), jnp.asarray(ww), e
+        jnp.asarray(off), jnp.asarray(ss), jnp.asarray(dd), jnp.asarray(ww),
+        e, max_deg,
     )
 
 
@@ -428,5 +433,6 @@ def merge_both_device(fwd: DeviceCsr, rev: DeviceCsr) -> DeviceCsr:
         fwd.src, fwd.dst, fwd.weights, rev.src, rev.dst, rev.weights
     )
     return DeviceCsr(
-        fwd.offsets + rev.offsets, src, dst, w, fwd.e_valid + rev.e_valid
+        fwd.offsets + rev.offsets, src, dst, w, fwd.e_valid + rev.e_valid,
+        fwd.max_deg + rev.max_deg,
     )

@@ -143,8 +143,11 @@ def _bfs_depths(pull_csr, start: int, num_nodes: int, max_depth: int) -> np.ndar
     """BFS depths via the pull-form kernel: traversal along direction d
     consumes the OPPOSITE direction's CSR (whose segments are each
     node's in-edges along d)."""
+    from muninn_tpu.ops.segments import n_passes_for
+
     depth, _ = bfs_pull(
-        pull_csr.offsets, pull_csr.dst, jnp.int32(start), num_nodes, max_depth
+        pull_csr.offsets, pull_csr.dst, jnp.int32(start), num_nodes,
+        max_depth, n_passes=n_passes_for(pull_csr.max_deg),
     )
     return np.asarray(depth)
 
@@ -180,8 +183,11 @@ def _eval_atom(graph, a: Atom) -> dict[int, tuple[int, str]]:
         down = _bfs_depths(graph.csr("reverse"), idx, n, n)
         add(down, "descendant")
         fwd = graph.csr("forward")  # pull CSR of the reverse graph
+        from muninn_tpu.ops.segments import n_passes_for as _npf
+
         up = np.asarray(seeded_bfs_depths_pull(
-            fwd.offsets, fwd.dst, jnp.asarray(down), n
+            fwd.offsets, fwd.dst, jnp.asarray(down), n,
+            n_passes=_npf(fwd.max_deg),
         ))
         for u in np.nonzero(up < 2**30)[0]:
             if int(u) not in out:

@@ -28,19 +28,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from muninn_tpu.ops.segments import seg_min, seg_sum, segment_starts
+from muninn_tpu.ops.segments import seg_min, seg_positions, seg_sum
 
 INT_INF = jnp.int32(2**30)
 _F_INF = jnp.float32(jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "max_depth"))
+@partial(jax.jit, static_argnames=("num_nodes", "max_depth", "n_passes"))
 def bfs_pull(
     roff: jax.Array,        # [V+1] pull-CSR offsets
     esrc: jax.Array,        # [E_pad] in-edge source endpoints (pads = V)
     start: jax.Array,       # scalar int32
     num_nodes: int,
     max_depth: int,
+    n_passes: int = 24,     # >= log2(max in-degree); see segments.n_passes_for
 ) -> tuple[jax.Array, jax.Array]:
     """Single-source BFS. Returns (depth int32[V] — INT_INF if
     unreached, parent int32[V] — -1 for root/unreached).
@@ -50,7 +51,7 @@ def bfs_pull(
     dependent; determinism here is a feature, not a parity break).
     """
     e_pad = esrc.shape[0]
-    starts = segment_starts(roff, e_pad)
+    spos = seg_positions(roff, e_pad)
     depth = jnp.full((num_nodes,), INT_INF, jnp.int32).at[start].set(0)
     parent = jnp.full((num_nodes,), -1, jnp.int32)
     es = jnp.minimum(esrc, num_nodes - 1)
@@ -63,7 +64,7 @@ def bfs_pull(
         depth, parent, d, _ = state
         active = depth[es] == d                                # [E_pad]
         cand = jnp.where(active, es, INT_INF)
-        best_pred = seg_min(cand, starts, roff, INT_INF)       # [V]
+        best_pred = seg_min(cand, spos, roff, INT_INF, n_passes)  # [V]
         reach = (best_pred < INT_INF) & (depth >= INT_INF)
         depth = jnp.where(reach, d + 1, depth)
         parent = jnp.where(reach, best_pred.astype(jnp.int32), parent)
@@ -75,13 +76,14 @@ def bfs_pull(
     return depth, parent
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
+@partial(jax.jit, static_argnames=("num_nodes", "max_iters", "n_passes"))
 def seeded_bfs_depths_pull(
     roff: jax.Array,
     esrc: jax.Array,
     init: jax.Array,        # int32 [V]; INT_INF = not a seed
     num_nodes: int,
     max_iters: int = 0,
+    n_passes: int = 24,
 ) -> jax.Array:
     """Multi-source BFS from *seeded* integer depths: returns
     ``d[u] = min_v (init[v] + hops(v, u))`` over all seeds v. One
@@ -92,7 +94,7 @@ def seeded_bfs_depths_pull(
     if max_iters <= 0:
         max_iters = num_nodes
     e_pad = esrc.shape[0]
-    starts = segment_starts(roff, e_pad)
+    spos = seg_positions(roff, e_pad)
     es = jnp.minimum(esrc, num_nodes - 1)
 
     def cond(state):
@@ -103,7 +105,9 @@ def seeded_bfs_depths_pull(
         d, it, _ = state
         ds = d[es]
         relax = jnp.where(ds < INT_INF, ds + 1, INT_INF)       # [E_pad]
-        new = jnp.minimum(d, seg_min(relax, starts, roff, INT_INF))
+        new = jnp.minimum(
+            d, seg_min(relax, spos, roff, INT_INF, n_passes)
+        )
         return new, it + 1, jnp.any(new < d)
 
     dist, _, _ = jax.lax.while_loop(
@@ -112,7 +116,7 @@ def seeded_bfs_depths_pull(
     return dist
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
+@partial(jax.jit, static_argnames=("num_nodes", "max_iters", "n_passes"))
 def multi_source_distances_pull(
     roff: jax.Array,
     esrc: jax.Array,
@@ -120,6 +124,7 @@ def multi_source_distances_pull(
     sources: jax.Array,     # [S] int32
     num_nodes: int,
     max_iters: int = 0,
+    n_passes: int = 24,
 ) -> jax.Array:
     """Batched SSSP distances [S, V] via synchronous Bellman-Ford
     (non-negative weights). Replaces the reference's per-source
@@ -128,7 +133,7 @@ def multi_source_distances_pull(
     if max_iters <= 0:
         max_iters = num_nodes
     e_pad = esrc.shape[0]
-    starts = segment_starts(roff, e_pad)
+    spos = seg_positions(roff, e_pad)
     es = jnp.minimum(esrc, num_nodes - 1)
     dist = jnp.full((s_count, num_nodes), jnp.inf, jnp.float32)
     dist = dist.at[jnp.arange(s_count), sources].set(0.0)
@@ -140,7 +145,7 @@ def multi_source_distances_pull(
     def body(state):
         dist, it, _ = state
         relax = dist[:, es] + w[None, :]                       # [S, E_pad]
-        new = jnp.minimum(dist, seg_min(relax, starts, roff, jnp.inf))
+        new = jnp.minimum(dist, seg_min(relax, spos, roff, jnp.inf, n_passes))
         changed = jnp.any(new < dist)
         return new, it + 1, changed
 
@@ -150,11 +155,12 @@ def multi_source_distances_pull(
     return dist
 
 
-@partial(jax.jit, static_argnames=("num_nodes",))
+@partial(jax.jit, static_argnames=("num_nodes", "n_passes"))
 def connected_components_pull(
     offsets: jax.Array,     # [V+1] 'both'-CSR offsets
     dst: jax.Array,         # [E_pad] neighbor per edge (pads = V)
     num_nodes: int,
+    n_passes: int = 24,
 ) -> jax.Array:
     """Connected components by min-label propagation + pointer jumping
     (converges in ~O(log V) sweeps vs the reference's union-find with
@@ -162,7 +168,7 @@ def connected_components_pull(
     direction CSR (undirected: its own segments ARE each node's
     neighborhood)."""
     e_pad = dst.shape[0]
-    starts = segment_starts(offsets, e_pad)
+    spos = seg_positions(offsets, e_pad)
     ds = jnp.minimum(dst, num_nodes - 1)
     comp = jnp.arange(num_nodes, dtype=jnp.int32)
 
@@ -173,7 +179,7 @@ def connected_components_pull(
     def body(state):
         comp, _ = state
         nbr = jnp.where(dst < num_nodes, comp[ds], INT_INF)
-        nbr_min = seg_min(nbr, starts, offsets, INT_INF)
+        nbr_min = seg_min(nbr, spos, offsets, INT_INF, n_passes)
         new = jnp.minimum(comp, nbr_min.astype(jnp.int32))
         # pointer jumping: follow labels two hops
         new = jnp.minimum(new, new[new])
@@ -184,7 +190,7 @@ def connected_components_pull(
     return comp
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
+@partial(jax.jit, static_argnames=("num_nodes", "max_iters", "n_passes"))
 def sssp_with_parents_pull(
     roff: jax.Array,
     esrc: jax.Array,
@@ -192,6 +198,7 @@ def sssp_with_parents_pull(
     start: jax.Array,
     num_nodes: int,
     max_iters: int = 0,
+    n_passes: int = 24,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-source shortest path with parent pointers (weighted,
     non-negative). Bellman-Ford; parents chosen as the min-index
@@ -199,7 +206,7 @@ def sssp_with_parents_pull(
     if max_iters <= 0:
         max_iters = num_nodes
     e_pad = esrc.shape[0]
-    starts = segment_starts(roff, e_pad)
+    spos = seg_positions(roff, e_pad)
     es = jnp.minimum(esrc, num_nodes - 1)
     dist = jnp.full((num_nodes,), jnp.inf, jnp.float32).at[start].set(0.0)
 
@@ -210,7 +217,7 @@ def sssp_with_parents_pull(
     def body(state):
         dist, it, _ = state
         relax = dist[es] + w
-        new = jnp.minimum(dist, seg_min(relax, starts, roff, jnp.inf))
+        new = jnp.minimum(dist, seg_min(relax, spos, roff, jnp.inf, n_passes))
         return new, it + 1, jnp.any(new < dist)
 
     dist, _, _ = jax.lax.while_loop(
@@ -227,7 +234,7 @@ def sssp_with_parents_pull(
     dv = dist[jnp.minimum(node_of, num_nodes - 1)]
     tight = jnp.abs(dist[es] + w - dv) <= 1e-9 * jnp.maximum(1.0, jnp.abs(dv))
     pred = jnp.where(tight & jnp.isfinite(dv), es, INT_INF)
-    parent = seg_min(pred, starts, roff, INT_INF)
+    parent = seg_min(pred, spos, roff, INT_INF, n_passes)
     parent = jnp.where(
         (parent < INT_INF) & (jnp.arange(num_nodes) != start), parent, -1
     ).astype(jnp.int32)

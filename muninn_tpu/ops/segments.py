@@ -9,14 +9,19 @@ key (which the CSR already guarantees):
   ``seg[v] = S[off[v+1]] - S[off[v]]`` — computed as a chunked
   two-level cumsum (the trick that made ``pagerank_sorted`` 1.44x the
   scatter SpMV; factored here for every consumer).
-- **min/max**: a *segmented* cumulative reduce via
-  ``jax.lax.associative_scan`` with a boundary-reset flag — log-depth,
-  fully vectorized, no scatter. The per-segment result is the running
-  value at each segment's last element.
+- **min/max**: a segmented scan by SHIFT DOUBLING —
+  ``x[e] = combine(x[e], x[e - 2^j])`` whenever ``e - 2^j`` lies in the
+  same segment, for ``j < ceil(log2(max_segment_len))`` passes. Each
+  pass is a slice + where + combine (plain fused VPU work, no scatter,
+  no generic scan lowering — a 16M-element ``lax.associative_scan``
+  inside a ``while_loop`` compiled for tens of minutes on this
+  toolchain). The pass count is STATIC, derived from the topology's
+  max degree (~6 passes for mean-degree-10 graphs vs 24 levels for a
+  length-generic scan).
 
-Consumers pass the CSR's own ``offsets``; the segment-start flags are
-derived once per (offsets, E) pair and reused across fixpoint
-iterations (they are loop constants under ``jit``).
+Consumers pass the CSR's own ``offsets``; per-position segment indices
+(``seg_positions``) are loop constants under ``jit`` — hoist them out
+of fixpoint iterations.
 
 Reference role: the per-edge neighbor loops of ``src/graph_tvf.c`` /
 ``graph_centrality.c`` / ``graph_community.c``.
@@ -30,12 +35,23 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_starts(offsets: jax.Array, e_pad: int) -> jax.Array:
-    """Bool [e_pad]: True at each non-empty segment's first position.
-    One tiny [V]-sized scatter, computed once per topology (hoist out
-    of fixpoint loops)."""
-    starts = jnp.zeros((e_pad,), bool)
-    return starts.at[offsets[:-1]].set(True, mode="drop")
+def n_passes_for(max_segment_len: int) -> int:
+    """Static shift-doubling pass count covering segments up to
+    ``max_segment_len``."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(int(max_segment_len), 2))))
+
+
+def seg_positions(offsets: jax.Array, e_pad: int) -> jax.Array:
+    """int32 [e_pad]: each position's offset within its segment
+    (pads get positions continuing past the last segment — harmless,
+    since no [off, off+1) window covers them). One searchsorted + one
+    gather, computed once per topology."""
+    pos = jnp.arange(e_pad, dtype=jnp.int32)
+    node = jnp.searchsorted(offsets, pos, side="right").astype(jnp.int32) - 1
+    node = jnp.clip(node, 0, offsets.shape[0] - 2)
+    return pos - offsets[node]
 
 
 @partial(jax.jit, static_argnames=("ch",))
@@ -68,35 +84,47 @@ def seg_sum(vals: jax.Array, offsets: jax.Array, ch: int = 1024) -> jax.Array:
     return prefix_at(offsets[1:]) - prefix_at(offsets[:-1])
 
 
-def _seg_scan_reduce(vals, starts, offsets, combine, identity):
-    """Shared body: segmented cumulative `combine` via associative_scan
-    with boundary reset, then gather each segment's last element."""
+def _seg_shift_reduce(vals, seg_pos, offsets, combine, identity, n_passes):
     e_pad = vals.shape[-1]
-    flags = jnp.broadcast_to(starts, vals.shape)
-
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, combine(av, bv)), af | bf
-
-    scanned, _ = jax.lax.associative_scan(op, (vals, flags), axis=-1)
+    x = vals
+    fill_shape = vals.shape[:-1]
+    for j in range(n_passes):
+        sh = 1 << j
+        if sh >= e_pad:
+            break
+        prev = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.asarray(identity, vals.dtype),
+                    (*fill_shape, sh),
+                ),
+                x[..., :-sh],
+            ],
+            axis=-1,
+        )
+        ok = seg_pos >= sh  # predecessor 2^j back lies in the same segment
+        x = jnp.where(ok, combine(x, prev), x)
+    # each segment's running value at its LAST element is the reduction
     last = jnp.clip(offsets[1:] - 1, 0, e_pad - 1)
-    out = jnp.take(scanned, last, axis=-1)
+    out = jnp.take(x, last, axis=-1)
     nonempty = offsets[1:] > offsets[:-1]
     return jnp.where(nonempty, out, identity)
 
 
-@jax.jit
-def seg_min(vals: jax.Array, starts: jax.Array, offsets: jax.Array,
-            identity) -> jax.Array:
+@partial(jax.jit, static_argnames=("n_passes",))
+def seg_min(vals: jax.Array, seg_pos: jax.Array, offsets: jax.Array,
+            identity, n_passes: int = 24) -> jax.Array:
     """Per-segment min of ``vals[..., e_pad]``; empty segments get
-    ``identity``. ``starts`` from :func:`segment_starts`. Pads beyond
-    the last segment never land in any [off, off+1) window, so their
-    values are irrelevant."""
-    return _seg_scan_reduce(vals, starts, offsets, jnp.minimum, identity)
+    ``identity``. ``seg_pos`` from :func:`seg_positions`;
+    ``n_passes`` >= log2(max segment length) (see :func:`n_passes_for`)."""
+    return _seg_shift_reduce(
+        vals, seg_pos, offsets, jnp.minimum, identity, n_passes
+    )
 
 
-@jax.jit
-def seg_max(vals: jax.Array, starts: jax.Array, offsets: jax.Array,
-            identity) -> jax.Array:
-    return _seg_scan_reduce(vals, starts, offsets, jnp.maximum, identity)
+@partial(jax.jit, static_argnames=("n_passes",))
+def seg_max(vals: jax.Array, seg_pos: jax.Array, offsets: jax.Array,
+            identity, n_passes: int = 24) -> jax.Array:
+    return _seg_shift_reduce(
+        vals, seg_pos, offsets, jnp.maximum, identity, n_passes
+    )
