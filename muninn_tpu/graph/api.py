@@ -15,12 +15,13 @@ Every analytics method takes ``backend='auto'|'host'|'device'``. The
 reference's entire published graph benchmark envelope is 100-10k nodes
 (``docs/benchmarks/graph.md:14-47``, ms scale); at those sizes one TPU
 tunnel dispatch (0.2-0.4 s) already loses by orders of magnitude, so
-'auto' routes small workloads to the native C++ kernels
-(``native/src/muninn_graph.cpp``) and keeps the device fixpoint kernels
-for scale. The decision is work-based: estimated host ops vs
-``MUNINN_HOST_GRAPH_BUDGET`` (default 1e8 ≈ a few hundred ms single
-thread). Both paths produce identical results (same tie-breaks, same
-epsilon rules) — tests assert cross-backend agreement.
+'auto' routes each op to whichever engine is faster at the workload's
+size — the native C++ kernels (``native/src/muninn_graph.cpp``) win
+through tens of millions of edges; the device fixpoints take over when
+the estimated host time passes ``MUNINN_HOST_GRAPH_SECONDS`` (see
+``graph.routing`` for the measured calibration). Both paths produce
+identical results (same tie-breaks, same epsilon rules) — tests assert
+cross-backend agreement.
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from muninn_tpu.graph import traversal as trv
 from muninn_tpu.graph import centrality as ctr
 from muninn_tpu.graph import community as cmty
 from muninn_tpu.graph.pagerank import pagerank_device, pagerank_sorted
+from muninn_tpu.graph import routing
 from muninn_tpu.graph.routing import use_host
 from muninn_tpu.ops.segments import n_passes_for
 
@@ -62,7 +64,7 @@ class Graph(core.Graph):
         """
         s = self.node_index(start)
         md = max_depth if max_depth is not None else self.num_nodes
-        if self._use_host(backend, work=float(self.num_edges)):
+        if self._use_host(backend, routing.COST_BFS_EDGE * self.num_edges):
             off, _, dd, _ = self.host_csr(direction)
             depth, parent = native.graph_bfs(off, dd, s, md)
         else:
@@ -115,7 +117,7 @@ class Graph(core.Graph):
         if weighted is None:
             weighted = self.has_weights
         # Dijkstra is ~E log V; the device Bellman-Ford is depth x E
-        if self._use_host(backend, work=8.0 * self.num_edges):
+        if self._use_host(backend, routing.COST_SSSP_EDGE * self.num_edges):
             hs, hd, hw = self.host_coo(direction)
             w = hw if weighted else np.ones_like(hw)
             dist, parent = native.graph_sssp(hs, hd, w, self.num_nodes, s)
@@ -138,7 +140,9 @@ class Graph(core.Graph):
         component ids are 0..k-1 renumbered by first appearance
         (``src/graph_tvf.c:1204-1360``). Undirected semantics (the
         reference's union-find ignores direction)."""
-        if self._use_host(backend, work=float(self.num_edges)):
+        if self._use_host(
+            backend, routing.COST_COMPONENTS_EDGE * self.num_edges
+        ):
             comp = native.graph_components(
                 self._src, self._dst, self.num_nodes
             )
@@ -168,7 +172,9 @@ class Graph(core.Graph):
         reference (damping=0.85, iterations=20,
         ``src/graph_tvf.c:1631-1717``). Returns node_id -> rank."""
         e_dir = self.num_edges * (2 if direction == "both" else 1)
-        if self._use_host(backend, work=float(e_dir) * iterations):
+        if self._use_host(
+            backend, routing.COST_PAGERANK_EDGE_ITER * e_dir * iterations
+        ):
             hs, hd, hw = self.host_coo(direction)
             deg = np.zeros(self.num_nodes, np.float32)
             if weighted:

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from muninn_tpu import native
+from muninn_tpu.graph import routing
 from muninn_tpu.graph.routing import use_host
 from muninn_tpu.graph.traversal import multi_source_distances_pull
 from muninn_tpu.ops.segments import n_passes_for, seg_sum
@@ -198,8 +199,8 @@ def betweenness(
     # NOTE: callers must pass a simple graph (use dedupe_parallel_edges)
     # bound the source batch so the [S, E] sigma/delta temporaries stay
     # within HBM (several E-sized f32 arrays per source)
-    per_source_bytes = max(len(src), n) * 4 * 6
-    batch = max(1, min(batch, (2 << 30) // per_source_bytes))
+    per_source_bytes = max(len(src), n) * 4 * 12
+    batch = max(1, min(batch, (1 << 30) // per_source_bytes))
     all_sources = np.arange(n, dtype=np.int32)
     scale = 1.0
     if sample_sources is None and n > auto_approx_threshold:
@@ -209,7 +210,10 @@ def betweenness(
         all_sources = rng.choice(n, size=sample_sources, replace=False).astype(np.int32)
         scale = n / float(sample_sources)
 
-    if use_host(backend, float(len(all_sources)) * max(len(src), 1)):
+    if use_host(
+        backend,
+        routing.COST_BRANDES_SRC_EDGE * len(all_sources) * max(len(src), 1),
+    ):
         node_cb, edge_raw = native.graph_brandes(
             src, dst, w, n, all_sources,
             weighted=weighted_alg, want_edge=want_edge,
@@ -326,15 +330,18 @@ def closeness(
     that edges point *toward* the measured node (reverse direction) for
     the standard definition on directed graphs."""
     n = num_nodes
-    if use_host(backend, float(n) * max(len(src), 1)):
+    if use_host(
+        backend,
+        routing.COST_CLOSENESS_SRC_EDGE * n * max(len(src), 1),
+    ):
         return native.graph_closeness(
             src, dst, w, n, weighted=weighted_alg, normalized=normalized
         )
     # bound the source batch exactly like betweenness: the Bellman-Ford
     # relax step materializes [S, E] f32 temporaries, so an unbounded
     # batch at 10M edges (~10 GB/array) crashes the TPU worker
-    per_source_bytes = max(len(src), n) * 4 * 6
-    batch = max(1, min(batch, (2 << 30) // per_source_bytes))
+    per_source_bytes = max(len(src), n) * 4 * 12
+    batch = max(1, min(batch, (1 << 30) // per_source_bytes))
     # pull CSR: distances relax src -> dst, so pull over dst-sorted
     e = len(src)
     e_pad = max(64, 1 << int(np.ceil(np.log2(max(e, 1)))))

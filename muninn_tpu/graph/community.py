@@ -229,16 +229,21 @@ def leiden(
     """Full Leiden loop. Inputs are the undirected 'both' COO (each
     edge in both orientations). Returns (labels int32[V], modularity).
 
-    Small graphs route to the native sequential Leiden
+    Small-to-mid graphs route to the native sequential Leiden
     (``muninn_graph.cpp`` — queue-based local moving, the
     ``src/graph_community.c`` structure); the device sort-based
-    synchronous sweeps take over at scale. ~40 host ops per edge is the
-    measured cost of a full host run.
+    synchronous sweeps take over only at extreme scale. Calibration:
+    the host runs a full Leiden at ~4M edge/s (801 ms at 500k
+    both-edges) while the device path's per-sweep sorts put it at
+    minutes for 3M edges — so the work estimate is ~4 units/edge,
+    routing host up to ~30M both-edges at the default 60 s ceiling.
     """
     from muninn_tpu import native
     from muninn_tpu.graph.routing import use_host
 
-    if use_host(backend, 40.0 * max(len(src), 1)):
+    from muninn_tpu.graph import routing as _routing
+
+    if use_host(backend, _routing.COST_LEIDEN_EDGE * max(len(src), 1)):
         labels, q = native.graph_leiden(
             src, dst, w, num_nodes, resolution, max_rounds, seed
         )

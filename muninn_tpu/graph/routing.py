@@ -1,12 +1,21 @@
 """Host-vs-device routing for graph analytics.
 
-The reference's whole published graph benchmark envelope is 100-10k
-nodes at ms scale (``docs/benchmarks/graph.md:14-47``); one TPU tunnel
-dispatch costs 0.2-0.4 s, so small workloads route to the native C++
-kernels (``native/src/muninn_graph.cpp``). The decision compares an
-estimated host op count against ``MUNINN_HOST_GRAPH_BUDGET`` (default
-1e8 ≈ a few hundred ms single-thread); larger work keeps the device
-fixpoint kernels, which win from ~10^6 edges up.
+'auto' routes each operation to whichever engine is FASTER at the
+workload's size, using measured per-unit host costs (single-thread C++,
+``native/src/muninn_graph.cpp``; calibrated at 1M nodes / 10M edges):
+
+    BFS 21 ns/edge - components 17 ns/edge - PageRank 15 ns/edge/iter -
+    Brandes ~95 ns/(source x edge) - Leiden ~2 us/edge
+
+Device dispatch through this environment's TPU tunnel costs 0.2-0.4 s
+per call and the device fixpoints are gather/sort-bound (BFS 6.4 s,
+components 9.0 s, PageRank 4.2 s at 1M/10M) — so the host wins through
+tens of millions of edges, and by 100-1000x on the reference's whole
+published envelope (100-10k nodes, ms scale). The device paths take
+over where estimated host time exceeds ``MUNINN_HOST_GRAPH_SECONDS``
+(default 60): huge graphs, large source batches, all-pairs closeness.
+
+Callers pass an estimated HOST time in seconds.
 """
 
 from __future__ import annotations
@@ -15,12 +24,21 @@ import os
 
 from muninn_tpu import native
 
-HOST_GRAPH_BUDGET = int(float(os.environ.get("MUNINN_HOST_GRAPH_BUDGET", 1e8)))
+HOST_GRAPH_SECONDS = float(os.environ.get("MUNINN_HOST_GRAPH_SECONDS", 60.0))
+
+# measured per-unit host costs (seconds); see module docstring
+COST_BFS_EDGE = 21e-9
+COST_COMPONENTS_EDGE = 17e-9
+COST_SSSP_EDGE = 40e-9          # Dijkstra's log factor over BFS
+COST_PAGERANK_EDGE_ITER = 16e-9
+COST_BRANDES_SRC_EDGE = 95e-9
+COST_CLOSENESS_SRC_EDGE = 95e-9
+COST_LEIDEN_EDGE = 2e-6
 
 
-def use_host(backend: str, work: float) -> bool:
-    """True when `backend` + estimated host `work` route to the native
-    host kernels. backend: 'auto' | 'host' | 'device'."""
+def use_host(backend: str, host_seconds: float) -> bool:
+    """True when `backend` + estimated `host_seconds` route to the
+    native host kernels. backend: 'auto' | 'host' | 'device'."""
     if backend == "host":
         if not native.graph_available():
             raise RuntimeError("native graph kernels unavailable")
@@ -29,4 +47,4 @@ def use_host(backend: str, work: float) -> bool:
         return False
     if backend != "auto":
         raise ValueError(f"backend must be auto|host|device, got {backend!r}")
-    return work <= HOST_GRAPH_BUDGET and native.graph_available()
+    return host_seconds <= HOST_GRAPH_SECONDS and native.graph_available()
