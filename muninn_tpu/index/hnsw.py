@@ -159,7 +159,8 @@ def _route_entries(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "ef", "expand", "max_iters", "patience"),
+    static_argnames=("metric", "ef", "expand", "max_iters", "patience",
+                     "dedup"),
 )
 def _beam_search_level0(
     queries: jax.Array,        # [B, d]
@@ -172,6 +173,8 @@ def _beam_search_level0(
     max_iters: int = 0,
     patience: int = 0,
     scales: jax.Array | None = None,   # [cap] f32 dequant (int8 vectors)
+    packed: jax.Array | None = None,   # [cap, R0, d] neighbor vectors
+    dedup: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched ef-bounded beam search at level 0.
 
@@ -260,13 +263,30 @@ def _beam_search_level0(
             axis=2,
         )                                                         # [B, C]
         c = nbrs.shape[1]
-        lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
-        dup = jnp.any(
-            (nbrs[:, :, None] == nbrs[:, None, :]) & lower[None], axis=2
-        )
-        nbrs = jnp.where(in_beam | dup, -1, nbrs)
+        if dedup:
+            # same-iteration duplicate candidates (two expansions
+            # sharing a neighbor): O(C^2) compare — the beam's largest
+            # fixed per-iteration cost at C=256; `dedup=False` lets
+            # duplicates ride to the final unique-top-k instead
+            lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
+            dup = jnp.any(
+                (nbrs[:, :, None] == nbrs[:, None, :]) & lower[None], axis=2
+            )
+            nbrs = jnp.where(in_beam | dup, -1, nbrs)
+        else:
+            nbrs = jnp.where(in_beam, -1, nbrs)
 
-        nvecs = fetch(jnp.maximum(nbrs, 0))                       # [B, E*R0, d]
+        if packed is not None:
+            # neighborhood materialization: ONE contiguous [R0, d]
+            # block per expanded node instead of R0 random row
+            # fetches — random fetches are DMA-transaction-bound
+            # (~30-40M rows/s regardless of row bytes, DEVELOPMENT.md),
+            # so 32x fewer transactions for the same bytes
+            nvecs = packed[jnp.maximum(pick_i, 0)].reshape(
+                b, expand * r0, -1
+            )
+        else:
+            nvecs = fetch(jnp.maximum(nbrs, 0))                   # [B, E*R0, d]
         nd = gathered_distances(queries, nvecs, metric)
         nd = jnp.where(nbrs >= 0, nd, jnp.inf)
 
@@ -307,7 +327,7 @@ def _beam_search_level0(
 @partial(
     jax.jit,
     static_argnames=("metric", "k", "ef", "expand", "r", "interpret",
-                     "patience"),
+                     "patience", "dedup"),
 )
 def _search_topk_fused(
     q: jax.Array,            # [B, d] f32
@@ -325,6 +345,8 @@ def _search_topk_fused(
     interpret: bool = False,
     scales: jax.Array | None = None,
     patience: int = 0,
+    packed: jax.Array | None = None,
+    dedup: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """The full production query path in one XLA program: Pallas-kernel
     routing over the promoted pool, bf16 beam search, soft-delete
@@ -336,7 +358,7 @@ def _search_topk_fused(
     entries = jnp.where(sel >= 0, pool[jnp.maximum(sel, 0)], -1)
     beam_d, beam_i = _beam_search_level0(
         q, entries, v16, neighbors0, metric, ef, expand,
-        patience=patience, scales=scales,
+        patience=patience, scales=scales, packed=packed, dedup=dedup,
     )
     ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
     beam_i = jnp.where(ok, beam_i, -1)
@@ -435,6 +457,21 @@ class HnswIndex:
         # the gather bytes; exact rescore still fixes final ranking)
         self.search_quant = "bf16"
         self.beam_patience = 0  # 0 -> reference default max(ef/4, 10)
+        # neighborhood materialization: [cap, R0, d] bf16 neighbor
+        # vectors fetched as ONE contiguous block per expansion (32x
+        # fewer DMA transactions; random fetches are transaction-bound).
+        # Auto-built on first search after a bulk build when it fits
+        # pack_budget_bytes; any mutation drops it (call
+        # pack_neighbors() to rebuild after churn settles).
+        self.pack_budget_bytes = 4 << 30
+        self._packed: jax.Array | None = None
+        self._packed_auto = True
+        # beam tuning: search over only the first `search_degree`
+        # neighbors (rows are distance-sorted, so this is "m for
+        # search"); beam_dedup=False skips the O(C^2) same-iteration
+        # duplicate check (duplicates die at the final unique top-k)
+        self.search_degree: int | None = None
+        self.beam_dedup = True
         # below this live-store size, search runs the EXACT fused flat
         # kernel instead of routing+beam: at small N the promoted pool
         # is a handful of nodes (n/m), cluster coverage is luck, and one
@@ -564,12 +601,19 @@ class HnswIndex:
             v16, scales = self._vecs8()
         else:
             scales = None
+        packed = self._maybe_packed()
+        nbrs0 = self.neighbors0
+        if self.search_degree and self.search_degree < self.m0:
+            nbrs0 = nbrs0[:, : self.search_degree]
+            if packed is not None:
+                packed = packed[:, : self.search_degree]
 
         def one(qc):
             return _search_topk_fused(
-                qc, pool, pv, self.store.vectors, v16, self.neighbors0,
+                qc, pool, pv, self.store.vectors, v16, nbrs0,
                 self.store.valid, self.metric, k, ef, self.expand, r,
-                interp, scales, self.beam_patience,
+                interp, scales, self.beam_patience, packed,
+                self.beam_dedup,
             )
 
         b = q.shape[0]
@@ -669,6 +713,31 @@ class HnswIndex:
         self._v16 = None
         self._v8 = None
         self._pool_vecs_cache = None
+        self._packed = None
+        self._packed_auto = False  # don't repack every churn wave
+
+    def pack_neighbors(self) -> None:
+        """(Re)build the materialized neighbor-vector table and
+        re-enable auto-packing — call after bulk builds or once a churn
+        phase settles."""
+        self._packed_auto = True
+        self._packed = None
+        self._maybe_packed(force=True)
+
+    def _maybe_packed(self, force: bool = False):
+        if self._packed is not None:
+            return self._packed
+        if not (self._packed_auto or force):
+            return None
+        cap = self.store.capacity
+        bytes_needed = cap * self.m0 * self.dim * 2
+        if bytes_needed > self.pack_budget_bytes:
+            return None
+        if jax.default_backend() != "tpu" and not force:
+            return None  # CPU tests: keep the row-gather path exercised
+        v16 = self._vecs16()
+        self._packed = v16[jnp.maximum(self.neighbors0, 0)]
+        return self._packed
 
     def _routing_pool(self) -> jax.Array | None:
         """Device array of promoted (level >= 1) slots, -1-padded to a

@@ -24,12 +24,14 @@ _NBUF = 8  # in-flight DMAs per program
 
 
 def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, rb: int):
+    # table/out are viewed as [*, 8, d//8]: one row = one (8, d//8)
+    # block, satisfying Mosaic's 8-sublane slice alignment
     base = pl.program_id(0) * rb
 
     def dma(i):
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(ids_ref[base + i], 1), :],
-            out_ref.at[pl.ds(i, 1), :],
+            table_ref.at[ids_ref[base + i]],
+            out_ref.at[i],
             sems.at[i % _NBUF],
         )
 
@@ -57,20 +59,27 @@ def gather_rows(
 ) -> jax.Array:
     """Gathered ``table[idx]`` (rows) via pipelined DMA. ``idx`` must be
     in-range (clamp at the call site); M must be a multiple of ``rb``
-    (pad with 0 and slice)."""
+    (pad with 0 and slice); d must be a multiple of 8 (the row is DMA'd
+    as an aligned (8, d/8) block)."""
     m = idx.shape[0]
-    d = table.shape[1]
+    n, d = table.shape
+    if d % 8:
+        raise ValueError("gather_rows requires d % 8 == 0")
     grid = (m // rb,)
-    return pl.pallas_call(
+    t3 = table.reshape(n, 8, d // 8)
+    out = pl.pallas_call(
         partial(_gather_kernel, rb=rb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((rb, d), lambda i, ids: (i, 0)),
+            out_specs=pl.BlockSpec(
+                (rb, 8, d // 8), lambda i, ids: (i, 0, 0)
+            ),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_NBUF,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((m, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, 8, d // 8), table.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(idx, table)
+    )(idx, t3)
+    return out.reshape(m, d)

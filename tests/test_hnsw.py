@@ -298,3 +298,26 @@ def test_int8_beam_guidance_matches(rng):
     idx.beam_patience = 4
     r8p = recall(idx.search(queries, k=k, ef_search=32)[0])
     assert r8p >= r16 - 0.06, (r8p, r16)
+
+
+def test_packed_neighbor_search_matches_row_path(rng):
+    """Neighborhood materialization (packed [cap, R0, d] blocks) must
+    return identical results to the row-gather beam."""
+    n, d = 3000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:64] + 0.05 * rng.standard_normal((64, d)).astype(np.float32)
+    idx = HnswIndex(d, "cosine", m=8, ef_construction=64,
+                    wave_size=4096, capacity=2 * n)
+    idx.insert(np.arange(n), x)
+    idx.exact_small_n = 0      # force the beam path at this size
+    idx.search_bf16 = True     # fused path (uses packed when present)
+    ids_row, d_row = idx.search(q, k=10, ef_search=32)
+    idx.pack_neighbors()
+    assert idx._packed is not None
+    ids_pk, d_pk = idx.search(q, k=10, ef_search=32)
+    np.testing.assert_array_equal(ids_pk, ids_row)
+    np.testing.assert_allclose(d_pk, d_row, rtol=1e-5, atol=1e-6)
+    # mutation drops the packed table (stale vectors would be wrong)
+    idx.insert(np.arange(n, n + 4), x[:4])
+    assert idx._packed is None
