@@ -62,6 +62,7 @@ FLOORS = {
 def sample_rate(fn, n_items, inner, repeats=REPEATS):
     """Median/min/max items-per-second over `repeats` timed samples of
     `inner` dispatches each. `fn` must force a tiny host fetch."""
+    fn()  # warm: compiles never taint the timed samples
     vals = []
     for _ in range(repeats):
         t0 = time.time()
