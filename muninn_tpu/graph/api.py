@@ -34,7 +34,7 @@ from muninn_tpu.graph import core
 from muninn_tpu.graph import traversal as trv
 from muninn_tpu.graph import centrality as ctr
 from muninn_tpu.graph import community as cmty
-from muninn_tpu.graph.pagerank import pagerank_device, pagerank_sorted
+from muninn_tpu.graph.pagerank import pagerank_sorted
 from muninn_tpu.graph import routing
 from muninn_tpu.graph.routing import use_host
 from muninn_tpu.ops.segments import n_passes_for

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from muninn_tpu.ops.segments import seg_min, seg_positions, seg_sum
+from muninn_tpu.ops.segments import seg_min, seg_positions
 
 INT_INF = jnp.int32(2**30)
 _F_INF = jnp.float32(jnp.inf)

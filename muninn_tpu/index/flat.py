@@ -155,8 +155,13 @@ class FlatIndex:
 
 class QuantizedFlatIndex:
     """Exact-scan index over int8-quantized storage: 4x the corpus
-    capacity of ``FlatIndex`` per HBM byte, ~0.97+ recall@10 on
-    unit-norm embeddings, int8 MXU matmuls. cosine / inner_product.
+    capacity of ``FlatIndex`` per HBM byte, int8 MXU matmuls (2x the
+    bf16 rate). cosine / inner_product. Measured recall@10 vs the
+    exact ranking: ~0.97 on random unit vectors, ~0.93 at 1M x 768 on
+    tightly clustered embeddings (quantized-dot error vs small
+    neighbor gaps). When exact-grade results matter more than the 4x
+    capacity, use ``FlatIndex(precision="int8_rescored")`` — the same
+    int8 stream plus an exact f32 rescore (recall 1.0 measured).
 
     Rows are (cosine: L2-normalized, then) symmetrically quantized to
     int8 with one f32 scale per row at insert time; queries quantize
