@@ -327,7 +327,7 @@ def _beam_search_level0(
 @partial(
     jax.jit,
     static_argnames=("metric", "k", "ef", "expand", "r", "interpret",
-                     "patience", "dedup"),
+                     "patience", "dedup", "max_iters"),
 )
 def _search_topk_fused(
     q: jax.Array,            # [B, d] f32
@@ -347,6 +347,7 @@ def _search_topk_fused(
     patience: int = 0,
     packed: jax.Array | None = None,
     dedup: bool = True,
+    max_iters: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """The full production query path in one XLA program: Pallas-kernel
     routing over the promoted pool, bf16 beam search, soft-delete
@@ -359,6 +360,7 @@ def _search_topk_fused(
     beam_d, beam_i = _beam_search_level0(
         q, entries, v16, neighbors0, metric, ef, expand,
         patience=patience, scales=scales, packed=packed, dedup=dedup,
+        max_iters=max_iters,
     )
     ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
     beam_i = jnp.where(ok, beam_i, -1)
@@ -472,6 +474,13 @@ class HnswIndex:
         # duplicate check (duplicates die at the final unique top-k)
         self.search_degree: int | None = None
         self.beam_dedup = True
+        # beam-iteration budget (0 = auto = ceil(ef/expand)+1; -1 =
+        # run to convergence): a while_loop runs until the SLOWEST
+        # query in the batch converges, but a query expands at most
+        # ~ef nodes total, so ceil(ef/expand)+1 iterations already
+        # cover the classic HNSW expansion budget — measured at
+        # 100k x 384 / ef=24: +9% QPS at identical recall (0.9782)
+        self.beam_max_iters = 0
         # below this live-store size, search runs the EXACT fused flat
         # kernel instead of routing+beam: at small N the promoted pool
         # is a handful of nodes (n/m), cluster coverage is luck, and one
@@ -602,6 +611,12 @@ class HnswIndex:
         else:
             scales = None
         packed = self._maybe_packed()
+        if self.beam_max_iters == 0:
+            mi = -(-ef // max(self.expand, 1)) + 1   # auto: ~ef expansions
+        elif self.beam_max_iters < 0:
+            mi = 0                                   # converge
+        else:
+            mi = self.beam_max_iters
         nbrs0 = self.neighbors0
         if self.search_degree and self.search_degree < self.m0:
             nbrs0 = nbrs0[:, : self.search_degree]
@@ -613,7 +628,7 @@ class HnswIndex:
                 qc, pool, pv, self.store.vectors, v16, nbrs0,
                 self.store.valid, self.metric, k, ef, self.expand, r,
                 interp, scales, self.beam_patience, packed,
-                self.beam_dedup,
+                self.beam_dedup, mi,
             )
 
         b = q.shape[0]
