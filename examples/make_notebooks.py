@@ -32,6 +32,13 @@ def execute_source(source: str) -> list[dict]:
     if tree.body and isinstance(tree.body[-1], ast.Expr):
         last_expr = ast.Expression(tree.body[-1].value)
         tree.body = tree.body[:-1]
+    # each notebook runs against a clean model registry (examples
+    # register models under overlapping names; a real notebook gets a
+    # fresh kernel)
+    from muninn_tpu.models.registry import registry
+
+    _snapshot = dict(registry._models)
+    registry._models.clear()
     ns: dict = {"__name__": "__notebook__"}
     buf = io.StringIO()
     outputs: list[dict] = []
@@ -54,6 +61,9 @@ def execute_source(source: str) -> list[dict]:
             "traceback": traceback.format_exc().splitlines(),
         })
         return outputs
+    finally:
+        registry._models.clear()
+        registry._models.update(_snapshot)
     if buf.getvalue():
         outputs.append({"output_type": "stream", "name": "stdout",
                         "text": buf.getvalue().splitlines(keepends=True)})

@@ -161,11 +161,21 @@ def test_notebooks_execute():
     import json
 
     from examples.make_notebooks import example_dirs, execute_source
+    from muninn_tpu.models.registry import registry
 
     for d in example_dirs():
         nb = json.loads((d / f"{d.name}.ipynb").read_text())
         src = "".join(nb["cells"][1]["source"])
-        outputs = execute_source(src)
+        # earlier tests in this process may have registered models under
+        # the same names the examples use; execute each notebook against
+        # a clean registry (generation runs in a fresh process)
+        snapshot = dict(registry._models)
+        registry._models.clear()
+        try:
+            outputs = execute_source(src)
+        finally:
+            registry._models.clear()
+            registry._models.update(snapshot)
         errs = [o for o in outputs if o["output_type"] == "error"]
         assert not errs, f"{d.name}: {errs and errs[0]['evalue']}"
         assert outputs, f"{d.name} produced no output"
