@@ -205,6 +205,7 @@ def _beam_search_level0(
     """
     b, d = queries.shape
     r0 = neighbors0.shape[1]
+    expand = min(expand, ef)  # can't pick more unexpanded slots than beam width
     if patience <= 0:
         patience = max(ef // 4, 10)  # counted in expansions, src/hnsw_algo.c:368
     if max_iters <= 0:
