@@ -156,19 +156,22 @@ def main():
         build_s = time.time() - t0
         build_rate = N / build_s
 
-        hq = queries[:2048]
-        ids, _ = idx.search(hq, k=K, ef_search=24)  # warm/compile
+        # full 8192-query batches per timed call: the ~30 ms tunnel
+        # round-trip per dispatch amortizes over the whole batch (the
+        # metric is batch throughput; 2048-query calls were paying the
+        # RTT 4x over)
+        ids, _ = idx.search(queries, k=K, ef_search=24)  # warm/compile
 
         def run_hnsw():
-            idx.search(hq, k=K, ef_search=24)
+            idx.search(queries, k=K, ef_search=24)
 
         hnsw_qps, *ranges["hnsw_query_qps"] = sample_rate(
-            run_hnsw, 2048, inner=3
+            run_hnsw, N_QUERIES, inner=3
         )
         hits = sum(
-            len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids[:2048])
+            len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids)
         )
-        hnsw_recall = hits / (2048 * K)
+        hnsw_recall = hits / (N_QUERIES * K)
     except Exception:
         pass  # headline (exact path) still prints
 

@@ -637,7 +637,12 @@ class HnswIndex:
         chunk = int(max(1024, min(8192, (1 << 29) // max(cap, 1))))
         if b <= chunk:
             return one(q)
-        pad = (-b) % chunk
+        # balance chunks (256-aligned) instead of padding the tail to a
+        # full chunk: 8192 queries at chunk_max 3920 run as 3 x 2816
+        # instead of 3 x 3920 (-28% wasted compute)
+        n_chunks = -(-b // chunk)
+        chunk = -(-(-(-b // n_chunks)) // 256) * 256
+        pad = n_chunks * chunk - b
         qp = jnp.pad(q, ((0, pad), (0, 0)))
         parts = [one(qp[s : s + chunk]) for s in range(0, b + pad, chunk)]
         return (
@@ -888,6 +893,12 @@ class HnswIndex:
         if len(promoted):
             self._wire_upper_levels(slots, levels, promoted)
         mark("upper", self.hi_neighbors)
+        # a bulk build IS the "churn settled" point: re-enable neighbor
+        # packing so the first search materializes [cap, R0, d] blocks
+        # (one contiguous DMA per expansion, +30% measured query QPS at
+        # 100k x 384 — the win only shows once tunnel dispatch overhead
+        # is excluded, see DEVELOPMENT.md "dispatch overhead" note)
+        self._packed_auto = True
         if dbg:
             import sys as _sys
             for (a, ta), (b, tb) in zip(marks, marks[1:]):
