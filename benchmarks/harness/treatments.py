@@ -46,18 +46,27 @@ def run_vss(params, rng, emit):
     q = q_heldout if params["queries"] == "heldout" else q_ood
     n_q = len(q)
 
+    def _build():
+        if engine == "flat":
+            b = FlatIndex(dim, "cosine")
+        elif engine == "quantized":
+            b = QuantizedFlatIndex(dim, "cosine")
+        else:
+            b = HnswIndex(dim, "cosine", m=16, ef_construction=100,
+                          wave_size=2048, capacity=max(2048, n * 2))
+        b.insert(np.arange(n), x)
+        return b
+
     t0 = time.time()
-    if engine == "flat":
-        idx = FlatIndex(dim, "cosine")
-        idx.insert(np.arange(n), x)
-    elif engine == "quantized":
-        idx = QuantizedFlatIndex(dim, "cosine")
-        idx.insert(np.arange(n), x)
-    else:
-        idx = HnswIndex(dim, "cosine", m=16, ef_construction=100,
-                        wave_size=2048, capacity=max(2048, n * 2))
-        idx.insert(np.arange(n), x)
+    idx = _build()
     build_s = time.time() - t0
+    # warm rebuild (same shapes, XLA cache hit): the steady-state rate
+    # comparable to the reference's numbers — its C kernels were
+    # compiled on the developer's machine, not inside the benchmark.
+    # The cold number above still carries the honest first-build cost.
+    t0 = time.time()
+    _build()
+    build_warm_s = time.time() - t0
 
     flat = FlatIndex(dim, "cosine")
     flat.insert(np.arange(n), x)
@@ -81,8 +90,10 @@ def run_vss(params, rng, emit):
     emit(
         dict(params),
         {"build_s": build_s, "build_vec_per_s": n / build_s,
+         "build_warm_s": build_warm_s,
+         "build_warm_vec_per_s": n / build_warm_s,
          "query_qps": n_q / query_s, "recall_at_k": _recall(ids)},
-        build_s + query_s,
+        build_s + build_warm_s + query_s,
     )
     if engine == "hnsw":
         # ef_search sweep -> the recall-QPS operating curve
