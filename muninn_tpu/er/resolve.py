@@ -53,6 +53,8 @@ def resolve_entities(
     type_guard: str | None = None,       # 'same_source' | 'diff_type' | None
     resolution: float = 1.0,
     seed: int = 0,
+    adjudicate_context=None,             # Callable[[Entity, Entity], str] | None
+    adjudicate_min_confidence: float | None = None,
 ) -> dict:
     """``muninn_extract_er(hnsw_table, name_col, k, dist_threshold,
     jw_weight, borderline_delta[, chat_model[, eb_threshold[,
@@ -70,6 +72,17 @@ def resolve_entities(
     TODO, ``src/llama_er.c:291-293``; here it's implemented.) Without
     ``chat_model`` the reference's strict rule applies: match iff
     ``score >= 1 - dist_threshold + borderline_delta``.
+
+    Adjudication knobs (only used with ``chat_model``):
+
+    - ``adjudicate_context``: ``fn(entity_a, entity_b) -> str`` whose
+      return is appended to each pair's prompt (attributes, source
+      snippets, ...). By default the entities' ``source``/``type``
+      fields are included when present.
+    - ``adjudicate_min_confidence``: switch the decode from yes/no to
+      a 0-10 confidence grammar; a pair matches when
+      ``confidence/10 >= adjudicate_min_confidence``. The blended
+      cascade score is unaffected — only borderline pairs decode.
     """
     ents = [
         e if isinstance(e, Entity) else Entity(**e) for e in entities
@@ -166,7 +179,12 @@ def resolve_entities(
         if bl.any():
             borderline = list(zip(pa[bl], pb[bl], score[bl]))
             verdicts = np.array(
-                _adjudicate(chat_model, borderline, ents), bool
+                _adjudicate(
+                    chat_model, borderline, ents,
+                    context_fn=adjudicate_context,
+                    min_confidence=adjudicate_min_confidence,
+                ),
+                bool,
             )
             edges_src = np.concatenate([edges_src, pa[bl][verdicts]])
             edges_dst = np.concatenate([edges_dst, pb[bl][verdicts]])
@@ -205,29 +223,71 @@ def resolve_entities(
     return {"clusters": clusters}
 
 
+def _default_pair_context(a, b) -> str:
+    """Source/type hints for the adjudication prompt, when present."""
+    parts = []
+    for tag, e in (("A", a), ("B", b)):
+        bits = []
+        if e.source is not None:
+            bits.append(f"source={e.source!r}")
+        if e.type is not None:
+            bits.append(f"type={e.type!r}")
+        if bits:
+            parts.append(f"{tag}: " + ", ".join(bits))
+    return ("Context — " + "; ".join(parts) + ".") if parts else ""
+
+
 def _adjudicate(
-    model_name: str, pairs: list[tuple[int, int, float]], ents
+    model_name: str,
+    pairs: list[tuple[int, int, float]],
+    ents,
+    context_fn=None,
+    min_confidence: float | None = None,
 ) -> list[bool]:
-    """One batched grammar-constrained yes/no decode over all
-    borderline pairs."""
+    """One batched grammar-constrained decode over all borderline
+    pairs: yes/no by default, a 0-10 confidence rating when
+    ``min_confidence`` is set."""
     from muninn_tpu.models.registry import ModelType, registry
-    from muninn_tpu.text.grammar import GRAMMAR_YES_NO
+    from muninn_tpu.text.grammar import GRAMMAR_CONFIDENCE, GRAMMAR_YES_NO
 
     model = registry.find_type(model_name, ModelType.CHAT)
-    prompts = [
-        f"Name A: {ents[a].name!r}. Name B: {ents[b].name!r}."
-        for a, b, _ in pairs
-    ]
+    ctx = context_fn if context_fn is not None else _default_pair_context
+    prompts = []
+    for a, b, _ in pairs:
+        p = f"Name A: {ents[a].name!r}. Name B: {ents[b].name!r}."
+        extra = ctx(ents[a], ents[b])
+        if extra:
+            p = f"{p} {extra}"
+        prompts.append(p)
+    if min_confidence is None:
+        outs = model.generate_batch(
+            prompts,
+            system_prompt=(
+                "Do the two names refer to the same real-world entity? "
+                "Answer strictly yes or no."
+            ),
+            grammar=GRAMMAR_YES_NO,
+            max_tokens=4,
+        )
+        return [o.strip().lower().startswith("yes") for o in outs]
     outs = model.generate_batch(
         prompts,
         system_prompt=(
-            "Do the two names refer to the same real-world entity? "
-            "Answer strictly yes or no."
+            "Rate your confidence that the two names refer to the same "
+            "real-world entity, from 0 (certainly different) to 10 "
+            "(certainly the same). Answer with the number only."
         ),
-        grammar=GRAMMAR_YES_NO,
+        grammar=GRAMMAR_CONFIDENCE,
         max_tokens=4,
     )
-    return [o.strip().lower().startswith("yes") for o in outs]
+    verdicts = []
+    for o in outs:
+        try:
+            conf = int(o.strip()) / 10.0
+        except ValueError:
+            conf = 0.0
+        verdicts.append(conf >= min_confidence)
+    return verdicts
 
 
 def _similarity(dist: float, index) -> float:

@@ -158,7 +158,14 @@ class EchoChatModel:
             if len(names) >= 2:
                 ta = {w for w in re.split(r"\W+", names[0].lower()) if w}
                 tb = {w for w in re.split(r"\W+", names[1].lower()) if w}
-                out = "yes" if (ta & tb) else "no"
+                if "confidence" in task.lower():
+                    # graded mode: Jaccard token overlap on a 0-10 scale
+                    j = len(ta & tb) / max(len(ta | tb), 1)
+                    out = str(round(10 * j))
+                else:
+                    out = "yes" if (ta & tb) else "no"
+            elif "confidence" in task.lower():
+                out = "0"
             else:
                 out = "no"
         elif "label" in task.lower():

@@ -69,6 +69,9 @@ GRAMMAR_RE = (
 
 GRAMMAR_YES_NO = 'root ::= "yes" | "no"\n'
 
+# 0-10 integer confidence (the ER adjudication's graded mode)
+GRAMMAR_CONFIDENCE = 'root ::= "10" | [0-9]\n'
+
 GRAMMAR_NER_RE = (
     'root ::= "{" ws "\\"entities\\"" ws ":" ws "[" ws entities ws "]" ws "," ws'
     ' "\\"relations\\"" ws ":" ws "[" ws relations ws "]" ws "}"\n'

@@ -297,3 +297,59 @@ def test_er_llm_borderline_adjudication():
     c = resolve_entities(ents, idx, chat_model="judge", **kw)["clusters"]
     assert c["0"] == c["1"], c
     assert c["2"] != c["3"], c
+
+    # graded mode: echo judge rates 0-10 by token Jaccard; the Acme
+    # pair shares 1 of 3 tokens (conf 3), so a 0.3 bar merges it and a
+    # 0.5 bar does not — the knob actually changes the decision
+    c = resolve_entities(
+        ents, idx, chat_model="judge",
+        adjudicate_min_confidence=0.3, **kw,
+    )["clusters"]
+    assert c["0"] == c["1"], c
+    assert c["2"] != c["3"], c
+    c = resolve_entities(
+        ents, idx, chat_model="judge",
+        adjudicate_min_confidence=0.5, **kw,
+    )["clusters"]
+    assert c["0"] != c["1"], c
+
+    # per-pair context hook: the callable's output reaches the prompt
+    from muninn_tpu.models.registry import ModelType, registry
+
+    class _Recorder:
+        model_type = ModelType.CHAT
+        prompts: list = []
+
+        def generate_batch(self, prompts, **kw):
+            self.prompts = list(prompts)
+            return ["no"] * len(prompts)
+
+    rec = _Recorder()
+    registry.add("recorder", rec)
+    try:
+        resolve_entities(
+            ents, idx, chat_model="recorder",
+            adjudicate_context=lambda a, b: f"CTX<{a.name}|{b.name}>",
+            **kw,
+        )
+        assert rec.prompts and all("CTX<" in p for p in rec.prompts), rec.prompts
+        # default context: source/type fields appear when present
+        ents_src = [
+            Entity(id=e.id, name=e.name, source=f"db{i}")
+            for i, e in enumerate(ents)
+        ]
+        resolve_entities(ents_src, idx, chat_model="recorder", **kw)
+        assert all("source=" in p for p in rec.prompts), rec.prompts
+    finally:
+        registry.remove("recorder")
+
+
+def test_er_confidence_grammar_compiles():
+    """GRAMMAR_CONFIDENCE accepts exactly the integers 0..10."""
+    from muninn_tpu.text.grammar import GRAMMAR_CONFIDENCE, compile_gbnf
+
+    dfa = compile_gbnf(GRAMMAR_CONFIDENCE)
+    for s in [str(i) for i in range(11)]:
+        assert dfa.accepts(s), s
+    for s in ("11", "-1", "yes", "3.5", ""):
+        assert not dfa.accepts(s), s
