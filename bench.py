@@ -154,21 +154,33 @@ def main():
     fast_qps, *ranges["fast_mode_qps"] = sample_rate(run_fast, N_QUERIES, inner=4)
 
     # ── HNSW path (reference parameters; device-resident corpus) ──
-    build_rate = hnsw_qps = hnsw_recall = 0.0
+    build_rate = build_cold_rate = hnsw_qps = hnsw_recall = 0.0
     ins_rate = del_rate = churn_recall = None
     try:
         # capacity sized to N + churn + slack (NOT the next pow2):
         # the beam loop is gather-bound and measurably slows with
         # larger-than-needed tables
-        idx = HnswIndex(
-            DIM, "cosine", m=16, ef_construction=200,
-            wave_size=4096, capacity=N + CHURN + 4096, expand=8, seed=42,
-        )
-        t0 = time.time()
-        idx.insert(np.arange(N), corpus)
-        jax.block_until_ready(idx.neighbors0)
-        _ = np.asarray(idx.neighbors0[0, 0])
-        build_s = time.time() - t0
+        def _build_index():
+            b = HnswIndex(
+                DIM, "cosine", m=16, ef_construction=200,
+                wave_size=4096, capacity=N + CHURN + 4096, expand=8,
+                seed=42,
+            )
+            t0 = time.time()
+            b.insert(np.arange(N), corpus)
+            jax.block_until_ready(b.neighbors0)
+            _ = np.asarray(b.neighbors0[0, 0])
+            return b, time.time() - t0
+
+        # cold build pays per-process XLA cache loading (~25-80 s
+        # through the tunnel even with every program cached on disk);
+        # the warm rebuild is the steady-state engine rate and the
+        # apples-to-apples number vs the precompiled-C reference
+        # (measured: 84.5 s cold vs 4.6 s warm at 100k)
+        idx, build_cold_s = _build_index()
+        del idx
+        idx, build_s = _build_index()
+        build_cold_rate = N / build_cold_s
         build_rate = N / build_s
 
         # full 8192-query batches per timed call: the ~30 ms tunnel
@@ -305,6 +317,7 @@ def main():
             "fast_mode_recall_vs_exact": round(fast_recall, 5),
             "hnsw_build_vec_per_s": round(build_rate, 1),
             "hnsw_build_vs_baseline": round(build_rate / BASELINE_BUILD, 2),
+            "hnsw_build_cold_vec_per_s": round(build_cold_rate, 1),
             "hnsw_query_qps": round(hnsw_qps, 1),
             "hnsw_query_vs_baseline": round(hnsw_qps / BASELINE_QPS, 2),
             "hnsw_recall_at_10": round(hnsw_recall, 4),
