@@ -29,6 +29,42 @@ from muninn_tpu.ops.pallas_flat import (
 from muninn_tpu.index.store import VectorStore
 
 
+def pick_rescore_r(
+    true_ids: np.ndarray,       # [B, k] exact top-k (slot ids, -1 pad)
+    cand_sorted: np.ndarray,    # [B, r_max] int8-ranked candidates, ascending
+    ladder: tuple[int, ...],
+    target_recall: float,
+) -> tuple[int, dict[int, float]]:
+    """Pick the smallest retrieve-``r`` whose candidate prefix contains
+    the exact top-k at ``target_recall``. Because the int8 kernel
+    returns candidates sorted by its (exact-over-the-surrogate) ranking,
+    the top-r for every smaller r is a PREFIX of one r_max retrieval —
+    so the whole recall-vs-r curve costs one probe and no extra kernel
+    compiles, and containment equals final recall exactly (the rescore
+    is exact f32). Returns ``(r, {r: recall})``; falls back to the
+    ladder max when nothing clears the target."""
+    true_ids = np.asarray(true_ids)
+    cand_sorted = np.asarray(cand_sorted)
+    r_max = cand_sorted.shape[1]
+    n_true = np.maximum((true_ids >= 0).sum(axis=1), 1)
+    # hit_rank[b, j] = position of true id j in the candidate list
+    # (r_max if absent) -> contained at r iff hit_rank < r
+    eq = true_ids[:, :, None] == cand_sorted[:, None, :]   # [B, k, r_max]
+    hit_rank = np.where(
+        eq.any(axis=2), eq.argmax(axis=2), r_max
+    )
+    hit_rank = np.where(true_ids >= 0, hit_rank, r_max)
+    curve = {}
+    for r in sorted(set(int(r) for r in ladder if r <= r_max)):
+        curve[r] = float(
+            np.mean((hit_rank < r).sum(axis=1) / n_true)
+        )
+    for r, rec in curve.items():
+        if rec >= target_recall:
+            return r, curve
+    return max(curve), curve
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "chunk"))
 def _xla_chunked_topk(queries, corpus, valid, k, metric, chunk=65536):
     """Chunked exact top-k in pure XLA: scan corpus chunks, merge running
@@ -90,6 +126,7 @@ class FlatIndex:
         self.use_pallas = use_pallas
         self.precision = precision
         self.rescore_r = 16
+        self.tune_report: dict[int, float] = {}
         self._i8 = None  # (values, scales) shadow for int8_rescored
 
     @property
@@ -108,6 +145,85 @@ class FlatIndex:
         # mask, which search passes alongside the shadow
         self.store.remove(np.asarray(ids, np.int64))
 
+    def _ensure_i8(self, corpus, hw):
+        """Build (or refresh) the int8 shadow for ``int8_rescored``."""
+        if self._i8 is None or self._i8[0].shape[0] != hw:
+            v = corpus
+            if self.metric is Metric.COSINE:
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30
+                )
+            sc = jnp.max(jnp.abs(v), axis=1) / 127.0
+            vi = jnp.clip(
+                jnp.round(v / jnp.maximum(sc[:, None], 1e-30)), -127, 127
+            ).astype(jnp.int8)
+            self._i8 = (vi, sc.astype(jnp.float32))
+        return self._i8
+
+    def tune_rescore_r(
+        self,
+        queries=None,
+        k: int = 10,
+        *,
+        target_recall: float = 0.99,
+        ladder: tuple[int, ...] = (8, 12, 16, 24, 32, 48, 64),
+        sample: int = 512,
+        seed: int = 0,
+    ) -> int:
+        """Autotune the ``int8_rescored`` retrieve width per corpus:
+        probe recall of each ladder ``r`` on held-out queries and keep
+        the smallest one clearing ``target_recall`` (the faster point —
+        e.g. r=12 measures ~1.12x the r=16 rate at 1M x 768 when the
+        corpus tolerates it). One r_max retrieval yields the whole
+        curve (see ``pick_rescore_r``). Sets ``self.rescore_r`` and
+        ``self.tune_report`` ({r: recall}); returns the chosen r.
+
+        ``queries=None`` samples up to ``sample`` live corpus rows and
+        perturbs them (the held-out same-distribution methodology of
+        the benchmark harness)."""
+        if self.precision != "int8_rescored":
+            raise ValueError("tune_rescore_r applies to precision='int8_rescored'")
+        hw = max(self.store.high_watermark, 1)
+        corpus = self.store.vectors[:hw]
+        valid = self.store.valid[:hw]
+        vi, sc = self._ensure_i8(corpus, hw)
+
+        if queries is None:
+            live = np.flatnonzero(np.asarray(valid))
+            if len(live) == 0:
+                raise ValueError("tune_rescore_r on an empty index")
+            rng = np.random.default_rng(seed)
+            pick = rng.choice(live, size=min(sample, len(live)), replace=False)
+            q = np.asarray(corpus[jnp.asarray(pick)])
+            q = q + 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+            q = jnp.asarray(q)
+        else:
+            q = jnp.asarray(queries, jnp.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+
+        interpret = jax.default_backend() != "tpu"
+        r_max = max(max(ladder), k)
+        _, cand = flat_topk_int8(
+            q, vi, sc, r_max, metric=self.metric, corpus_valid=valid,
+            interpret=interpret,
+        )
+        if self.use_pallas:
+            _, true_slots = flat_topk(
+                q, corpus, k, metric=self.metric, corpus_valid=valid,
+                precision="highest",
+            )
+        else:
+            _, true_slots = _xla_chunked_topk(q, corpus, valid, k, self.metric)
+        ladder_k = tuple(r for r in ladder if r >= k) or (r_max,)
+        r, curve = pick_rescore_r(
+            np.asarray(true_slots), np.asarray(cand), ladder_k, target_recall
+        )
+        self.rescore_r = int(r)
+        self.tune_report = curve
+        return int(r)
+
     def search(self, queries, k: int = 10):
         """Batched exact KNN. queries [B, d] (or [d]); returns
         ``(ids int64 [B, k], dists f32 [B, k])`` ascending; empty slots
@@ -124,19 +240,9 @@ class FlatIndex:
         if self.precision == "int8_rescored":
             if self.metric is Metric.L2:
                 raise ValueError("int8_rescored supports cosine/inner_product")
-            if self._i8 is None or self._i8[0].shape[0] != hw:
-                v = corpus
-                if self.metric is Metric.COSINE:
-                    v = v / jnp.maximum(
-                        jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30
-                    )
-                sc = jnp.max(jnp.abs(v), axis=1) / 127.0
-                vi = jnp.clip(
-                    jnp.round(v / jnp.maximum(sc[:, None], 1e-30)), -127, 127
-                ).astype(jnp.int8)
-                self._i8 = (vi, sc.astype(jnp.float32))
+            vi, sc = self._ensure_i8(corpus, hw)
             d, slots = flat_topk_int8_rescored(
-                q, corpus, self._i8[0], self._i8[1], k,
+                q, corpus, vi, sc, k,
                 r=max(self.rescore_r, k), metric=self.metric,
                 corpus_valid=valid,
                 interpret=jax.default_backend() != "tpu",

@@ -219,3 +219,59 @@ def test_int8_rescored_precision_mode(rng):
     idx.delete(tid[0][:3])
     ids2, _ = idx.search(q[:1], k=k)
     assert not (set(tid[0][:3]) & set(ids2[0]))
+
+
+def test_pick_rescore_r_prefix_curve():
+    """The ladder helper: monotone curve from one probe; smallest r
+    clearing the target wins; fallback to ladder max."""
+    from muninn_tpu.index.flat import pick_rescore_r
+
+    # 2 queries, k=3, r_max=8: true ids sit at candidate ranks
+    # q0: 0,1,2 (all in top-4); q1: 0,1,7 (last one only at r=8)
+    cand = np.array([
+        [10, 11, 12, 13, 14, 15, 16, 17],
+        [20, 21, 22, 23, 24, 25, 26, 27],
+    ])
+    true = np.array([[10, 11, 12], [20, 21, 27]])
+    r, curve = pick_rescore_r(true, cand, (4, 8), target_recall=0.99)
+    assert curve[4] == (3 / 3 + 2 / 3) / 2
+    assert curve[8] == 1.0
+    assert r == 8
+    r2, _ = pick_rescore_r(true, cand, (4, 8), target_recall=0.80)
+    assert r2 == 4
+    # nothing clears an impossible target -> ladder max
+    true_missing = np.array([[99, 98, 97], [96, 95, 94]])
+    r3, curve3 = pick_rescore_r(true_missing, cand, (4, 8), 0.5)
+    assert r3 == 8 and curve3[8] == 0.0
+    # -1 padding (fewer than k valid) doesn't poison the denominator
+    true_pad = np.array([[10, -1, -1], [20, -1, -1]])
+    r4, curve4 = pick_rescore_r(true_pad, cand, (4,), 0.99)
+    assert curve4[4] == 1.0 and r4 == 4
+
+
+def test_tune_rescore_r_end_to_end(rng):
+    """tune_rescore_r picks a ladder point, sets rescore_r, and search
+    at the tuned r preserves recall >= the probed target."""
+    n, d, k = 800, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    idx = FlatIndex(d, "cosine", precision="int8_rescored")
+    idx.insert(np.arange(n), x)
+    r = idx.tune_rescore_r(k=k, target_recall=0.98, sample=128, seed=3)
+    assert r == idx.rescore_r
+    assert r in idx.tune_report
+    # curve is monotone non-decreasing in r
+    rs = sorted(idx.tune_report)
+    vals = [idx.tune_report[z] for z in rs]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+    assert idx.tune_report[r] >= 0.98 or r == max(rs)
+
+    # measured recall at the tuned operating point on fresh queries
+    q = x[:64] + 0.05 * rng.standard_normal((64, d)).astype(np.float32)
+    exact = FlatIndex(d, "cosine")
+    exact.insert(np.arange(n), x)
+    tid, _ = exact.search(q, k=k)
+    ids, _ = idx.search(q, k=k)
+    recall = np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, tid)])
+    assert recall >= 0.9
