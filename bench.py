@@ -53,7 +53,7 @@ REPEATS = 3                       # timed samples per metric (median wins)
 FLOORS = {
     "exact_qps": 50_000.0,
     "fast_mode_qps": 60_000.0,
-    "hnsw_query_qps": 9_000.0,
+    "hnsw_query_qps": 25_000.0,
     "hnsw_build_vec_per_s": 1_500.0,
     "northstar_1m_768d_exact_qps": 18_000.0,
 }

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from muninn_tpu.index.store import VectorStore
+from muninn_tpu.ops.pallas_beam import gather_block_dots
 from muninn_tpu.ops.pallas_flat import flat_topk
 from muninn_tpu.ops.distance import (
     Metric,
@@ -160,7 +161,7 @@ def _route_entries(
 @partial(
     jax.jit,
     static_argnames=("metric", "ef", "expand", "max_iters", "patience",
-                     "dedup"),
+                     "dedup", "fused", "interpret"),
 )
 def _beam_search_level0(
     queries: jax.Array,        # [B, d]
@@ -175,6 +176,8 @@ def _beam_search_level0(
     scales: jax.Array | None = None,   # [cap] f32 dequant (int8 vectors)
     packed: jax.Array | None = None,   # [cap, R0, d] neighbor vectors
     dedup: bool = True,
+    fused: bool = False,               # Pallas DMA gather+dots for `packed`
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched ef-bounded beam search at level 0.
 
@@ -224,6 +227,23 @@ def _beam_search_level0(
             # int8 guidance: dequant after the (quarter-width) gather
             v = v.astype(jnp.float32) * scales[idx][..., None]
         return v
+
+    qf = queries.astype(jnp.float32)
+    qn2 = jnp.sum(qf * qf, axis=1)[:, None]           # [B, 1]
+    qn = jnp.sqrt(qn2)
+
+    def packed_epilogue(dots, cn2):
+        """Metric epilogue over the fused kernel's (dots, cn2) — the
+        same math as ``gathered_distances`` on the gathered rows."""
+        if metric is Metric.INNER_PRODUCT:
+            return -dots
+        if metric is Metric.L2:
+            return jnp.maximum(qn2 + cn2 - 2.0 * dots, 0.0)
+        denom = qn * jnp.sqrt(cn2)
+        sim = jnp.where(
+            denom < 1e-30, 0.0, dots / jnp.maximum(denom, 1e-30)
+        )
+        return 1.0 - sim
 
     e_d = gathered_distances(queries, fetch(jnp.maximum(entry, 0)), metric)
     e_d = jnp.where(entry >= 0, e_d, _INF)
@@ -277,7 +297,14 @@ def _beam_search_level0(
         else:
             nbrs = jnp.where(in_beam, -1, nbrs)
 
-        if packed is not None:
+        if packed is not None and fused:
+            # fused DMA gather + dots: blocks never round-trip HBM as a
+            # [B, E*R0, d] intermediate (ops/pallas_beam.py)
+            dots, cn2 = gather_block_dots(
+                qf, jnp.maximum(pick_i, 0), packed, interpret=interpret
+            )
+            nd = packed_epilogue(dots, cn2)
+        elif packed is not None:
             # neighborhood materialization: ONE contiguous [R0, d]
             # block per expanded node instead of R0 random row
             # fetches — random fetches are DMA-transaction-bound
@@ -286,9 +313,10 @@ def _beam_search_level0(
             nvecs = packed[jnp.maximum(pick_i, 0)].reshape(
                 b, expand * r0, -1
             )
+            nd = gathered_distances(queries, nvecs, metric)
         else:
             nvecs = fetch(jnp.maximum(nbrs, 0))                   # [B, E*R0, d]
-        nd = gathered_distances(queries, nvecs, metric)
+            nd = gathered_distances(queries, nvecs, metric)
         nd = jnp.where(nbrs >= 0, nd, jnp.inf)
 
         # merge: one top_k over [beam | unique fresh candidates]
@@ -328,7 +356,7 @@ def _beam_search_level0(
 @partial(
     jax.jit,
     static_argnames=("metric", "k", "ef", "expand", "r", "interpret",
-                     "patience", "dedup", "max_iters"),
+                     "patience", "dedup", "max_iters", "fused"),
 )
 def _search_topk_fused(
     q: jax.Array,            # [B, d] f32
@@ -349,6 +377,7 @@ def _search_topk_fused(
     packed: jax.Array | None = None,
     dedup: bool = True,
     max_iters: int = 0,
+    fused: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """The full production query path in one XLA program: Pallas-kernel
     routing over the promoted pool, bf16 beam search, soft-delete
@@ -361,7 +390,7 @@ def _search_topk_fused(
     beam_d, beam_i = _beam_search_level0(
         q, entries, v16, neighbors0, metric, ef, expand,
         patience=patience, scales=scales, packed=packed, dedup=dedup,
-        max_iters=max_iters,
+        max_iters=max_iters, fused=fused, interpret=interpret,
     )
     ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
     beam_i = jnp.where(ok, beam_i, -1)
@@ -469,6 +498,11 @@ class HnswIndex:
         self.pack_budget_bytes = 4 << 30
         self._packed: jax.Array | None = None
         self._packed_auto = True
+        # fused DMA gather+dots beam kernel over the packed table
+        # (ops/pallas_beam.py): kills the [B, E*R0, d] HBM intermediate
+        # between XLA's gather and the distance reduce. Auto-disabled
+        # when the block layout is unaligned for sliced DMAs.
+        self.beam_fused = True
         # beam tuning: search over only the first `search_degree`
         # neighbors (rows are distance-sorted, so this is "m for
         # search"); beam_dedup=False skips the O(C^2) same-iteration
@@ -623,13 +657,21 @@ class HnswIndex:
             nbrs0 = nbrs0[:, : self.search_degree]
             if packed is not None:
                 packed = packed[:, : self.search_degree]
+        fused = (
+            self.beam_fused
+            and packed is not None
+            and not interp
+            and packed.shape[2] % 128 == 0
+            and packed.shape[1] % (16 if packed.dtype == jnp.bfloat16 else 8)
+            == 0
+        )
 
         def one(qc):
             return _search_topk_fused(
                 qc, pool, pv, self.store.vectors, v16, nbrs0,
                 self.store.valid, self.metric, k, ef, self.expand, r,
                 interp, scales, self.beam_patience, packed,
-                self.beam_dedup, mi,
+                self.beam_dedup, mi, fused,
             )
 
         b = q.shape[0]

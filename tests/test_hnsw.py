@@ -321,3 +321,46 @@ def test_packed_neighbor_search_matches_row_path(rng):
     # mutation drops the packed table (stale vectors would be wrong)
     idx.insert(np.arange(n, n + 4), x[:4])
     assert idx._packed is None
+
+
+def test_fused_beam_kernel_matches_packed_path(rng):
+    """The Pallas DMA gather+dots beam (fused=True) returns the same
+    beam as the XLA packed path — same math, no HBM intermediate."""
+    import jax.numpy as jnp
+    from muninn_tpu.index.hnsw import _beam_search_level0
+    from muninn_tpu.ops.distance import Metric
+
+    n, d, r0, ef = 512, 128, 16, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # random r0-regular neighbor table + packed blocks (f32: sublane 8)
+    nbrs = rng.integers(0, n, (n, r0)).astype(np.int32)
+    vecs = jnp.asarray(x)
+    packed = vecs[jnp.asarray(nbrs)]
+    q = jnp.asarray(
+        x[:40] + 0.05 * rng.standard_normal((40, d)).astype(np.float32)
+    )
+    entry = jnp.asarray(rng.integers(0, n, (40, 4)).astype(np.int32))
+
+    for metric in (Metric.COSINE, Metric.L2, Metric.INNER_PRODUCT):
+        bd, bi = _beam_search_level0(
+            q, entry, vecs, jnp.asarray(nbrs), metric, ef, expand=4,
+            packed=packed, fused=False,
+        )
+        fd, fi = _beam_search_level0(
+            q, entry, vecs, jnp.asarray(nbrs), metric, ef, expand=4,
+            packed=packed, fused=True, interpret=True,
+        )
+        # identical beams up to fp-reduction-order ties: compare sets
+        # and distances
+        same = np.mean([
+            len(set(a[a >= 0]) & set(b[b >= 0]))
+            / max((a >= 0).sum(), 1)
+            for a, b in zip(np.asarray(bi), np.asarray(fi))
+        ])
+        assert same >= 0.95, (metric, same)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(fd), axis=1)[:, :ef // 2],
+            np.sort(np.asarray(bd), axis=1)[:, :ef // 2],
+            rtol=1e-4, atol=1e-5,
+        )
