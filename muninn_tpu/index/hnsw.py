@@ -178,6 +178,7 @@ def _beam_search_level0(
     dedup: bool = True,
     fused: bool = False,               # Pallas DMA gather+dots for `packed`
     interpret: bool = False,
+    pscales: jax.Array | None = None,  # [cap, R0] dequant (int8 `packed`)
 ) -> tuple[jax.Array, jax.Array]:
     """Batched ef-bounded beam search at level 0.
 
@@ -303,6 +304,11 @@ def _beam_search_level0(
             dots, cn2 = gather_block_dots(
                 qf, jnp.maximum(pick_i, 0), packed, interpret=interpret
             )
+            if pscales is not None:
+                # int8 blocks: per-neighbor dequant in the epilogue
+                ps = pscales[jnp.maximum(pick_i, 0)].reshape(b, expand * r0)
+                dots = dots * ps
+                cn2 = cn2 * ps * ps
             nd = packed_epilogue(dots, cn2)
         elif packed is not None:
             # neighborhood materialization: ONE contiguous [R0, d]
@@ -378,6 +384,7 @@ def _search_topk_fused(
     dedup: bool = True,
     max_iters: int = 0,
     fused: bool = False,
+    pscales: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The full production query path in one XLA program: Pallas-kernel
     routing over the promoted pool, bf16 beam search, soft-delete
@@ -391,6 +398,7 @@ def _search_topk_fused(
         q, entries, v16, neighbors0, metric, ef, expand,
         patience=patience, scales=scales, packed=packed, dedup=dedup,
         max_iters=max_iters, fused=fused, interpret=interpret,
+        pscales=pscales,
     )
     ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
     beam_i = jnp.where(ok, beam_i, -1)
@@ -497,6 +505,8 @@ class HnswIndex:
         # pack_neighbors() to rebuild after churn settles).
         self.pack_budget_bytes = 4 << 30
         self._packed: jax.Array | None = None
+        self._packed_scales: jax.Array | None = None
+        self._packed_quant = "bf16"
         self._packed_auto = True
         # fused DMA gather+dots beam kernel over the packed table
         # (ops/pallas_beam.py): kills the [B, E*R0, d] HBM intermediate
@@ -646,6 +656,7 @@ class HnswIndex:
         else:
             scales = None
         packed = self._maybe_packed()
+        pscales = self._packed_scales
         if self.beam_max_iters == 0:
             mi = -(-ef // max(self.expand, 1)) + 1   # auto: ~ef expansions
         elif self.beam_max_iters < 0:
@@ -657,21 +668,29 @@ class HnswIndex:
             nbrs0 = nbrs0[:, : self.search_degree]
             if packed is not None:
                 packed = packed[:, : self.search_degree]
+            if pscales is not None:
+                pscales = pscales[:, : self.search_degree]
+        sublanes = {2: 16, 1: 32}.get(
+            jnp.dtype(packed.dtype).itemsize, 8
+        ) if packed is not None else 8
         fused = (
             self.beam_fused
             and packed is not None
             and not interp
             and packed.shape[2] % 128 == 0
-            and packed.shape[1] % (16 if packed.dtype == jnp.bfloat16 else 8)
-            == 0
+            and packed.shape[1] % sublanes == 0
         )
+        if packed is not None and packed.dtype == jnp.int8 and not fused:
+            # int8 blocks only make sense dequantized inside the fused
+            # kernel's epilogue; fall back to scale-aware row gathers
+            packed = pscales = None
 
         def one(qc):
             return _search_topk_fused(
                 qc, pool, pv, self.store.vectors, v16, nbrs0,
                 self.store.valid, self.metric, k, ef, self.expand, r,
                 interp, scales, self.beam_patience, packed,
-                self.beam_dedup, mi, fused,
+                self.beam_dedup, mi, fused, pscales,
             )
 
         b = q.shape[0]
@@ -777,6 +796,7 @@ class HnswIndex:
         self._v8 = None
         self._pool_vecs_cache = None
         self._packed = None
+        self._packed_scales = None
         self._packed_auto = False  # don't repack every churn wave
 
     def pack_neighbors(self) -> None:
@@ -785,21 +805,34 @@ class HnswIndex:
         phase settles."""
         self._packed_auto = True
         self._packed = None
+        self._packed_scales = None
         self._maybe_packed(force=True)
 
     def _maybe_packed(self, force: bool = False):
-        if self._packed is not None:
+        if self._packed is not None and self._packed_quant == self.search_quant:
             return self._packed
-        if not (self._packed_auto or force):
+        if self._packed is None and not (self._packed_auto or force):
             return None
         cap = self.store.capacity
-        bytes_needed = cap * self.m0 * self.dim * 2
+        itemsize = 1 if self.search_quant == "int8" else 2
+        bytes_needed = cap * self.m0 * self.dim * itemsize
         if bytes_needed > self.pack_budget_bytes:
             return None
         if jax.default_backend() != "tpu" and not force:
             return None  # CPU tests: keep the row-gather path exercised
-        v16 = self._vecs16()
-        self._packed = v16[jnp.maximum(self.neighbors0, 0)]
+        nb = jnp.maximum(self.neighbors0, 0)
+        if self.search_quant == "int8":
+            # quarter-width blocks (half the beam's DMA bytes vs bf16);
+            # per-neighbor dequant scales ride a tiny side table and are
+            # applied in the fused kernel's XLA epilogue
+            vi, sc = self._vecs8()
+            self._packed = vi[nb]
+            self._packed_scales = sc[nb]
+        else:
+            v16 = self._vecs16()
+            self._packed = v16[nb]
+            self._packed_scales = None
+        self._packed_quant = self.search_quant
         return self._packed
 
     def _routing_pool(self) -> jax.Array | None:

@@ -364,3 +364,47 @@ def test_fused_beam_kernel_matches_packed_path(rng):
             np.sort(np.asarray(bd), axis=1)[:, :ef // 2],
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_fused_beam_int8_packed_matches_row_dequant(rng):
+    """int8 packed blocks + per-neighbor scale epilogue must match the
+    scale-aware row-gather beam (same dequantized values, half the DMA
+    bytes on TPU)."""
+    import jax.numpy as jnp
+    from muninn_tpu.index.hnsw import _beam_search_level0
+    from muninn_tpu.ops.distance import Metric
+
+    n, d, r0, ef = 512, 128, 32, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sc = np.abs(x).max(axis=1) / 127.0
+    vi = np.clip(np.round(x / sc[:, None]), -127, 127).astype(np.int8)
+    nbrs = rng.integers(0, n, (n, r0)).astype(np.int32)
+    packed8 = jnp.asarray(vi)[jnp.asarray(nbrs)]           # [n, r0, d] int8
+    pscales = jnp.asarray(sc.astype(np.float32))[jnp.asarray(nbrs)]
+    q = jnp.asarray(
+        x[:24] + 0.05 * rng.standard_normal((24, d)).astype(np.float32)
+    )
+    entry = jnp.asarray(rng.integers(0, n, (24, 4)).astype(np.int32))
+
+    for metric in (Metric.COSINE, Metric.INNER_PRODUCT):
+        # row path: int8 vectors + per-row dequant inside fetch()
+        bd, bi = _beam_search_level0(
+            q, entry, jnp.asarray(vi), jnp.asarray(nbrs), metric, ef,
+            expand=4, scales=jnp.asarray(sc.astype(np.float32)),
+        )
+        fd, fi = _beam_search_level0(
+            q, entry, jnp.asarray(vi), jnp.asarray(nbrs), metric, ef,
+            expand=4, scales=jnp.asarray(sc.astype(np.float32)),
+            packed=packed8, pscales=pscales, fused=True, interpret=True,
+        )
+        same = np.mean([
+            len(set(a[a >= 0]) & set(b[b >= 0])) / max((a >= 0).sum(), 1)
+            for a, b in zip(np.asarray(bi), np.asarray(fi))
+        ])
+        assert same >= 0.95, (metric, same)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(fd), axis=1)[:, :ef // 2],
+            np.sort(np.asarray(bd), axis=1)[:, :ef // 2],
+            rtol=1e-3, atol=1e-4,
+        )
