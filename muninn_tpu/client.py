@@ -224,6 +224,16 @@ class RemoteIndex:
                              {"name": self.name, "ids": _tolist(ids)})
         return r["count"]
 
+    def tune(self, queries=None, k: int = 10,
+             target_recall: float = 0.99) -> dict:
+        """Autotune the int8 retrieve width (flat ``int8_rescored``
+        indexes): returns ``{"r": int, "curve": {r: recall}}``."""
+        body = {"name": self.name, "k": k, "target_recall": target_recall}
+        if queries is not None:
+            body["queries"] = _tolist(queries)
+        r = self._c._request("/index/tune", body)
+        return {"r": r["r"], "curve": {int(k_): v for k_, v in r["curve"].items()}}
+
 
 class RemoteGraph:
     """Handle to a server-side graph."""

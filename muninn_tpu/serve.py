@@ -16,6 +16,7 @@ Endpoints (POST bodies and responses are JSON):
     POST /index/insert   {"name", "ids": [...], "vectors": [[...], ...]}
     POST /index/search   {"name", "queries": [[...]], "k", "ef_search"}
     POST /index/delete   {"name", "ids": [...]}
+    POST /index/tune     {"name", "k", "target_recall", "queries"?}
     POST /graph/create   {"name", "src": [...], "dst": [...], "weights": [...]}
     POST /graph/query    {"name", "op": "pagerank"|"components"|"bfs"|
                           "shortest_path"|"degree"|"betweenness"|
@@ -89,6 +90,24 @@ class EngineServer:
         idx.delete(np.asarray(body["ids"], np.int64))
         return {"ok": True, "count": len(idx)}
 
+    def _index_tune(self, body):
+        """Autotune the int8 retrieve width per corpus
+        (``FlatIndex.tune_rescore_r``): probe recall on held-out (or
+        provided) queries, keep the smallest r clearing the target."""
+        idx = self.indexes[body["name"]]
+        if not hasattr(idx, "tune_rescore_r"):
+            raise ValueError("index kind does not support tuning")
+        q = body.get("queries")
+        r = idx.tune_rescore_r(
+            np.asarray(q, np.float32) if q is not None else None,
+            k=body.get("k", 10),
+            target_recall=body.get("target_recall", 0.99),
+        )
+        return {
+            "ok": True, "r": r,
+            "curve": {str(k_): v for k_, v in idx.tune_report.items()},
+        }
+
     def _graph_create(self, body):
         from muninn_tpu.graph import Graph
 
@@ -156,6 +175,7 @@ class EngineServer:
             "/index/insert": server._index_insert,
             "/index/search": server._index_search,
             "/index/delete": server._index_delete,
+            "/index/tune": server._index_tune,
             "/graph/create": server._graph_create,
             "/graph/query": server._graph_query,
         }

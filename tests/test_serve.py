@@ -177,3 +177,36 @@ def test_engine_server_quantized_index(rng):
         assert st == 200 and r["ids"][0][0] == 9
     finally:
         srv.stop()
+
+
+def test_engine_server_tune_endpoint(rng):
+    """POST /index/tune autotunes the int8_rescored retrieve width and
+    non-tunable kinds 400 cleanly; the client wrapper round-trips."""
+    from muninn_tpu.client import EngineClient, MuninnRequestError
+
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        st, r = _post(port, "/index/create",
+                      {"name": "t8", "dim": 16, "metric": "cosine",
+                       "kind": "flat", "precision": "int8_rescored"})
+        assert st == 200
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        _post(port, "/index/insert",
+              {"name": "t8", "ids": list(range(300)),
+               "vectors": vecs.tolist()})
+        c = EngineClient(f"http://127.0.0.1:{port}", retries=1, backoff=0.01)
+        rep = c.index("t8").tune(k=5, target_recall=0.95)
+        assert rep["r"] >= 5 and rep["curve"][rep["r"]] >= 0.0
+        assert all(isinstance(k_, int) for k_ in rep["curve"])
+        # search still works at the tuned point
+        ids, _ = c.index("t8").search(vecs[3], k=5)
+        assert ids[0] == 3
+        # hnsw indexes don't support tuning -> typed 400
+        _post(port, "/index/create", {"name": "h", "dim": 16})
+        with pytest.raises(MuninnRequestError) as ei:
+            c.index("h").tune()
+        assert ei.value.status == 400
+    finally:
+        srv.stop()
