@@ -39,6 +39,7 @@ from muninn_tpu.ops.distance import (  # noqa: F401
 )
 from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex  # noqa: F401
 from muninn_tpu.index.hnsw import HnswIndex  # noqa: F401
+from muninn_tpu.index.ivf import IvfIndex  # noqa: F401
 from muninn_tpu.graph.api import Graph  # noqa: F401
 from muninn_tpu.graph.adjacency import GraphCache  # noqa: F401
 from muninn_tpu.graph.selector import select  # noqa: F401
@@ -51,6 +52,7 @@ __all__ = [
     "FlatIndex",
     "QuantizedFlatIndex",
     "HnswIndex",
+    "IvfIndex",
     "Graph",
     "GraphCache",
     "select",

@@ -143,15 +143,19 @@ class EngineClient:
         dim: int,
         *,
         metric: str = "l2",
-        kind: str = "hnsw",          # "hnsw" | "flat" | "quantized"
+        kind: str = "hnsw",          # "hnsw" | "flat" | "quantized" | "ivf"
         m: int = 16,
         ef_construction: int = 200,
         precision: str = "highest",  # flat only
+        cluster_size: int = 128,     # ivf only
+        nprobe: int = 8,             # ivf only
+        rescore_r: int = 32,         # ivf only
     ) -> "RemoteIndex":
         self._request("/index/create", {
             "name": name, "dim": dim, "metric": metric, "kind": kind,
             "m": m, "ef_construction": ef_construction,
-            "precision": precision,
+            "precision": precision, "cluster_size": cluster_size,
+            "nprobe": nprobe, "rescore_r": rescore_r,
         })
         return RemoteIndex(self, name)
 
@@ -202,10 +206,12 @@ class RemoteIndex:
         })
         return r["count"]
 
-    def search(self, queries, k: int = 10, *, ef_search: int | None = None):
+    def search(self, queries, k: int = 10, *, ef_search: int | None = None,
+               nprobe: int | None = None):
         """Returns ``(ids, distances)`` as nested lists ``[B][k]``.
 
         A single query vector is auto-wrapped to a batch of one.
+        ``ef_search`` applies to hnsw indexes, ``nprobe`` to ivf.
         """
         q = _tolist(queries)
         single = bool(q) and not isinstance(q[0], (list, tuple))
@@ -214,6 +220,8 @@ class RemoteIndex:
         body = {"name": self.name, "queries": q, "k": k}
         if ef_search is not None:
             body["ef_search"] = ef_search
+        if nprobe is not None:
+            body["nprobe"] = nprobe
         r = self._c._request("/index/search", body)
         if single:
             return r["ids"][0], r["distances"][0]

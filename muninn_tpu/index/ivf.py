@@ -1,0 +1,577 @@
+"""TPU-native IVF-flat index: balanced fixed-size clusters probed as
+contiguous DMA blocks.
+
+Why this engine exists (there is no IVF in the reference — this is a
+TPU-first addition beyond parity): at large N the exact flat path is
+MXU-compute-bound (1M x 768 x 8192 queries = 12.6 TFLOP/batch), and the
+HNSW beam is DMA-*transaction*-bound (its packed neighborhoods are
+24 KB — measured ~260 ns per block copy regardless of block bytes, so
+quarter-width int8 blocks buy nothing). IVF attacks both walls at once:
+
+- each query scores only ``nprobe``/``nlist`` of the corpus — the
+  MXU/VPU work drops ~two orders of magnitude vs exact;
+- candidates are fetched as whole *clusters* laid out contiguously as
+  ``[nlist, S, d]`` blocks (S=128 x 768-d bf16 = 196 KB per copy), far
+  past the per-transaction floor that caps the HNSW beam's 24 KB
+  neighborhood fetches — the same ``gather_block_dots`` Pallas kernel
+  runs at streaming bandwidth here;
+- a final exact-f32 rescore of the surviving top-r keeps returned
+  distances exact (the same two-tier contract as
+  ``FlatIndex(precision="int8_rescored")``).
+
+Clusters are *balanced* to exactly ``S`` slots: classic IVF lists are
+ragged (cluster-size skew follows the data), which on TPU would mean
+dynamic shapes or worst-case padding. Training runs device-side Lloyd
+iterations (chunked MXU distance matmuls + one-hot matmul updates — no
+scatters), then a vectorized host pass assigns each row to its nearest
+cluster *with free capacity* (nearest-first greedy over the top-C
+candidates, eviction-free). Routing quality loss vs unbalanced kmeans
+is absorbed by probing ``nprobe`` clusters and the exact rescore.
+
+Reference roles mirrored: the public surface matches the other index
+kinds (``insert``/``delete``/``search`` with external int64 ids,
+``src/hnsw_vtab.c:366-367`` semantics); incremental inserts go to
+clusters with free slots, spilling to an exactly-scanned pending
+region (merged per query) until ``rebuild()`` — the same
+"bulk build + incremental churn" split as the HNSW engine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from muninn_tpu.index.store import VectorStore
+from muninn_tpu.ops.distance import (
+    Metric,
+    gathered_distances,
+    pairwise_distances,
+    parse_metric,
+)
+from muninn_tpu.ops.pallas_beam import gather_block_dots
+from muninn_tpu.ops.pallas_flat import flat_topk
+from muninn_tpu.ops.topk import masked_topk, sorted_topk_unique
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ───────────────────────── device kmeans ─────────────────────────
+
+
+@partial(jax.jit, static_argnames=("iters", "ncl", "chunk", "metric"))
+def _kmeans(
+    v: jax.Array,        # [Npad, d] f32 (zero rows where invalid)
+    valid: jax.Array,    # [Npad] bool
+    key: jax.Array,
+    iters: int,
+    ncl: int,
+    chunk: int,
+    metric: Metric,
+) -> jax.Array:
+    """Lloyd's kmeans, fully on device: per iteration one lax.scan over
+    row chunks doing an MXU distance matmul + argmin assignment and a
+    one-hot matmul centroid update (scatter-free). Empty clusters keep
+    their previous centroid. Returns centroids [ncl, d] f32."""
+    npad, d = v.shape
+    nch = npad // chunk
+    iota = jnp.arange(ncl, dtype=jnp.int32)
+
+    # init: ncl distinct live rows via Gumbel top-k over the valid mask
+    g = jax.random.gumbel(key, (npad,))
+    scores = jnp.where(valid, g, -jnp.inf)
+    _, seed_idx = jax.lax.top_k(scores, ncl)
+    cent0 = v[seed_idx]
+
+    vc_all = v.reshape(nch, chunk, d)
+    va_all = valid.reshape(nch, chunk)
+
+    def one_iter(cent, _):
+        def chunk_step(carry, xs):
+            sums, counts = carry
+            vc, va = xs
+            dd = pairwise_distances(vc, cent, metric)          # [chunk, ncl]
+            am = jnp.argmin(dd, axis=1).astype(jnp.int32)
+            oh = ((am[:, None] == iota[None, :]) & va[:, None])
+            # one-hot matmul update: [ncl, chunk] @ [chunk, d] on MXU
+            sums = sums + jax.lax.dot(
+                oh.astype(jnp.bfloat16).T, vc.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + jnp.sum(oh, axis=0).astype(jnp.float32)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_step,
+            (jnp.zeros((ncl, d), jnp.float32), jnp.zeros((ncl,), jnp.float32)),
+            (vc_all, va_all),
+        )
+        newc = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where(counts[:, None] > 0, newc, cent), None
+
+    cent, _ = jax.lax.scan(one_iter, cent0, None, length=iters)
+    return cent
+
+
+@partial(jax.jit, static_argnames=("c", "chunk", "metric"))
+def _topc_centroids(
+    v: jax.Array,       # [Npad, d]
+    cent: jax.Array,    # [ncl, d]
+    c: int,
+    chunk: int,
+    metric: Metric,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-c nearest centroids per row (chunked): [Npad, c] dists+ids."""
+    npad, d = v.shape
+    nch = npad // chunk
+
+    def step(_, vc):
+        dd = pairwise_distances(vc, cent, metric)
+        neg, idx = jax.lax.top_k(-dd, c)
+        return None, (-neg, idx.astype(jnp.int32))
+
+    _, (dists, ids) = jax.lax.scan(step, None, v.reshape(nch, chunk, d))
+    return dists.reshape(npad, c), ids.reshape(npad, c)
+
+
+def _balanced_assign(
+    top_cl: np.ndarray,   # [N, C] nearest-first candidate clusters
+    top_d: np.ndarray,    # [N, C]
+    fill: np.ndarray,     # [ncl] pre-existing occupancy (mutated)
+    s: int,
+) -> np.ndarray:
+    """Capacity-constrained greedy assignment (vectorized): round c
+    tries each row's c-th nearest cluster; within a cluster the closest
+    rows win the free slots (lexsort ranking). Rows still unplaced
+    after C rounds go to any cluster with space; returns -1 for rows
+    that fit nowhere (caller sends them to the pending region)."""
+    n, c_max = top_cl.shape
+    ncl = fill.shape[0]
+    assigned = np.full(n, -1, np.int64)
+    for c in range(c_max):
+        todo = np.flatnonzero(assigned < 0)
+        if todo.size == 0:
+            break
+        cl = top_cl[todo, c].astype(np.int64)
+        d = top_d[todo, c]
+        order = np.lexsort((d, cl))                    # by cluster, then d
+        cl_s = cl[order]
+        # rank within each cluster run
+        boundaries = np.flatnonzero(np.r_[True, cl_s[1:] != cl_s[:-1]])
+        run_start = np.repeat(boundaries, np.diff(np.r_[boundaries, cl_s.size]))
+        rank = np.arange(cl_s.size) - run_start
+        ok = rank < (s - fill[cl_s])
+        take = order[ok]
+        assigned[todo[take]] = cl[take]
+        fill += np.bincount(cl[take], minlength=ncl).astype(fill.dtype)
+    todo = np.flatnonzero(assigned < 0)
+    if todo.size:
+        space = (s - fill).clip(min=0)
+        free_slots = np.repeat(np.arange(ncl), space)
+        m = min(todo.size, free_slots.size)
+        assigned[todo[:m]] = free_slots[:m]
+        fill += np.bincount(
+            assigned[todo[:m]], minlength=ncl
+        ).astype(fill.dtype)
+    return assigned
+
+
+def _ranks_within(assigned: np.ndarray, base: np.ndarray) -> np.ndarray:
+    """Position of each row within its assigned cluster, offset by the
+    cluster's pre-existing occupancy ``base`` (stable in input order)."""
+    n = assigned.shape[0]
+    order = np.lexsort((np.arange(n), assigned))
+    cl_s = assigned[order]
+    boundaries = np.flatnonzero(np.r_[True, cl_s[1:] != cl_s[:-1]])
+    run_start = np.repeat(boundaries, np.diff(np.r_[boundaries, n]))
+    rank = np.arange(n) - run_start
+    out = np.empty(n, np.int64)
+    out[order] = rank + base[cl_s]
+    return out
+
+
+# ───────────────────────── fused query path ─────────────────────────
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "p", "r", "fused", "interpret"),
+)
+def _ivf_search(
+    q: jax.Array,             # [B, d] f32
+    centroids: jax.Array,     # [ncl, d] f32
+    blocks: jax.Array,        # [ncl, S, d] bf16
+    member_slots: jax.Array,  # [ncl, S] int32 store slots, -1 pad
+    vectors: jax.Array,       # [cap, d] f32 store (exact rescore)
+    valid: jax.Array,         # [cap] bool
+    metric: Metric,
+    k: int,
+    p: int,
+    r: int,
+    fused: bool,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One XLA program: centroid routing -> block scoring (Pallas DMA
+    kernel on TPU) -> top-r -> exact f32 rescore -> top-k."""
+    b, d = q.shape
+    ncl, s, _ = blocks.shape
+    qf = q.astype(jnp.float32)
+
+    # 1) probe selection: exact top-p clusters by centroid distance
+    if fused:
+        _, probe = flat_topk(
+            qf, centroids, p, metric=metric, precision="default",
+            interpret=interpret,
+        )
+    else:
+        dd = pairwise_distances(qf, centroids, metric)
+        _, probe = masked_topk(
+            dd, p,
+            ids=jnp.broadcast_to(
+                jnp.arange(ncl, dtype=jnp.int32)[None, :], dd.shape
+            ),
+        )
+    probe = jnp.maximum(probe, 0)
+
+    # 2) score all members of the probed clusters
+    mslots = member_slots[probe].reshape(b, p * s)
+    if fused:
+        dots, cn2 = gather_block_dots(qf, probe, blocks, interpret=interpret)
+        if metric is Metric.INNER_PRODUCT:
+            dist = -dots
+        elif metric is Metric.L2:
+            qn2 = jnp.sum(qf * qf, axis=1)[:, None]
+            dist = jnp.maximum(qn2 + cn2 - 2.0 * dots, 0.0)
+        else:
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=1))[:, None]
+            denom = qn * jnp.sqrt(cn2)
+            sim = jnp.where(denom < 1e-30, 0.0, dots / jnp.maximum(denom, 1e-30))
+            dist = 1.0 - sim
+    else:
+        mv = blocks[probe].reshape(b, p * s, d)
+        dist = gathered_distances(qf, mv, metric)
+    ok = (mslots >= 0) & valid[jnp.maximum(mslots, 0)]
+    dist = jnp.where(ok, dist, _INF)
+
+    # 3) top-r guidance candidates (clusters are disjoint: no dup slots)
+    neg, pos = jax.lax.top_k(-dist, r)
+    cand = jnp.take_along_axis(mslots, pos, axis=1)
+    cand = jnp.where(jnp.isinf(-neg), -1, cand)
+
+    # 4) exact f32 rescore decides the final ranking
+    cv = vectors[jnp.maximum(cand, 0)]
+    dr = gathered_distances(qf, cv, metric)
+    dr = jnp.where(cand >= 0, dr, _INF)
+    return sorted_topk_unique(dr, cand, k)
+
+
+# ───────────────────────── index class ─────────────────────────
+
+
+class IvfIndex:
+    """Balanced IVF-flat ANN index (TPU-native; no reference analogue —
+    see module docstring).
+
+    Parameters:
+      cluster_size: rows per cluster block (S). 128 x 768-d bf16 =
+        196 KB per probe DMA — large enough to stream.
+      nprobe: clusters scored per query (the recall/speed knob; the
+        ``ef_search`` analogue, overridable per search call).
+      rescore_r: guidance candidates exactly rescored in f32.
+      slack: extra cluster capacity factor at build (free slots absorb
+        balance distortion + later incremental inserts).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.COSINE,
+        *,
+        cluster_size: int = 128,
+        nprobe: int = 8,
+        rescore_r: int = 32,
+        slack: float = 1.2,
+        kmeans_iters: int = 10,
+        train_sample: int = 262_144,
+        seed: int = 0,
+        capacity: int = 1024,
+    ):
+        self.metric = parse_metric(metric)
+        self.store = VectorStore(dim, capacity)
+        self.cluster_size = int(cluster_size)
+        self.nprobe = int(nprobe)
+        self.rescore_r = int(rescore_r)
+        self.slack = float(slack)
+        self.kmeans_iters = int(kmeans_iters)
+        self.train_sample = int(train_sample)
+        self.seed = int(seed)
+        self.use_pallas = jax.default_backend() == "tpu"
+        # built state (None until first bulk insert / rebuild)
+        self.centroids: jax.Array | None = None   # [ncl, d] f32
+        self.blocks: jax.Array | None = None      # [ncl, S, d] bf16
+        self.member_slots: jax.Array | None = None  # [ncl, S] int32
+        self._fill: np.ndarray | None = None      # [ncl] host occupancy
+        self._pending: list[np.ndarray] = []      # slots awaiting a cluster
+        self._pending_count = 0
+
+    # ── basic surface ──
+
+    @property
+    def dim(self) -> int:
+        return self.store.dim
+
+    @property
+    def nlist(self) -> int:
+        return 0 if self.centroids is None else self.centroids.shape[0]
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def seed_rng(self, seed: int) -> None:
+        """Reference parity: reseed build-time randomness
+        (``hnsw_seed_rng``, ``src/hnsw_algo.c:222-224``)."""
+        self.seed = int(seed)
+
+    # ── build ──
+
+    def _fused_ok(self) -> bool:
+        s = self.cluster_size
+        return (
+            self.use_pallas
+            and self.dim % 128 == 0
+            and s % 16 == 0  # bf16 sublanes
+        )
+
+    def rebuild(self, *, nlist: int | None = None) -> None:
+        """(Re)train centroids on all live rows and repack every live
+        row (including pending and soft-deleted holes) into balanced
+        cluster blocks. Bulk path: device kmeans + host balanced
+        assignment + one device row-scatter."""
+        hw = self.store.high_watermark
+        live = np.flatnonzero(np.asarray(self.store.valid[:hw]))
+        n = live.shape[0]
+        if n == 0:
+            self.centroids = None
+            self.blocks = None
+            self.member_slots = None
+            self._fill = None
+            self._pending = []
+            self._pending_count = 0
+            return
+        s = self.cluster_size
+        ncl = nlist or max(int(np.ceil(n * self.slack / s)), 1)
+        chunk = 8192 if n >= 8192 else _round_up(n, 256)
+        npad = _round_up(max(hw, chunk), chunk)
+
+        v = self.store.vectors
+        if v.shape[0] < npad:
+            v = jnp.pad(v, ((0, npad - v.shape[0]), (0, 0)))
+        else:
+            v = v[:npad]
+        valid = self.store.valid
+        if valid.shape[0] < npad:
+            valid = jnp.pad(valid, (0, npad - valid.shape[0]))
+        else:
+            valid = valid[:npad]
+
+        # 1) centroids (sampled Lloyd on device)
+        key = jax.random.PRNGKey(self.seed)
+        if n > self.train_sample:
+            # uniform live sample via gumbel top-k, done device-side
+            g = jax.random.gumbel(jax.random.fold_in(key, 1), (npad,))
+            _, samp = jax.lax.top_k(
+                jnp.where(valid, g, -jnp.inf), self.train_sample
+            )
+            tv = v[samp]
+            tvalid = jnp.ones((self.train_sample,), bool)
+            tpad = _round_up(self.train_sample, chunk)
+            if tpad != self.train_sample:
+                tv = jnp.pad(tv, ((0, tpad - self.train_sample), (0, 0)))
+                tvalid = jnp.pad(tvalid, (0, tpad - self.train_sample))
+        else:
+            tv, tvalid = v, valid
+        cent = _kmeans(
+            tv, tvalid, key, self.kmeans_iters, ncl, chunk, self.metric
+        )
+
+        # 2) top-C candidate clusters for every live row
+        c = min(4, ncl)
+        td, tc = _topc_centroids(v, cent, c, chunk, self.metric)
+        td, tc = np.asarray(td)[live], np.asarray(tc)[live]
+
+        # 3) host balanced assignment + in-cluster positions
+        fill = np.zeros(ncl, np.int64)
+        assigned = _balanced_assign(tc, td, fill, s)
+        placed = assigned >= 0  # ncl*s >= n by construction, but be safe
+        pos = np.full(n, -1, np.int64)
+        pos[placed] = (
+            assigned[placed] * s
+            + _ranks_within(assigned[placed], np.zeros(ncl, np.int64))
+        )
+
+        # 4) pack blocks device-side: one row scatter from the store
+        flat_slots = np.full(ncl * s, -1, np.int32)
+        flat_slots[pos[placed]] = live[placed].astype(np.int32)
+        member_slots = jnp.asarray(flat_slots.reshape(ncl, s))
+        src = jnp.asarray(np.maximum(flat_slots, 0))
+        rows = self.store.vectors[src].astype(jnp.bfloat16)
+        rows = jnp.where(
+            (jnp.asarray(flat_slots) >= 0)[:, None], rows, 0
+        )
+        self.blocks = rows.reshape(ncl, s, self.store.dim)
+        self.member_slots = member_slots
+        self.centroids = cent
+        self._fill = fill
+        self._pending = (
+            [live[~placed].astype(np.int32)] if (~placed).any() else []
+        )
+        self._pending_count = int((~placed).sum())
+
+    # ── churn ──
+
+    def insert(self, ids, vectors) -> None:
+        """Append rows. Before the first build: buffered; the first
+        insert that brings the index past ~16 clusters of rows triggers
+        the bulk build. After: rows go to their nearest cluster with a
+        free slot (vectorized greedy), spilling to the exactly-scanned
+        pending region; a rebuild auto-triggers when pending exceeds
+        10% of the corpus."""
+        ids = np.asarray(ids, np.int64)
+        if ids.size == 0:
+            return
+        slots = self.store.add(ids, vectors)
+        if self.centroids is None:
+            if len(self.store) >= 16 * self.cluster_size:
+                self.rebuild()
+            else:
+                self._pending.append(slots.astype(np.int32))
+                self._pending_count += slots.size
+            return
+        # assign to existing clusters with space
+        s = self.cluster_size
+        ncl = self.nlist
+        v = self.store.vectors[jnp.asarray(slots)]
+        c = min(8, ncl)
+        dd = pairwise_distances(v, self.centroids, self.metric)
+        neg, tc = jax.lax.top_k(-dd, c)
+        tc = np.asarray(tc)
+        td = -np.asarray(neg)
+        assigned = _balanced_assign(tc, td, self._fill, s)
+        placed = assigned >= 0
+        if placed.any():
+            base = np.zeros(ncl, np.int64)
+            # fill BEFORE this batch for rank offsets
+            batch_counts = np.bincount(assigned[placed], minlength=ncl)
+            base = self._fill - batch_counts
+            pos = (
+                assigned[placed] * s
+                + _ranks_within(assigned[placed], base)
+            ).astype(np.int32)
+            pslots = slots[placed]
+            flat = self.blocks.reshape(ncl * s, self.dim)
+            rows = self.store.vectors[jnp.asarray(pslots)].astype(jnp.bfloat16)
+            self.blocks = flat.at[jnp.asarray(pos)].set(rows).reshape(
+                ncl, s, self.dim
+            )
+            mflat = self.member_slots.reshape(ncl * s)
+            self.member_slots = mflat.at[jnp.asarray(pos)].set(
+                jnp.asarray(pslots.astype(np.int32))
+            ).reshape(ncl, s)
+        if (~placed).any():
+            self._pending.append(slots[~placed].astype(np.int32))
+            self._pending_count += int((~placed).sum())
+        if self._pending_count > max(len(self.store) // 10, 4 * s):
+            self.rebuild()
+
+    def delete(self, ids) -> None:
+        """Soft-delete: flips the shared validity mask; cluster slots
+        are filtered at search and reclaimed on ``rebuild()``."""
+        self.store.remove(np.asarray(ids, np.int64))
+
+    # ── search ──
+
+    def _pending_slots(self) -> np.ndarray:
+        if not self._pending:
+            return np.zeros((0,), np.int32)
+        if len(self._pending) > 1:
+            self._pending = [np.concatenate(self._pending)]
+        return self._pending[0]
+
+    def search(self, queries, k: int = 10, nprobe: int | None = None):
+        """Batched ANN: returns ``(ids int64 [B, k], dists f32 [B, k])``
+        ascending (-1/inf padding). Distances are exact f32 (two-tier
+        rescore). ``nprobe`` overrides the constructor default."""
+        q = jnp.asarray(queries, jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        interpret = not self.use_pallas
+
+        if self.centroids is None:
+            # unbuilt: exact scan of the whole store
+            hw = max(self.store.high_watermark, 1)
+            d, slots = self._exact_region(
+                q, jnp.arange(hw, dtype=jnp.int32), k, interpret
+            )
+        else:
+            p = min(nprobe or self.nprobe, self.nlist)
+            r = max(self.rescore_r, k)
+            r = min(r, p * self.cluster_size)
+            d, slots = _ivf_search(
+                q, self.centroids, self.blocks, self.member_slots,
+                self.store.vectors, self.store.valid, self.metric,
+                k, p, r, self._fused_ok(), interpret,
+            )
+            pend = self._pending_slots()
+            if pend.size:
+                pd, pslots = self._exact_region(
+                    q, jnp.asarray(pend), k, interpret
+                )
+                d, slots = _merge_two(d, slots, pd, pslots, k)
+        ids = self.store.ids_of(np.asarray(slots))
+        d = np.asarray(d)
+        if single:
+            return ids[0], d[0]
+        return ids, d
+
+    def _exact_region(self, q, slots, k, interpret):
+        """Exact top-k over an explicit slot set (pending region /
+        unbuilt fallback), padded to a 1024 bucket to bound compiles."""
+        pad = _round_up(max(slots.shape[0], 1), 1024)
+        sl = jnp.full((pad,), -1, jnp.int32).at[: slots.shape[0]].set(slots)
+        return _exact_slots_topk(
+            q, sl, self.store.vectors, self.store.valid, self.metric, k,
+            interpret,
+        )
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "interpret"))
+def _exact_slots_topk(q, sl, vectors, valid, metric, k, interpret=False):
+    ok = (sl >= 0) & valid[jnp.maximum(sl, 0)]
+    vv = vectors[jnp.maximum(sl, 0)]
+    dd = pairwise_distances(q, vv, metric)
+    dd = jnp.where(ok[None, :], dd, _INF)
+    neg, pos = jax.lax.top_k(-dd, min(k, sl.shape[0]))
+    cand = jnp.where(jnp.isinf(-neg), -1, sl[pos])
+    b = q.shape[0]
+    if cand.shape[1] < k:
+        cand = jnp.pad(cand, ((0, 0), (0, k - cand.shape[1])),
+                       constant_values=-1)
+        neg = jnp.pad(neg, ((0, 0), (0, k - neg.shape[1])),
+                      constant_values=-jnp.inf)
+    return -neg, cand
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _merge_two(d1, i1, d2, i2, k):
+    d = jnp.concatenate([d1, d2], axis=1)
+    i = jnp.concatenate([i1, i2], axis=1)
+    return sorted_topk_unique(d, i, k)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NBUF = 8  # in-flight block DMAs per program
+_NBUF = 8  # in-flight block DMAs per program (default; see gather_block_dots)
 
 
 def _sublanes(dtype) -> int:
@@ -48,47 +48,49 @@ def _beam_dots_kernel(
     *,
     tb: int,
     e: int,
+    nbuf: int,
 ):
     base = pl.program_id(0) * tb * e
 
     def dma(p):
         return pltpu.make_async_copy(
             packed_ref.at[ids_ref[base + p]],
-            buf_ref.at[p % _NBUF],
-            sems.at[p % _NBUF],
+            buf_ref.at[p % nbuf],
+            sems.at[p % nbuf],
         )
 
     total = tb * e
-    for p in range(min(_NBUF, total)):
+    for p in range(min(nbuf, total)):
         dma(p).start()
 
     def body(p, carry):
         dma(p).wait()
         t = p // e
         ei = p % e
-        blk = buf_ref[p % _NBUF].astype(jnp.float32)          # [R0, d]
+        blk = buf_ref[p % nbuf].astype(jnp.float32)           # [R0, d]
         qrow = q_ref[pl.ds(t, 1), :]                          # [1, d]
         dots = jnp.sum(blk * qrow, axis=1)                    # [R0]
         cn2 = jnp.sum(blk * blk, axis=1)                      # [R0]
         dots_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = dots[None, None, :]
         cn2_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = cn2[None, None, :]
 
-        @pl.when(p + _NBUF < total)
+        @pl.when(p + nbuf < total)
         def _():
-            dma(p + _NBUF).start()
+            dma(p + nbuf).start()
 
         return carry
 
     jax.lax.fori_loop(0, total, body, 0)
 
 
-@partial(jax.jit, static_argnames=("tb", "interpret"))
+@partial(jax.jit, static_argnames=("tb", "interpret", "nbuf"))
 def gather_block_dots(
     queries: jax.Array,   # [B, d] f32
     idx: jax.Array,       # [B, E] int32, in-range (clamp at the call site)
     packed: jax.Array,    # [cap, R0, d] bf16/f32
     tb: int = 256,
     interpret: bool = False,
+    nbuf: int = _NBUF,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-pick block dots and candidate squared norms:
     ``dots[b, j] = <queries[b], packed[idx[b, j // R0]][j % R0]>`` and
@@ -114,7 +116,7 @@ def gather_block_dots(
         idx = jnp.pad(idx, ((0, pad), (0, 0)))
     bp = q.shape[0]
     dots, cn2 = pl.pallas_call(
-        partial(_beam_dots_kernel, tb=tb, e=e),
+        partial(_beam_dots_kernel, tb=tb, e=e, nbuf=nbuf),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bp // tb,),
@@ -127,8 +129,8 @@ def gather_block_dots(
                 pl.BlockSpec((tb, e, r0), lambda i, ids: (i, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_NBUF, r0, d), packed.dtype),
-                pltpu.SemaphoreType.DMA((_NBUF,)),
+                pltpu.VMEM((nbuf, r0, d), packed.dtype),
+                pltpu.SemaphoreType.DMA((nbuf,)),
             ],
         ),
         out_shape=[

@@ -12,7 +12,8 @@ surface is a JSON-over-HTTP API any client language can call. Stdlib
 Endpoints (POST bodies and responses are JSON):
 
     GET  /health
-    POST /index/create   {"name", "dim", "metric", "kind": "hnsw"|"flat", ...}
+    POST /index/create   {"name", "dim", "metric",
+                          "kind": "hnsw"|"flat"|"quantized"|"ivf", ...}
     POST /index/insert   {"name", "ids": [...], "vectors": [[...], ...]}
     POST /index/search   {"name", "queries": [[...]], "k", "ef_search"}
     POST /index/delete   {"name", "ids": [...]}
@@ -45,6 +46,7 @@ class EngineServer:
     def _index_create(self, body):
         from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex
         from muninn_tpu.index.hnsw import HnswIndex
+        from muninn_tpu.index.ivf import IvfIndex
 
         name = body["name"]
         if name in self.indexes:
@@ -57,6 +59,13 @@ class EngineServer:
             )
         elif kind == "quantized":
             idx = QuantizedFlatIndex(body["dim"], body.get("metric", "cosine"))
+        elif kind == "ivf":
+            idx = IvfIndex(
+                body["dim"], body.get("metric", "cosine"),
+                cluster_size=body.get("cluster_size", 128),
+                nprobe=body.get("nprobe", 8),
+                rescore_r=body.get("rescore_r", 32),
+            )
         else:
             idx = HnswIndex(
                 body["dim"], body.get("metric", "l2"),
@@ -79,6 +88,8 @@ class EngineServer:
         kw = {}
         if "ef_search" in body and hasattr(idx, "params"):
             kw["ef_search"] = body["ef_search"]
+        if "nprobe" in body and hasattr(idx, "nprobe"):
+            kw["nprobe"] = body["nprobe"]
         ids, dists = idx.search(q, k=body.get("k", 10), **kw)
         return {
             "ids": np.asarray(ids).tolist(),

@@ -1,0 +1,177 @@
+"""IvfIndex: balanced IVF-flat ANN (TPU-native addition; no reference
+analogue — the reference's only ANN engine is HNSW). Quality gates
+follow the reference test pattern: brute-force ground truth + recall
+thresholds (``test/test_hnsw_algo.c:10-34`` role)."""
+
+import numpy as np
+import pytest
+
+from muninn_tpu.index.flat import FlatIndex
+from muninn_tpu.index.ivf import IvfIndex, _balanced_assign, _ranks_within
+
+
+def _clustered(rng, n, d, n_centers=40, q=200):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    x = centers[rng.integers(0, n_centers, n)]
+    x = x + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qq = x[rng.integers(0, n, q)]
+    qq = qq + 0.05 * rng.standard_normal((q, d)).astype(np.float32)
+    qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+    return x, qq
+
+
+def _recall(ids, true_ids):
+    ids = np.asarray(ids)
+    return sum(
+        len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids)
+    ) / true_ids.size
+
+
+@pytest.fixture(scope="module")
+def built(module_rng):
+    rng = module_rng
+    x, q = _clustered(rng, 6000, 64)
+    flat = FlatIndex(64, "cosine")
+    flat.insert(np.arange(6000), x)
+    true_ids, true_d = flat.search(q, k=10)
+    idx = IvfIndex(64, "cosine", cluster_size=64, nprobe=8, rescore_r=32)
+    idx.insert(np.arange(6000), x)
+    return x, q, flat, true_ids, true_d, idx
+
+
+@pytest.fixture(scope="module")
+def module_rng():
+    return np.random.default_rng(3)
+
+
+def test_bulk_build_recall(built):
+    x, q, flat, true_ids, true_d, idx = built
+    assert idx.centroids is not None  # bulk insert triggers the build
+    assert idx.nlist >= 6000 // 64
+    ids, d = idx.search(q, k=10)
+    assert _recall(ids, true_ids) >= 0.9
+    # wider probing improves (or holds) recall — the ef_search analogue
+    ids16, _ = idx.search(q, k=10, nprobe=16)
+    assert _recall(ids16, true_ids) >= _recall(ids, true_ids) - 0.02
+
+
+def test_exact_rescored_distances(built):
+    """Returned distances are exact f32 (two-tier contract): wherever
+    IVF finds the true nearest neighbor, its distance matches the
+    exact engine's to float tolerance."""
+    x, q, flat, true_ids, true_d, idx = built
+    ids, d = idx.search(q, k=10)
+    hits = 0
+    for a, da, b, db in zip(ids, d, true_ids, true_d):
+        if a[0] == b[0]:
+            assert abs(da[0] - db[0]) < 1e-4
+            hits += 1
+    assert hits > len(q) * 0.8
+
+
+def test_single_query_and_self_hit(built):
+    x, q, flat, true_ids, true_d, idx = built
+    ids, d = idx.search(x[17], k=5)
+    assert ids.shape == (5,)
+    assert ids[0] == 17 and d[0] < 1e-5
+
+
+def test_incremental_insert_and_pending(module_rng, built):
+    x, q, flat, true_ids, true_d, _ = built
+    rng = module_rng
+    idx = IvfIndex(64, "cosine", cluster_size=64, nprobe=8)
+    idx.insert(np.arange(6000), x)
+    extra = x[:300] + 0.01 * rng.standard_normal((300, 64)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    idx.insert(np.arange(6000, 6300), extra)
+    # new rows are findable immediately (cluster slot or pending region)
+    ids, _ = idx.search(extra[7], k=3)
+    assert 6007 in ids
+
+
+def test_delete_and_rebuild(module_rng):
+    rng = np.random.default_rng(11)
+    x, q = _clustered(rng, 3000, 32)
+    idx = IvfIndex(32, "cosine", cluster_size=64, nprobe=8)
+    idx.insert(np.arange(3000), x)
+    flat = FlatIndex(32, "cosine")
+    flat.insert(np.arange(3000), x)
+    true_ids, _ = flat.search(q, k=10)
+    victims = np.unique(true_ids[:, 0])[:30].astype(np.int64)
+    idx.delete(victims)
+    ids, _ = idx.search(q, k=10)
+    assert not (set(np.asarray(ids).ravel().tolist()) & set(victims.tolist()))
+    # rebuild repacks live rows; recall vs live ground truth holds
+    idx.rebuild()
+    flat.delete(victims)
+    t2, _ = flat.search(q, k=10)
+    ids2, _ = idx.search(q, k=10)
+    assert _recall(ids2, t2) >= 0.9
+
+
+@pytest.mark.parametrize("metric", ["l2", "inner_product"])
+def test_other_metrics(metric, module_rng):
+    rng = np.random.default_rng(7)
+    x, q = _clustered(rng, 3000, 32)
+    flat = FlatIndex(32, metric)
+    flat.insert(np.arange(3000), x)
+    t, _ = flat.search(q, k=10)
+    idx = IvfIndex(32, metric, cluster_size=64, nprobe=10)
+    idx.insert(np.arange(3000), x)
+    ids, _ = idx.search(q, k=10)
+    assert _recall(ids, t) >= 0.85
+
+
+def test_unbuilt_exact_fallback(module_rng):
+    rng = np.random.default_rng(5)
+    x, _ = _clustered(rng, 50, 32)
+    idx = IvfIndex(32, "cosine", cluster_size=64)
+    idx.insert(np.arange(50), x)
+    assert idx.centroids is None  # below the build threshold
+    ids, d = idx.search(x[3], k=5)
+    assert ids[0] == 3
+    # empty index
+    empty = IvfIndex(32, "cosine")
+    ei, ed = empty.search(x[:2], k=3)
+    assert (np.asarray(ei) == -1).all()
+
+
+def test_balanced_assign_capacity():
+    """Every cluster ends at <= S members; nearest-first greedy places
+    closer rows first; leftovers spill to clusters with space."""
+    rng = np.random.default_rng(0)
+    n, ncl, s = 500, 4, 130
+    top_cl = np.tile(np.argsort(rng.standard_normal((n, 4)), axis=1), 1)
+    top_d = np.sort(rng.standard_normal((n, 4)).astype(np.float32), axis=1)
+    fill = np.zeros(ncl, np.int64)
+    assigned = _balanced_assign(top_cl.astype(np.int32), top_d, fill, s)
+    assert (assigned >= 0).all()  # 4*130 >= 500: everyone fits
+    counts = np.bincount(assigned, minlength=ncl)
+    assert (counts <= s).all()
+    assert counts.sum() == n
+    # ranks are dense within each cluster starting at base
+    ranks = _ranks_within(assigned, np.zeros(ncl, np.int64))
+    for c in range(ncl):
+        r = np.sort(ranks[assigned == c])
+        assert (r == np.arange(r.size)).all()
+
+
+def test_serve_ivf_kind(module_rng):
+    """The engine server exposes kind='ivf' with nprobe pass-through."""
+    from muninn_tpu.client import EngineClient
+    from muninn_tpu.serve import EngineServer
+
+    rng = np.random.default_rng(2)
+    x, _ = _clustered(rng, 2200, 32)
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        c = EngineClient(f"http://127.0.0.1:{port}", retries=1, backoff=0.01)
+        h = c.create_index("iv", 32, metric="cosine", kind="ivf",
+                           cluster_size=64, nprobe=6)
+        h.insert(np.arange(2200), x)
+        ids, d = h.search(x[5], k=3, nprobe=12)
+        assert ids[0] == 5
+    finally:
+        srv.stop()
