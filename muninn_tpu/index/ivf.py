@@ -182,6 +182,24 @@ def _balanced_assign(
     return assigned
 
 
+@jax.jit
+def _pack_blocks(vectors: jax.Array, flat_slots: jax.Array) -> jax.Array:
+    """Gather + bf16-cast + pad-zero the cluster member rows in chunks
+    (lax.scan) so the f32 gather intermediate stays ~400 MB instead of
+    materializing all ``nlist*S`` rows at once (3.7 GB at 1M x 768 —
+    eager assembly OOMed the 16 GB chip)."""
+    m = flat_slots.shape[0]
+    chunk = min(m, 131_072)
+    nch = m // chunk  # caller pads m to a chunk multiple
+
+    def step(_, sl):
+        rows = vectors[jnp.maximum(sl, 0)].astype(jnp.bfloat16)
+        return None, jnp.where((sl >= 0)[:, None], rows, 0)
+
+    _, out = jax.lax.scan(step, None, flat_slots.reshape(nch, chunk))
+    return out.reshape(m, vectors.shape[1])
+
+
 def _ranks_within(assigned: np.ndarray, base: np.ndarray) -> np.ndarray:
     """Position of each row within its assigned cluster, offset by the
     cluster's pre-existing occupancy ``base`` (stable in input order)."""
@@ -366,25 +384,18 @@ class IvfIndex:
             return
         s = self.cluster_size
         ncl = nlist or max(int(np.ceil(n * self.slack / s)), 1)
-        chunk = 8192 if n >= 8192 else _round_up(n, 256)
-        npad = _round_up(max(hw, chunk), chunk)
-
+        # chunk = the store's pad multiple: capacity is always a chunk
+        # multiple, so the full-capacity arrays scan WITHOUT padding
+        # copies (a jnp.pad of the 3 GB store was a transient 2x)
+        chunk = min(self.store.pad_multiple, self.store.capacity)
         v = self.store.vectors
-        if v.shape[0] < npad:
-            v = jnp.pad(v, ((0, npad - v.shape[0]), (0, 0)))
-        else:
-            v = v[:npad]
         valid = self.store.valid
-        if valid.shape[0] < npad:
-            valid = jnp.pad(valid, (0, npad - valid.shape[0]))
-        else:
-            valid = valid[:npad]
 
         # 1) centroids (sampled Lloyd on device)
         key = jax.random.PRNGKey(self.seed)
         if n > self.train_sample:
             # uniform live sample via gumbel top-k, done device-side
-            g = jax.random.gumbel(jax.random.fold_in(key, 1), (npad,))
+            g = jax.random.gumbel(jax.random.fold_in(key, 1), (v.shape[0],))
             _, samp = jax.lax.top_k(
                 jnp.where(valid, g, -jnp.inf), self.train_sample
             )
@@ -399,11 +410,13 @@ class IvfIndex:
         cent = _kmeans(
             tv, tvalid, key, self.kmeans_iters, ncl, chunk, self.metric
         )
+        del tv, tvalid
 
         # 2) top-C candidate clusters for every live row
         c = min(4, ncl)
         td, tc = _topc_centroids(v, cent, c, chunk, self.metric)
         td, tc = np.asarray(td)[live], np.asarray(tc)[live]
+        del v, valid
 
         # 3) host balanced assignment + in-cluster positions
         fill = np.zeros(ncl, np.int64)
@@ -415,17 +428,17 @@ class IvfIndex:
             + _ranks_within(assigned[placed], np.zeros(ncl, np.int64))
         )
 
-        # 4) pack blocks device-side: one row scatter from the store
-        flat_slots = np.full(ncl * s, -1, np.int32)
+        # 4) pack blocks device-side: chunked gather+cast (one jit; the
+        # f32 gather intermediate never exceeds ~400 MB)
+        m = ncl * s
+        mpad = _round_up(m, min(m, 131_072)) if m >= 131_072 else m
+        flat_slots = np.full(mpad, -1, np.int32)
         flat_slots[pos[placed]] = live[placed].astype(np.int32)
-        member_slots = jnp.asarray(flat_slots.reshape(ncl, s))
-        src = jnp.asarray(np.maximum(flat_slots, 0))
-        rows = self.store.vectors[src].astype(jnp.bfloat16)
-        rows = jnp.where(
-            (jnp.asarray(flat_slots) >= 0)[:, None], rows, 0
+        jslots = jnp.asarray(flat_slots)
+        self.blocks = _pack_blocks(self.store.vectors, jslots)[:m].reshape(
+            ncl, s, self.store.dim
         )
-        self.blocks = rows.reshape(ncl, s, self.store.dim)
-        self.member_slots = member_slots
+        self.member_slots = jnp.asarray(flat_slots[:m].reshape(ncl, s))
         self.centroids = cent
         self._fill = fill
         self._pending = (
