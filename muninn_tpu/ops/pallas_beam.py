@@ -31,6 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NBUF = 8  # in-flight block DMAs per program (default; see gather_block_dots)
+_VMEM_BUDGET = 12 * 1024 * 1024  # scoped-VMEM stack target (16 MB hard cap)
+_SMEM_IDS_BUDGET = 512 * 1024    # scalar-prefetch id bytes (1 MB hard cap)
 
 
 def _sublanes(dtype) -> int:
@@ -109,37 +111,70 @@ def gather_block_dots(
             f"d % 128 == 0 and R0 % {_sublanes(packed.dtype)} == 0"
         )
     tb = min(tb, max(8, b))
+    # Mosaic double-buffers the grid-blocked operands: 2 copies each of
+    # the [tb, d] f32 query block and the two [tb, e, r0] f32 outputs
+    # live on the scoped-VMEM stack alongside the nbuf DMA scratch
+    # blocks. At large e*r0 (e.g. IVF nprobe=32 x S=128) the default
+    # tile overruns the 16 MB limit — halve the query tile until the
+    # estimate fits (budget leaves headroom for Mosaic temporaries).
+    fixed = nbuf * r0 * d * jnp.dtype(packed.dtype).itemsize
+    while tb > 8 and fixed + 2 * tb * (2 * e * r0 + d) * 4 > _VMEM_BUDGET:
+        tb //= 2
     pad = (-b) % tb
     q = queries.astype(jnp.float32)
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0)))
         idx = jnp.pad(idx, ((0, pad), (0, 0)))
     bp = q.shape[0]
-    dots, cn2 = pl.pallas_call(
-        partial(_beam_dots_kernel, tb=tb, e=e, nbuf=nbuf),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(bp // tb,),
-            in_specs=[
-                pl.BlockSpec((tb, d), lambda i, ids: (i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+
+    def call(qc, idsc):
+        bc = qc.shape[0]
+        return pl.pallas_call(
+            partial(_beam_dots_kernel, tb=tb, e=e, nbuf=nbuf),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bc // tb,),
+                in_specs=[
+                    pl.BlockSpec((tb, d), lambda i, ids: (i, 0)),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec((tb, e, r0), lambda i, ids: (i, 0, 0)),
+                    pl.BlockSpec((tb, e, r0), lambda i, ids: (i, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((nbuf, r0, d), packed.dtype),
+                    pltpu.SemaphoreType.DMA((nbuf,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bc, e, r0), jnp.float32),
+                jax.ShapeDtypeStruct((bc, e, r0), jnp.float32),
             ],
-            out_specs=[
-                pl.BlockSpec((tb, e, r0), lambda i, ids: (i, 0, 0)),
-                pl.BlockSpec((tb, e, r0), lambda i, ids: (i, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((nbuf, r0, d), packed.dtype),
-                pltpu.SemaphoreType.DMA((nbuf,)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, e, r0), jnp.float32),
-            jax.ShapeDtypeStruct((bp, e, r0), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(idx.reshape(-1).astype(jnp.int32), q, packed)
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(idsc.reshape(-1).astype(jnp.int32), qc, packed)
+
+    # The scalar-prefetch id operand lives in SMEM (1 MB hard cap):
+    # at bp*e ids it overflows for large batches x wide expansions
+    # (e.g. 8192 queries x nprobe=32 = 1 MB exactly). Chunk the query
+    # batch so each kernel call's id block fits with headroom, mapping
+    # the (compiled-once) kernel over the chunks.
+    if bp * e * 4 <= _SMEM_IDS_BUDGET:
+        dots, cn2 = call(q, idx)
+    else:
+        bc = max(tb, _SMEM_IDS_BUDGET // (4 * e * tb) * tb)
+        extra = (-bp) % bc
+        if extra:
+            q = jnp.pad(q, ((0, extra), (0, 0)))
+            idx = jnp.pad(idx, ((0, extra), (0, 0)))
+        nch = q.shape[0] // bc
+        dots, cn2 = jax.lax.map(
+            lambda xs: call(xs[0], xs[1]),
+            (q.reshape(nch, bc, d), idx.reshape(nch, bc, e)),
+        )
+        dots = dots.reshape(nch * bc, e, r0)
+        cn2 = cn2.reshape(nch * bc, e, r0)
     return (
         dots[:b].reshape(b, e * r0),
         cn2[:b].reshape(b, e * r0),
