@@ -332,7 +332,48 @@ def main():
             ns_auto["qps"] = round(qps_a, 1)
         else:
             ns_auto["qps"] = round(ns_int8_qps, 1)
-        del big, bigq, bi8, sc8
+        del bi8, sc8
+    except Exception:
+        pass
+
+    # ── north-star IVF engine: balanced-Lloyd build + probe search ──
+    # (muninn_tpu/index/ivf.py — the highest-recall/QPS operating
+    # points on this workload; nprobe is the ef_search analogue)
+    ns_ivf = None
+    try:
+        from muninn_tpu.index.ivf import IvfIndex, _ivf_search
+
+        t0 = time.time()
+        ivf = IvfIndex(768, "cosine", cluster_size=128, rescore_r=32,
+                       capacity=1_000_000 + 4096, seed=42)
+        ivf.insert(np.arange(1_000_000), big)
+        _ = np.asarray(ivf.member_slots[0, 0])
+        ivf_build_s = time.time() - t0
+        jbq = jnp.asarray(bigq, jnp.float32)
+        ns_ivf = {"build_s": round(ivf_build_s, 1), "nlist": ivf.nlist,
+                  "points": {}}
+        for p in (2, 4):
+            r = min(max(32, K), p * ivf.cluster_size)
+            ids, _d = ivf.search(np.asarray(bigq[:512]), k=K, nprobe=p)
+            rec = sum(
+                len(set(a[a >= 0]) & set(b)) for a, b in zip(ids, ns_true)
+            ) / (512 * K)
+
+            def run_ivf(pp=p, rr=r):
+                return _ivf_search(
+                    jbq, ivf.centroids, ivf.blocks, ivf.member_slots,
+                    ivf.store.vectors, ivf.store.valid, ivf.metric,
+                    K, pp, rr, ivf._fused_ok(), False,
+                )[1]
+
+            qps, *ranges[f"northstar_1m_768d_ivf_p{p}_qps"] = sample_rate(
+                run_ivf, 8192, inner=3
+            )
+            ns_ivf["points"][f"nprobe{p}"] = {
+                "qps": round(qps, 1), "recall": round(rec, 4),
+            }
+        del ivf, jbq
+        del big, bigq
     except Exception:
         pass
 
@@ -371,6 +412,7 @@ def main():
                 round(ns_int8_recall, 4) if ns_int8_recall else None
             ),
             "northstar_1m_768d_int8_auto": ns_auto,
+            "northstar_1m_768d_ivf": ns_ivf,
             "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
             "backend": jax.default_backend(),
             "repeats": REPEATS,

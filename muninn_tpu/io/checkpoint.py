@@ -155,6 +155,94 @@ def load_flat(path: str | os.PathLike):
     return idx
 
 
+# ───────────────────────── IVF ─────────────────────────
+
+
+def save_ivf(index, path: str | os.PathLike) -> None:
+    """Serialize an IvfIndex (store + centroids + packed bf16 cluster
+    blocks + membership + pending region) to a directory. Blocks are
+    stored as a uint16 bit view (npz has no bfloat16)."""
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    store = index.store
+    ids = np.full(store.capacity, -1, np.int64)
+    for ext_id, slot in store._slot_of.items():
+        ids[slot] = ext_id
+    built = index.centroids is not None
+    pending = (
+        np.concatenate([np.asarray(s, np.int64) for s in index._pending])
+        if index._pending else np.zeros(0, np.int64)
+    )
+    arrays = {
+        "vectors": np.asarray(store.vectors),
+        "valid": np.asarray(store.valid),
+        "ids": ids,
+        "pending": pending,
+    }
+    if built:
+        arrays["centroids"] = np.asarray(index.centroids)
+        arrays["blocks_u16"] = np.asarray(index.blocks).view(np.uint16)
+        arrays["member_slots"] = np.asarray(index.member_slots)
+        arrays["fill"] = index._fill
+    np.savez(p / "arrays.npz", **arrays)
+    _write_manifest(
+        p, "ivf",
+        {
+            "dim": index.dim,
+            "metric": index.metric.value,
+            "cluster_size": index.cluster_size,
+            "nprobe": index.nprobe,
+            "rescore_r": index.rescore_r,
+            "slack": index.slack,
+            "kmeans_iters": index.kmeans_iters,
+            "assign_rounds": index.assign_rounds,
+            "train_sample": index.train_sample,
+            "seed": index.seed,
+            "built": built,
+            "high_watermark": store.high_watermark,
+            "count": len(store),
+        },
+    )
+
+
+def load_ivf(path: str | os.PathLike):
+    """Restore an IvfIndex; searches after load return identical
+    results to the index that was saved."""
+    from muninn_tpu.index.ivf import IvfIndex
+
+    p = Path(path)
+    m = _read_manifest(p, "ivf")
+    z = np.load(p / "arrays.npz")
+    idx = IvfIndex(
+        m["dim"], m["metric"],
+        cluster_size=m["cluster_size"], nprobe=m["nprobe"],
+        rescore_r=m["rescore_r"], slack=m["slack"],
+        kmeans_iters=m["kmeans_iters"],
+        assign_rounds=m.get("assign_rounds", 2),
+        train_sample=m["train_sample"], seed=m["seed"],
+        capacity=z["vectors"].shape[0],
+    )
+    st = idx.store
+    st.vectors = jnp.asarray(z["vectors"])
+    st.valid = jnp.asarray(z["valid"])
+    ids = z["ids"]
+    st._id_of = ids.copy()
+    st._slot_of = {int(i): int(s) for s, i in enumerate(ids) if i >= 0}
+    st._count = m["count"]
+    st._high = m["high_watermark"]
+    if m["built"]:
+        idx.centroids = jnp.asarray(z["centroids"])
+        idx.blocks = jnp.asarray(
+            z["blocks_u16"]
+        ).view(jnp.bfloat16)
+        idx.member_slots = jnp.asarray(z["member_slots"])
+        idx._fill = z["fill"].copy()
+    pending = z["pending"]
+    idx._pending = [pending.copy()] if pending.size else []
+    idx._pending_count = int(pending.size)
+    return idx
+
+
 # ───────────────────────── Delta log ─────────────────────────
 
 

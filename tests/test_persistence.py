@@ -319,3 +319,47 @@ def test_graph_cache_incremental_fast_path_matches_replay(rng):
         np.testing.assert_array_equal(gc1._src, gc2._src)
         np.testing.assert_array_equal(gc1._dst, gc2._dst)
         np.testing.assert_allclose(gc1._w, gc2._w)
+
+
+def test_ivf_save_load_roundtrip(rng, tmp_path):
+    from muninn_tpu.index.ivf import IvfIndex
+    from muninn_tpu.io.checkpoint import load_ivf, save_ivf
+
+    centers = rng.standard_normal((20, 32)).astype(np.float32) * 3
+    vecs = (centers[rng.integers(0, 20, 600)]
+            + rng.standard_normal((600, 32)).astype(np.float32))
+    idx = IvfIndex(32, "cosine", cluster_size=16, nprobe=6, seed=3)
+    idx.insert(np.arange(600), vecs)
+    idx.rebuild()
+    idx.delete([10, 11])
+    # small insert lands in the pending region (exercises its save path)
+    idx.insert([7000], rng.standard_normal((1, 32)).astype(np.float32))
+    q = (centers[rng.integers(0, 20, 12)]
+         + rng.standard_normal((12, 32)).astype(np.float32))
+    want_ids, want_d = idx.search(q, k=5)
+
+    save_ivf(idx, tmp_path / "ivf")
+    idx2 = load_ivf(tmp_path / "ivf")
+    got_ids, got_d = idx2.search(q, k=5)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
+    # loaded index remains mutable, both regions intact
+    idx2.insert([8000], rng.standard_normal((1, 32)).astype(np.float32))
+    assert len(idx2) == len(idx) + 1
+    i3, _ = idx2.search(q, k=5)
+    assert (np.asarray(i3) >= 0).all()
+
+
+def test_ivf_save_load_unbuilt(rng, tmp_path):
+    from muninn_tpu.index.ivf import IvfIndex
+    from muninn_tpu.io.checkpoint import load_ivf, save_ivf
+
+    idx = IvfIndex(8, "l2")
+    idx.insert(np.arange(30), rng.standard_normal((30, 8)).astype(np.float32))
+    # never rebuilt: exact-scan fallback state must round-trip too
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    want_ids, _ = idx.search(q, k=3)
+    save_ivf(idx, tmp_path / "u")
+    idx2 = load_ivf(tmp_path / "u")
+    got_ids, _ = idx2.search(q, k=3)
+    np.testing.assert_array_equal(got_ids, want_ids)
