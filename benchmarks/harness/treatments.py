@@ -21,7 +21,7 @@ from benchmarks.harness import prep as prep_mod
 def _vss_grid(sizes):
     out = []
     for n in sizes:
-        for engine in ("flat", "quantized", "hnsw"):
+        for engine in ("flat", "quantized", "hnsw", "ivf"):
             out.append({"engine": engine, "n": n, "dim": 128, "k": 10,
                         "queries": "heldout"})
         # OOD stress point (queries disjoint from corpus clusters):
@@ -51,10 +51,15 @@ def run_vss(params, rng, emit):
             b = FlatIndex(dim, "cosine")
         elif engine == "quantized":
             b = QuantizedFlatIndex(dim, "cosine")
+        elif engine == "ivf":
+            from muninn_tpu.index.ivf import IvfIndex
+            b = IvfIndex(dim, "cosine", capacity=max(2048, n * 2))
         else:
             b = HnswIndex(dim, "cosine", m=16, ef_construction=100,
                           wave_size=2048, capacity=max(2048, n * 2))
         b.insert(np.arange(n), x)
+        if engine == "ivf" and b.centroids is None:
+            b.rebuild()  # below the auto-build threshold at small n
         return b
 
     t0 = time.time()
@@ -105,6 +110,20 @@ def run_vss(params, rng, emit):
             qs = time.time() - t0
             emit(
                 {**params, "ef": ef},
+                {"query_qps": n_q / qs, "recall_at_k": _recall(sids)},
+                qs,
+            )
+    elif engine == "ivf":
+        # nprobe sweep (the IVF ef_search analogue)
+        for p in (2, 4, 8, 16):
+            if p > idx.nlist:
+                break
+            idx.search(q, k=k, nprobe=p)  # warm
+            t0 = time.time()
+            sids, _ = idx.search(q, k=k, nprobe=p)
+            qs = time.time() - t0
+            emit(
+                {**params, "nprobe": p},
                 {"query_qps": n_q / qs, "recall_at_k": _recall(sids)},
                 qs,
             )

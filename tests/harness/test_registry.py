@@ -21,8 +21,8 @@ def test_all_permutations_cover_grid():
     by_treatment = {}
     for p in perms:
         by_treatment.setdefault(p.treatment, []).append(p)
-    # vss: 3 engines heldout + 1 hnsw ood, per size
-    assert len(by_treatment["vss"]) == 8
+    # vss: 4 engines heldout + 1 hnsw ood, per size
+    assert len(by_treatment["vss"]) == 10
     assert len(by_treatment["graph_traversal"]) == 2
     # singletons appear once regardless of sizes
     assert len(by_treatment["embed"]) == 1
