@@ -56,6 +56,7 @@ FLOORS = {
     "hnsw_query_qps": 25_000.0,
     "hnsw_build_vec_per_s": 1_500.0,
     "northstar_1m_768d_exact_qps": 18_000.0,
+    "northstar_1m_768d_ivf_p4_qps": 50_000.0,
 }
 
 
@@ -427,6 +428,10 @@ def main():
         "hnsw_query_qps": hnsw_qps,
         "hnsw_build_vec_per_s": build_rate,
         "northstar_1m_768d_exact_qps": northstar_qps,
+        "northstar_1m_768d_ivf_p4_qps": (
+            ns_ivf["points"]["nprobe4"]["qps"]
+            if ns_ivf and "nprobe4" in ns_ivf.get("points", {}) else None
+        ),
     }
     violations = [
         name for name, floor in FLOORS.items()
