@@ -163,6 +163,12 @@ class EngineClient:
         """Handle to an index that already exists on the server."""
         return RemoteIndex(self, name)
 
+    def load_index(self, name: str, path: str) -> "RemoteIndex":
+        """Restore a server-local checkpoint as a new served index
+        (kind read from the manifest)."""
+        self._request("/index/load", {"name": name, "path": path})
+        return RemoteIndex(self, name)
+
     # ── graph surface ──
 
     def create_graph(
@@ -241,6 +247,12 @@ class RemoteIndex:
             body["queries"] = _tolist(queries)
         r = self._c._request("/index/tune", body)
         return {"r": r["r"], "curve": {int(k_): v for k_, v in r["curve"].items()}}
+
+    def save(self, path: str) -> str:
+        """Checkpoint this index to a server-local directory."""
+        r = self._c._request("/index/save",
+                             {"name": self.name, "path": path})
+        return r["path"]
 
 
 class RemoteGraph:

@@ -18,6 +18,8 @@ Endpoints (POST bodies and responses are JSON):
     POST /index/search   {"name", "queries": [[...]], "k", "ef_search"}
     POST /index/delete   {"name", "ids": [...]}
     POST /index/tune     {"name", "k", "target_recall", "queries"?}
+    POST /index/save     {"name", "path"}   (server-local checkpoint)
+    POST /index/load     {"name", "path"}   (kind from the manifest)
     POST /graph/create   {"name", "src": [...], "dst": [...], "weights": [...]}
     POST /graph/query    {"name", "op": "pagerank"|"components"|"bfs"|
                           "shortest_path"|"degree"|"betweenness"|
@@ -119,6 +121,52 @@ class EngineServer:
             "curve": {str(k_): v for k_, v in idx.tune_report.items()},
         }
 
+    def _index_save(self, body):
+        """Checkpoint a served index to a server-local directory
+        (the shadow-table persistence role, exposed at L7)."""
+        from muninn_tpu.index.flat import FlatIndex
+        from muninn_tpu.index.hnsw import HnswIndex
+        from muninn_tpu.index.ivf import IvfIndex
+        from muninn_tpu.io import checkpoint as ck
+
+        idx = self.indexes[body["name"]]
+        path = body["path"]
+        if isinstance(idx, HnswIndex):
+            ck.save_hnsw(idx, path)
+        elif isinstance(idx, IvfIndex):
+            ck.save_ivf(idx, path)
+        elif isinstance(idx, FlatIndex):
+            ck.save_flat(idx, path)
+        else:
+            raise ValueError("index kind does not support checkpointing")
+        return {"ok": True, "path": path}
+
+    def _index_load(self, body):
+        """Restore a checkpoint into a (new) served index; kind is read
+        from the checkpoint manifest."""
+        import json as _json
+        from pathlib import Path
+
+        from muninn_tpu.io import checkpoint as ck
+
+        name = body["name"]
+        if name in self.indexes:
+            raise ValueError(f"index {name!r} exists")
+        path = body["path"]
+        try:
+            kind = _json.loads(
+                (Path(path) / "manifest.json").read_text()
+            ).get("kind")
+        except OSError as e:
+            raise ValueError(f"no checkpoint at {path!r}: {e}")
+        loaders = {"hnsw": ck.load_hnsw, "flat": ck.load_flat,
+                   "ivf": ck.load_ivf}
+        if kind not in loaders:
+            raise ValueError(f"unknown checkpoint kind {kind!r}")
+        idx = loaders[kind](path)
+        self.indexes[name] = idx
+        return {"ok": True, "name": name, "kind": kind, "count": len(idx)}
+
     def _graph_create(self, body):
         from muninn_tpu.graph import Graph
 
@@ -187,6 +235,8 @@ class EngineServer:
             "/index/search": server._index_search,
             "/index/delete": server._index_delete,
             "/index/tune": server._index_tune,
+            "/index/save": server._index_save,
+            "/index/load": server._index_load,
             "/graph/create": server._graph_create,
             "/graph/query": server._graph_query,
         }

@@ -210,3 +210,40 @@ def test_engine_server_tune_endpoint(rng):
         assert ei.value.status == 400
     finally:
         srv.stop()
+
+
+def test_engine_server_save_load_roundtrip(rng, tmp_path):
+    """POST /index/save checkpoints a served index; /index/load restores
+    it (kind from the manifest) with identical search results."""
+    from muninn_tpu.client import EngineClient, MuninnRequestError
+
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        _post(port, "/index/create",
+              {"name": "v", "dim": 12, "metric": "cosine", "kind": "ivf",
+               "cluster_size": 16})
+        vecs = rng.standard_normal((200, 12)).astype(np.float32)
+        _post(port, "/index/insert",
+              {"name": "v", "ids": list(range(200)),
+               "vectors": vecs.tolist()})
+        c = EngineClient(f"http://127.0.0.1:{port}", retries=1, backoff=0.01)
+        want_ids, want_d = c.index("v").search(vecs[:6], k=4)
+        ck = str(tmp_path / "srv_ck")
+        assert c.index("v").save(ck) == ck
+
+        idx2 = c.load_index("v2", ck)
+        got_ids, got_d = idx2.search(vecs[:6], k=4)
+        assert got_ids == want_ids
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
+
+        # load over an existing name -> typed 400
+        with pytest.raises(MuninnRequestError) as ei:
+            c.load_index("v2", ck)
+        assert ei.value.status == 400
+        # load from a missing path -> typed 400
+        with pytest.raises(MuninnRequestError) as ei:
+            c.load_index("v3", str(tmp_path / "nope"))
+        assert ei.value.status == 400
+    finally:
+        srv.stop()
