@@ -4,6 +4,8 @@ from muninn_tpu.parallel.sharded import (
     make_mesh,
     shard_rows,
     sharded_exact_search,
+    sharded_ivf_search,
+    shard_ivf,
     sharded_pagerank,
     sharded_sgns_step,
 )
@@ -18,6 +20,8 @@ __all__ = [
     "make_mesh",
     "shard_rows",
     "sharded_exact_search",
+    "sharded_ivf_search",
+    "shard_ivf",
     "sharded_pagerank",
     "sharded_sgns_step",
     "make_mesh2",

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from muninn_tpu.ops.distance import Metric, parse_metric, pairwise_distances
+from muninn_tpu.ops.distance import (
+    Metric,
+    gathered_distances,
+    parse_metric,
+    pairwise_distances,
+)
 from muninn_tpu.ops.topk import masked_topk, sorted_topk_unique
 
 
@@ -81,6 +86,125 @@ def sharded_exact_search(
         return sorted_topk_unique(gd, gi, k)
 
     return _search(queries, corpus, valid)
+
+
+def sharded_ivf_search(
+    queries: jax.Array,      # [B, d] f32
+    centroids: jax.Array,    # [ncl, d] f32 (replicated; ncl % n_shards == 0)
+    blocks: jax.Array,       # [ncl, S, d] bf16/f32 cluster blocks
+    member_slots: jax.Array, # [ncl, S] int32 global slots (-1 empty)
+    valid: jax.Array,        # [cap] bool (replicated store validity)
+    k: int,
+    nprobe: int,
+    metric: Metric | str,
+    mesh: Mesh,
+    axis: str = "shard",
+    n_real: int | None = None,
+):
+    """ANN over IVF cluster blocks sharded across chips (the multi-chip
+    form of ``IvfIndex.search``; ``index/ivf.py``).
+
+    Routing runs on the REPLICATED centroids (identical on every chip:
+    [B, nprobe] global probe list), each chip scores only the probed
+    clusters it owns, and an ``all_gather`` of the [B, k] partials +
+    merge yields the global result — comms O(B*k*n_shards), never
+    O(B*S*nprobe). Distances are f32-accumulated from the bf16 block
+    rows (the sharded path has no second exact-rescore tier; at bf16
+    storage precision the ranking agrees with the single-chip engine to
+    ~0.99 on clustered embeddings).
+
+    Returns (dists [B, k], global slots [B, k]) replicated.
+    """
+    metric = parse_metric(metric)
+    ncl, s, _ = blocks.shape
+    nsh = mesh.devices.size
+    if ncl % nsh != 0:
+        raise ValueError(f"nlist {ncl} not divisible by {nsh} shards")
+    nloc = ncl // nsh
+    ncl_real = int(ncl if n_real is None else n_real)
+    p = min(nprobe, ncl_real)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(), P(axis, None, None), P(axis, None), P()),
+        out_specs=(P(), P()),
+    )
+    def _search(q, cent, blk_l, ms_l, v):
+        b = q.shape[0]
+        # 1) global routing (replicated compute, no comms)
+        cd = pairwise_distances(q, cent, metric)             # [B, ncl]
+        if ncl_real < ncl:   # padded clusters are never probed
+            cd = cd.at[:, ncl_real:].set(jnp.inf)
+        _, probe = jax.lax.top_k(-cd, p)                     # [B, p] global
+        # 2) local ownership mask + clamped local gather
+        my = jax.lax.axis_index(axis)
+        loc = probe - my * nloc                              # [B, p]
+        own = (loc >= 0) & (loc < nloc)
+        locc = jnp.clip(loc, 0, nloc - 1)
+        mv = blk_l[locc].reshape(b, p * s, -1)               # [B, p*S, d]
+        ms = ms_l[locc].reshape(b, p * s)                    # [B, p*S]
+        dist = gathered_distances(q, mv, metric)
+        ok = (
+            own[:, :, None].repeat(s, axis=2).reshape(b, p * s)
+            & (ms >= 0)
+            & v[jnp.maximum(ms, 0)]
+        )
+        ld, li = masked_topk(dist, k, mask=ok, ids=ms)
+        # 3) tiny per-shard top-k -> replicated global merge
+        gd = jax.lax.all_gather(ld, axis)                    # [S, B, k]
+        gi = jax.lax.all_gather(li, axis)
+        gd = jnp.moveaxis(gd, 0, 1).reshape(b, -1)
+        gi = jnp.moveaxis(gi, 0, 1).reshape(b, -1)
+        return sorted_topk_unique(gd, gi, k)
+
+    return _search(queries, centroids, blocks, member_slots, valid)
+
+
+def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
+    """Distribute a built ``IvfIndex``'s cluster blocks over a mesh and
+    return ``search(queries, k=10, nprobe=None) -> (dists, slots)``.
+    Pads with empty clusters so nlist divides the mesh size."""
+    if index.centroids is None:
+        raise ValueError("IvfIndex is unbuilt — call rebuild() first")
+    if index._pending_count:
+        raise ValueError(
+            "IvfIndex has pending (unclustered) rows — call rebuild() first"
+        )
+    mesh = mesh or make_mesh(axis=axis)
+    nsh = mesh.devices.size
+    ncl = index.nlist
+    pad = (-ncl) % nsh
+    cent = index.centroids
+    blocks = index.blocks
+    ms = index.member_slots
+    if pad:
+        # padded clusters are excluded from routing via n_real
+        cent = jnp.concatenate(
+            [cent, jnp.zeros((pad, cent.shape[1]), cent.dtype)]
+        )
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad,) + blocks.shape[1:], blocks.dtype)]
+        )
+        ms = jnp.concatenate(
+            [ms, jnp.full((pad, ms.shape[1]), -1, ms.dtype)]
+        )
+    spec3 = jax.sharding.NamedSharding(mesh, P(axis, None, None))
+    spec2 = jax.sharding.NamedSharding(mesh, P(axis, None))
+    blocks = jax.device_put(blocks, spec3)
+    ms = jax.device_put(ms, spec2)
+    valid = index.store.valid
+
+    def search(queries, k: int = 10, nprobe: int | None = None):
+        q = jnp.asarray(queries, jnp.float32)
+        return sharded_ivf_search(
+            q, cent, blocks, ms, valid, k,
+            nprobe or index.nprobe, index.metric, mesh, axis,
+            n_real=ncl,
+        )
+
+    return search
 
 
 def sharded_sgns_step(

@@ -161,3 +161,52 @@ def test_make_mesh2_validation():
         make_mesh2(8, 4)
     mesh = make_mesh2(4, 2)
     assert mesh.shape == {"host": 4, "chip": 2}
+
+
+def test_sharded_ivf_matches_one_shard_and_recall(rng):
+    """8-shard IVF search == 1-shard run of the same function (routing,
+    scoring, and merge are shard-count invariant), and recall vs the
+    single-chip IvfIndex engine is high (bf16 vs rescore tier only)."""
+    from muninn_tpu.index.ivf import IvfIndex
+    from muninn_tpu.parallel import shard_ivf
+
+    d = 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 30, 1500)]
+         + rng.standard_normal((1500, d)).astype(np.float32))
+    idx = IvfIndex(d, "cosine", cluster_size=32, nprobe=8, seed=1)
+    idx.insert(np.arange(1500), x)
+    idx.rebuild()
+    idx.delete(np.arange(40, 60))
+    q = (centers[rng.integers(0, 30, 24)]
+         + rng.standard_normal((24, d)).astype(np.float32))
+
+    s8 = shard_ivf(idx, make_mesh())
+    d8, i8 = s8(q, k=10)
+    s1 = shard_ivf(idx, make_mesh(1))
+    d1, i1 = s1(q, k=10)
+    np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), rtol=1e-4)
+
+    # deleted slots never surface
+    del_slots = {int(idx.store._slot_of.get(i, -2)) for i in range(40, 60)}
+    assert not del_slots & set(np.asarray(i8).reshape(-1).tolist())
+
+    # recall vs the single-chip engine (exact-rescore tier) is high
+    eng_ids, _ = idx.search(q, k=10)
+    slot_of = idx.store._slot_of
+    eng_slots = [[slot_of.get(int(i), -1) for i in row] for row in eng_ids]
+    rec = np.mean([
+        len(set(a.tolist()) & set(b)) / 10
+        for a, b in zip(np.asarray(i8), eng_slots)
+    ])
+    assert rec > 0.9, rec
+
+
+def test_shard_ivf_guards(rng):
+    from muninn_tpu.index.ivf import IvfIndex
+    from muninn_tpu.parallel import shard_ivf
+
+    idx = IvfIndex(8, "l2")
+    with pytest.raises(ValueError):
+        shard_ivf(idx, make_mesh())  # unbuilt
