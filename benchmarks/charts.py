@@ -84,7 +84,9 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
         # group recall by engine AND query distribution: the held-out
         # series is the reference-comparable curve; ood is the stress
         # series (mixing them was round 2's recall artifact)
-        base = [r for r in vss if "ef" not in r["permutation"]]
+        base = [r for r in vss
+                if "ef" not in r["permutation"]
+                and "nprobe" not in r["permutation"]]
         sr = _series(base, ["engine", "queries"], "n", "recall_at_k")
         charts["vss_recall"] = _fig(
             "Recall@k vs corpus size", "N vectors", "recall@k",
@@ -103,7 +105,8 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             [{"name": g, "x": x, "y": y} for g, (x, y) in sb.items()],
             log_x=True, log_y=True,
         )
-        # recall-QPS operating curve (hnsw ef sweep, one trace per N)
+        # recall-QPS operating curves (hnsw ef sweep + ivf nprobe sweep,
+        # one trace per N)
         sweep = [r for r in vss if r["permutation"].get("engine") == "hnsw"
                  and "ef" in r["permutation"]]
         if sweep:
@@ -125,6 +128,28 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
                 })
             charts["vss_recall_qps"] = _fig(
                 "HNSW recall-QPS operating curve (ef sweep)",
+                "recall@k", "queries/s", traces, log_y=True,
+            )
+        psweep = [r for r in vss if r["permutation"].get("engine") == "ivf"
+                  and "nprobe" in r["permutation"]]
+        if psweep:
+            by_n = defaultdict(list)
+            for r in psweep:
+                perm = r["permutation"]
+                by_n[perm["n"]].append(
+                    (r["metrics"]["recall_at_k"], r["metrics"]["query_qps"],
+                     perm["nprobe"])
+                )
+            traces = []
+            for n, pts in sorted(by_n.items()):
+                pts.sort()
+                traces.append({
+                    "name": f"n={n}",
+                    "x": [p[0] for p in pts], "y": [p[1] for p in pts],
+                    "text": [f"nprobe={p[2]}" for p in pts],
+                })
+            charts["vss_ivf_recall_qps"] = _fig(
+                "IVF recall-QPS operating curve (nprobe sweep)",
                 "recall@k", "queries/s", traces, log_y=True,
             )
 
