@@ -181,7 +181,11 @@ def save_ivf(index, path: str | os.PathLike) -> None:
     }
     if built:
         arrays["centroids"] = np.asarray(index.centroids)
-        arrays["blocks_u16"] = np.asarray(index.blocks).view(np.uint16)
+        if index.quant == "int8":
+            arrays["blocks_i8"] = np.asarray(index.blocks)
+            arrays["block_scales"] = np.asarray(index.block_scales)
+        else:
+            arrays["blocks_u16"] = np.asarray(index.blocks).view(np.uint16)
         arrays["member_slots"] = np.asarray(index.member_slots)
         arrays["fill"] = index._fill
     np.savez(p / "arrays.npz", **arrays)
@@ -198,6 +202,7 @@ def save_ivf(index, path: str | os.PathLike) -> None:
             "assign_rounds": index.assign_rounds,
             "train_sample": index.train_sample,
             "seed": index.seed,
+            "quant": index.quant,
             "built": built,
             "high_watermark": store.high_watermark,
             "count": len(store),
@@ -221,6 +226,7 @@ def load_ivf(path: str | os.PathLike):
         assign_rounds=m.get("assign_rounds", 2),
         train_sample=m["train_sample"], seed=m["seed"],
         capacity=z["vectors"].shape[0],
+        quant=m.get("quant", "bf16"),
     )
     st = idx.store
     st.vectors = jnp.asarray(z["vectors"])
@@ -232,9 +238,13 @@ def load_ivf(path: str | os.PathLike):
     st._high = m["high_watermark"]
     if m["built"]:
         idx.centroids = jnp.asarray(z["centroids"])
-        idx.blocks = jnp.asarray(
-            z["blocks_u16"]
-        ).view(jnp.bfloat16)
+        if m.get("quant", "bf16") == "int8":
+            idx.blocks = jnp.asarray(z["blocks_i8"])
+            idx.block_scales = jnp.asarray(z["block_scales"])
+        else:
+            idx.blocks = jnp.asarray(
+                z["blocks_u16"]
+            ).view(jnp.bfloat16)
         idx.member_slots = jnp.asarray(z["member_slots"])
         idx._fill = z["fill"].copy()
     pending = z["pending"]

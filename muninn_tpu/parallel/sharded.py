@@ -100,9 +100,11 @@ def sharded_ivf_search(
     mesh: Mesh,
     axis: str = "shard",
     n_real: int | None = None,
+    scales: jax.Array | None = None,   # [ncl, S] f32 (int8 blocks)
 ):
     """ANN over IVF cluster blocks sharded across chips (the multi-chip
-    form of ``IvfIndex.search``; ``index/ivf.py``).
+    form of ``IvfIndex.search``; ``index/ivf.py``). int8 blocks
+    dequantize locally via per-member ``scales``.
 
     Routing runs on the REPLICATED centroids (identical on every chip:
     [B, nprobe] global probe list), each chip scores only the probed
@@ -123,15 +125,19 @@ def sharded_ivf_search(
     nloc = ncl // nsh
     ncl_real = int(ncl if n_real is None else n_real)
     p = min(nprobe, ncl_real)
+    is_int8 = jnp.dtype(blocks.dtype) == jnp.int8
+    if is_int8 and scales is None:
+        raise ValueError("int8 blocks require per-member scales")
 
     @partial(
         shard_map,
         mesh=mesh,
         check_vma=False,
-        in_specs=(P(), P(), P(axis, None, None), P(axis, None), P()),
+        in_specs=(P(), P(), P(axis, None, None), P(axis, None), P(),
+                  P(axis, None)),
         out_specs=(P(), P()),
     )
-    def _search(q, cent, blk_l, ms_l, v):
+    def _search(q, cent, blk_l, ms_l, v, sc_l):
         b = q.shape[0]
         # 1) global routing (replicated compute, no comms)
         cd = pairwise_distances(q, cent, metric)             # [B, ncl]
@@ -145,6 +151,10 @@ def sharded_ivf_search(
         locc = jnp.clip(loc, 0, nloc - 1)
         mv = blk_l[locc].reshape(b, p * s, -1)               # [B, p*S, d]
         ms = ms_l[locc].reshape(b, p * s)                    # [B, p*S]
+        if is_int8:
+            mv = mv.astype(jnp.float32) * (
+                sc_l[locc].reshape(b, p * s)[:, :, None]
+            )
         dist = gathered_distances(q, mv, metric)
         ok = (
             own[:, :, None].repeat(s, axis=2).reshape(b, p * s)
@@ -159,7 +169,9 @@ def sharded_ivf_search(
         gi = jnp.moveaxis(gi, 0, 1).reshape(b, -1)
         return sorted_topk_unique(gd, gi, k)
 
-    return _search(queries, centroids, blocks, member_slots, valid)
+    if scales is None:
+        scales = jnp.ones(blocks.shape[:2], jnp.float32)
+    return _search(queries, centroids, blocks, member_slots, valid, scales)
 
 
 def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
@@ -179,6 +191,7 @@ def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
     cent = index.centroids
     blocks = index.blocks
     ms = index.member_slots
+    sc = index.block_scales
     if pad:
         # padded clusters are excluded from routing via n_real
         cent = jnp.concatenate(
@@ -190,10 +203,16 @@ def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
         ms = jnp.concatenate(
             [ms, jnp.full((pad, ms.shape[1]), -1, ms.dtype)]
         )
+        if sc is not None:
+            sc = jnp.concatenate(
+                [sc, jnp.ones((pad, sc.shape[1]), sc.dtype)]
+            )
     spec3 = jax.sharding.NamedSharding(mesh, P(axis, None, None))
     spec2 = jax.sharding.NamedSharding(mesh, P(axis, None))
     blocks = jax.device_put(blocks, spec3)
     ms = jax.device_put(ms, spec2)
+    if sc is not None:
+        sc = jax.device_put(sc, spec2)
     valid = index.store.valid
 
     def search(queries, k: int = 10, nprobe: int | None = None):
@@ -201,7 +220,7 @@ def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
         return sharded_ivf_search(
             q, cent, blocks, ms, valid, k,
             nprobe or index.nprobe, index.metric, mesh, axis,
-            n_real=ncl,
+            n_real=ncl, scales=sc,
         )
 
     return search

@@ -175,3 +175,66 @@ def test_serve_ivf_kind(module_rng):
         assert ids[0] == 5
     finally:
         srv.stop()
+
+
+def test_int8_blocks_recall_and_churn(module_rng):
+    """quant='int8' blocks: recall matches bf16 within the rescore
+    contract, incremental inserts quantize in place, deletes mask."""
+    rng = np.random.default_rng(11)
+    x, q = _clustered(rng, 5000, 64)
+    flat = FlatIndex(64, "cosine")
+    flat.insert(np.arange(5000), x)
+    true_ids, _ = flat.search(q, k=10)
+
+    idx = IvfIndex(64, "cosine", cluster_size=64, nprobe=8,
+                   rescore_r=32, quant="int8")
+    idx.insert(np.arange(5000), x)
+    idx.rebuild()
+    assert idx.blocks.dtype == np.int8
+    assert idx.block_scales is not None
+    ids, d = idx.search(q, k=10)
+    assert _recall(ids, np.asarray(true_ids)) > 0.93
+    assert np.all(np.diff(np.asarray(d), axis=1) >= -1e-6)
+
+    # churn: incremental insert writes int8 rows + scales in place
+    new = rng.standard_normal((8, 64)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    idx.insert(np.arange(9000, 9008), new)
+    ids2, _ = idx.search(new, k=1)
+    assert [int(i[0]) for i in np.asarray(ids2).reshape(8, 1)] == list(
+        range(9000, 9008)
+    )
+    idx.delete([9000])
+    ids3, _ = idx.search(new[:1], k=1)
+    assert int(np.asarray(ids3)[0, 0]) != 9000
+
+
+def test_int8_checkpoint_roundtrip(module_rng, tmp_path):
+    from muninn_tpu.io.checkpoint import load_ivf, save_ivf
+
+    rng = np.random.default_rng(12)
+    x, q = _clustered(rng, 2000, 32)
+    idx = IvfIndex(32, "cosine", cluster_size=32, nprobe=6, quant="int8")
+    idx.insert(np.arange(2000), x)
+    idx.rebuild()
+    want_ids, want_d = idx.search(q[:16], k=5)
+    save_ivf(idx, tmp_path / "i8")
+    idx2 = load_ivf(tmp_path / "i8")
+    assert idx2.quant == "int8" and idx2.blocks.dtype == np.int8
+    got_ids, got_d = idx2.search(q[:16], k=5)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
+
+
+def test_int8_sharded_matches_one_shard(module_rng):
+    from muninn_tpu.parallel import make_mesh, shard_ivf
+
+    rng = np.random.default_rng(13)
+    x, q = _clustered(rng, 1600, 32)
+    idx = IvfIndex(32, "cosine", cluster_size=32, nprobe=8, quant="int8")
+    idx.insert(np.arange(1600), x)
+    idx.rebuild()
+    d8, i8 = shard_ivf(idx, make_mesh())(q[:16], k=5)
+    d1, i1 = shard_ivf(idx, make_mesh(1))(q[:16], k=5)
+    np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), rtol=1e-4)
