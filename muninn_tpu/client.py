@@ -150,12 +150,13 @@ class EngineClient:
         cluster_size: int = 128,     # ivf only
         nprobe: int = 8,             # ivf only
         rescore_r: int = 32,         # ivf only
+        quant: str = "bf16",         # ivf only: "bf16" | "int8"
     ) -> "RemoteIndex":
         self._request("/index/create", {
             "name": name, "dim": dim, "metric": metric, "kind": kind,
             "m": m, "ef_construction": ef_construction,
             "precision": precision, "cluster_size": cluster_size,
-            "nprobe": nprobe, "rescore_r": rescore_r,
+            "nprobe": nprobe, "rescore_r": rescore_r, "quant": quant,
         })
         return RemoteIndex(self, name)
 

@@ -67,6 +67,7 @@ class EngineServer:
                 cluster_size=body.get("cluster_size", 128),
                 nprobe=body.get("nprobe", 8),
                 rescore_r=body.get("rescore_r", 32),
+                quant=body.get("quant", "bf16"),
             )
         else:
             idx = HnswIndex(
