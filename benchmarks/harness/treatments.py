@@ -29,7 +29,38 @@ def _vss_grid(sizes):
         # the held-out series (see core._heldout_queries)
         out.append({"engine": "hnsw", "n": n, "dim": 128, "k": 10,
                     "queries": "ood"})
+    # reference-published model dims at the reference's own Ns
+    # (recall_models_ag_news.json: MiniLM 384-d @ 100..100k, BGE-Large
+    # 1024-d @ 100/5k/50k) — fixed series, independent of --sizes
+    for n in (100, 1000, 5000, 10000, 50000, 100000):
+        out.append({"engine": "hnsw", "n": n, "dim": 384, "k": 10,
+                    "queries": "heldout"})
+    for n in (100, 5000, 50000):
+        out.append({"engine": "hnsw", "n": n, "dim": 1024, "k": 10,
+                    "queries": "heldout"})
     return out
+
+
+def _drain(res):
+    """One tiny host fetch on a (dists, slots) device result — closes a
+    queue of async dispatches (bench.py's drain-once discipline)."""
+    import jax.numpy as jnp
+
+    float(jnp.asarray(res[0]).reshape(-1)[0].astype(jnp.float32))
+
+
+def _queued_qps(idx, q, k, inner=4, **kw):
+    """Queued-dispatch throughput: ``inner`` engine dispatches per host
+    sync, so the ~30 ms tunnel round-trip amortizes over the queue
+    instead of flooring every small-N batch at one RTT (bench.py
+    methodology; the engine metric is batch throughput)."""
+    _drain(idx.search_device(q, k=k, **kw))  # warm
+    t0 = time.time()
+    res = None
+    for _ in range(inner):
+        res = idx.search_device(q, k=k, **kw)
+    _drain(res)
+    return inner * len(q) / (time.time() - t0)
 
 
 @treatment("vss", _vss_grid)
@@ -88,29 +119,29 @@ def run_vss(params, rng, emit):
     # published recall curves use; the API default stays k*2 (the vtab
     # default)
     base_kw = {"ef_search": 64} if engine == "hnsw" else {}
-    idx.search(q, k=k, **base_kw)  # warm
     t0 = time.time()
-    ids, _ = idx.search(q, k=k, **base_kw)
+    ids, _ = idx.search(q, k=k, **base_kw)  # warm + recall ids
     query_s = time.time() - t0
+    qps = _queued_qps(idx, q, k, **base_kw)
     emit(
         dict(params),
         {"build_s": build_s, "build_vec_per_s": n / build_s,
          "build_warm_s": build_warm_s,
          "build_warm_vec_per_s": n / build_warm_s,
-         "query_qps": n_q / query_s, "recall_at_k": _recall(ids)},
+         "query_qps": qps, "recall_at_k": _recall(ids)},
         build_s + build_warm_s + query_s,
     )
     if engine == "hnsw":
         # ef_search sweep -> the recall-QPS operating curve
         # (reference sweep space: efS in {10,50,100,200,400})
         for ef in (10, 16, 32, 64, 128):
-            idx.search(q, k=k, ef_search=ef)  # warm
             t0 = time.time()
-            sids, _ = idx.search(q, k=k, ef_search=ef)
+            sids, _ = idx.search(q, k=k, ef_search=ef)  # warm + recall
             qs = time.time() - t0
             emit(
                 {**params, "ef": ef},
-                {"query_qps": n_q / qs, "recall_at_k": _recall(sids)},
+                {"query_qps": _queued_qps(idx, q, k, ef_search=ef),
+                 "recall_at_k": _recall(sids)},
                 qs,
             )
     elif engine == "ivf":
@@ -118,13 +149,13 @@ def run_vss(params, rng, emit):
         for p in (2, 4, 8, 16):
             if p > idx.nlist:
                 break
-            idx.search(q, k=k, nprobe=p)  # warm
             t0 = time.time()
-            sids, _ = idx.search(q, k=k, nprobe=p)
+            sids, _ = idx.search(q, k=k, nprobe=p)  # warm + recall
             qs = time.time() - t0
             emit(
                 {**params, "nprobe": p},
-                {"query_qps": n_q / qs, "recall_at_k": _recall(sids)},
+                {"query_qps": _queued_qps(idx, q, k, nprobe=p),
+                 "recall_at_k": _recall(sids)},
                 qs,
             )
 

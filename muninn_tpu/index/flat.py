@@ -224,13 +224,16 @@ class FlatIndex:
         self.tune_report = curve
         return int(r)
 
-    def search(self, queries, k: int = 10):
-        """Batched exact KNN. queries [B, d] (or [d]); returns
-        ``(ids int64 [B, k], dists f32 [B, k])`` ascending; empty slots
-        are (-1, inf)."""
+    def search_device(self, queries, k: int = 10):
+        """Engine dispatch: exact top-k with results left ON DEVICE.
+
+        Returns ``(dists f32 [B, k], slots int32 [B, k])`` jax arrays in
+        slot space (map via ``self.store.ids_of`` when external ids are
+        needed). This is the throughput path — callers can queue many
+        dispatches and pay one host sync per batch instead of one
+        round-trip per call (``search`` wraps it)."""
         q = jnp.asarray(queries, jnp.float32)
-        single = q.ndim == 1
-        if single:
+        if q.ndim == 1:
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
@@ -241,17 +244,23 @@ class FlatIndex:
             if self.metric is Metric.L2:
                 raise ValueError("int8_rescored supports cosine/inner_product")
             vi, sc = self._ensure_i8(corpus, hw)
-            d, slots = flat_topk_int8_rescored(
+            return flat_topk_int8_rescored(
                 q, corpus, vi, sc, k,
                 r=max(self.rescore_r, k), metric=self.metric,
                 corpus_valid=valid,
                 interpret=jax.default_backend() != "tpu",
             )
-        elif self.use_pallas:
-            d, slots = flat_topk(q, corpus, k, metric=self.metric,
-                                 corpus_valid=valid, precision=self.precision)
-        else:
-            d, slots = _xla_chunked_topk(q, corpus, valid, k, self.metric)
+        if self.use_pallas:
+            return flat_topk(q, corpus, k, metric=self.metric,
+                             corpus_valid=valid, precision=self.precision)
+        return _xla_chunked_topk(q, corpus, valid, k, self.metric)
+
+    def search(self, queries, k: int = 10):
+        """Batched exact KNN. queries [B, d] (or [d]); returns
+        ``(ids int64 [B, k], dists f32 [B, k])`` ascending; empty slots
+        are (-1, inf)."""
+        single = np.ndim(queries) == 1
+        d, slots = self.search_device(queries, k)
         ids = self.store.ids_of(np.asarray(slots))
         d = np.asarray(d)
         if single:
@@ -317,20 +326,25 @@ class QuantizedFlatIndex:
     def delete(self, ids) -> None:
         self.store.remove(np.asarray(ids, np.int64))
 
-    def search(self, queries, k: int = 10):
-        """Batched KNN; same result contract as ``FlatIndex.search``."""
+    def search_device(self, queries, k: int = 10):
+        """Engine dispatch: results left on device (slot space) — see
+        ``FlatIndex.search_device`` for the contract."""
         q = jnp.asarray(queries, jnp.float32)
-        single = q.ndim == 1
-        if single:
+        if q.ndim == 1:
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
         hw = max(self.store.high_watermark, 1)
-        d, slots = flat_topk_int8(
+        return flat_topk_int8(
             q, self.store.vectors[:hw], self.store.scales[:hw], k,
             metric=self.metric, corpus_valid=self.store.valid[:hw],
             interpret=self.interpret,
         )
+
+    def search(self, queries, k: int = 10):
+        """Batched KNN; same result contract as ``FlatIndex.search``."""
+        single = np.ndim(queries) == 1
+        d, slots = self.search_device(queries, k)
         ids = self.store.ids_of(np.asarray(slots))
         d = np.asarray(d)
         if single:

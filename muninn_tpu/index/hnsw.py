@@ -596,14 +596,14 @@ class HnswIndex:
 
     # ── search ──
 
-    def search(self, queries, k: int = 10, ef_search: int | None = None):
-        """Batched KNN. Returns (ids int64 [B,k], dists f32 [B,k]).
-
-        ``ef_search`` defaults to ``k * 2`` (src/hnsw_vtab.c:600-603).
-        """
+    def search_device(self, queries, k: int = 10, ef_search: int | None = None):
+        """Engine dispatch: results left ON DEVICE in slot space —
+        ``(dists f32 [B, k], slots int32 [B, k])`` jax arrays (map via
+        ``self.store.ids_of``). The throughput path: callers can queue
+        many dispatches and pay one host sync per batch (``search``
+        wraps it)."""
         q = jnp.asarray(queries, jnp.float32)
-        single = q.ndim == 1
-        if single:
+        if q.ndim == 1:
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
@@ -612,20 +612,16 @@ class HnswIndex:
         ef = max(ef_search, k)
         b = q.shape[0]
         if self.entry_point < 0:
-            empty_ids = np.full((b, k), -1, np.int64)
-            empty_d = np.full((b, k), np.inf, np.float32)
-            return (empty_ids[0], empty_d[0]) if single else (empty_ids, empty_d)
+            return (jnp.full((b, k), jnp.inf, jnp.float32),
+                    jnp.full((b, k), -1, jnp.int32))
 
         hw = self.store.high_watermark
         if hw <= self.exact_small_n:
-            d, slots = flat_topk(
+            return flat_topk(
                 q, self.store.vectors[:hw], k, metric=self.metric,
                 corpus_valid=self.store.valid[:hw], precision="highest",
                 interpret=jax.default_backend() != "tpu",
             )
-            ids = self.store.ids_of(np.asarray(slots))
-            d = np.asarray(d)
-            return (ids[0], d[0]) if single else (ids, d)
 
         pool = self._routing_pool()
         if self.search_bf16 and pool is not None:
@@ -633,15 +629,22 @@ class HnswIndex:
             # filter, exact f32 rescore, top-k — is ONE jitted dispatch
             # (the eager glue between sub-jits measured ~25% of query
             # latency through this environment's dispatch path)
-            d, slots = self._search_topk_chunked(q, k, ef)
-        else:
-            beam_d, beam_i = self._search_slots_chunked(q, ef)
-            # filter soft-deleted + take k
-            valid = self.store.valid
-            ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
-            beam_d = jnp.where(ok, beam_d, jnp.inf)
-            beam_i = jnp.where(ok, beam_i, -1)
-            d, slots = sorted_topk_unique(beam_d, beam_i, k)
+            return self._search_topk_chunked(q, k, ef)
+        beam_d, beam_i = self._search_slots_chunked(q, ef)
+        # filter soft-deleted + take k
+        valid = self.store.valid
+        ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
+        beam_d = jnp.where(ok, beam_d, jnp.inf)
+        beam_i = jnp.where(ok, beam_i, -1)
+        return sorted_topk_unique(beam_d, beam_i, k)
+
+    def search(self, queries, k: int = 10, ef_search: int | None = None):
+        """Batched KNN. Returns (ids int64 [B,k], dists f32 [B,k]).
+
+        ``ef_search`` defaults to ``k * 2`` (src/hnsw_vtab.c:600-603).
+        """
+        single = np.ndim(queries) == 1
+        d, slots = self.search_device(queries, k, ef_search)
         ids = self.store.ids_of(np.asarray(slots))
         d = np.asarray(d)
         return (ids[0], d[0]) if single else (ids, d)

@@ -622,13 +622,11 @@ class IvfIndex:
             self._pending = [np.concatenate(self._pending)]
         return self._pending[0]
 
-    def search(self, queries, k: int = 10, nprobe: int | None = None):
-        """Batched ANN: returns ``(ids int64 [B, k], dists f32 [B, k])``
-        ascending (-1/inf padding). Distances are exact f32 (two-tier
-        rescore). ``nprobe`` overrides the constructor default."""
+    def search_device(self, queries, k: int = 10, nprobe: int | None = None):
+        """Engine dispatch: results left on device (slot space) — see
+        ``FlatIndex.search_device`` for the contract."""
         q = jnp.asarray(queries, jnp.float32)
-        single = q.ndim == 1
-        if single:
+        if q.ndim == 1:
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
@@ -637,25 +635,32 @@ class IvfIndex:
         if self.centroids is None:
             # unbuilt: exact scan of the whole store
             hw = max(self.store.high_watermark, 1)
-            d, slots = self._exact_region(
+            return self._exact_region(
                 q, jnp.arange(hw, dtype=jnp.int32), k, interpret
             )
-        else:
-            p = min(nprobe or self.nprobe, self.nlist)
-            r = max(self.rescore_r, k)
-            r = min(r, p * self.cluster_size)
-            d, slots = _ivf_search(
-                q, self.centroids, self.blocks, self.member_slots,
-                self.store.vectors, self.store.valid, self.metric,
-                k, p, r, self._fused_ok(), interpret,
-                scales=self.block_scales,
+        p = min(nprobe or self.nprobe, self.nlist)
+        r = max(self.rescore_r, k)
+        r = min(r, p * self.cluster_size)
+        d, slots = _ivf_search(
+            q, self.centroids, self.blocks, self.member_slots,
+            self.store.vectors, self.store.valid, self.metric,
+            k, p, r, self._fused_ok(), interpret,
+            scales=self.block_scales,
+        )
+        pend = self._pending_slots()
+        if pend.size:
+            pd, pslots = self._exact_region(
+                q, jnp.asarray(pend), k, interpret
             )
-            pend = self._pending_slots()
-            if pend.size:
-                pd, pslots = self._exact_region(
-                    q, jnp.asarray(pend), k, interpret
-                )
-                d, slots = _merge_two(d, slots, pd, pslots, k)
+            d, slots = _merge_two(d, slots, pd, pslots, k)
+        return d, slots
+
+    def search(self, queries, k: int = 10, nprobe: int | None = None):
+        """Batched ANN: returns ``(ids int64 [B, k], dists f32 [B, k])``
+        ascending (-1/inf padding). Distances are exact f32 (two-tier
+        rescore). ``nprobe`` overrides the constructor default."""
+        single = np.ndim(queries) == 1
+        d, slots = self.search_device(queries, k, nprobe)
         ids = self.store.ids_of(np.asarray(slots))
         d = np.asarray(d)
         if single:

@@ -275,3 +275,40 @@ def test_tune_rescore_r_end_to_end(rng):
     ids, _ = idx.search(q, k=k)
     recall = np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, tid)])
     assert recall >= 0.9
+
+
+def test_search_device_matches_search_all_engines(rng):
+    """search_device is the engine dispatch under search: device-array
+    (dists, slots) in slot space, identical results after id mapping —
+    for every index engine (the harness and serving throughput paths
+    queue search_device dispatches and sync once per batch)."""
+    import jax
+    from muninn_tpu.index.flat import QuantizedFlatIndex
+    from muninn_tpu.index.hnsw import HnswIndex
+    from muninn_tpu.index.ivf import IvfIndex
+
+    n, d, k = 600, 32, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:17] + 0.05 * rng.standard_normal((17, d)).astype(np.float32)
+    ids = np.arange(100, 100 + n)  # non-slot external ids
+
+    engines = [
+        FlatIndex(d, "cosine"),
+        QuantizedFlatIndex(d, "cosine"),
+        HnswIndex(d, "cosine", m=8, ef_construction=40, capacity=2 * n),
+        IvfIndex(d, "cosine", capacity=2 * n),
+    ]
+    for idx in engines:
+        idx.insert(ids, x)
+        dd, slots = idx.search_device(q, k=k)
+        assert isinstance(dd, jax.Array) and isinstance(slots, jax.Array)
+        assert dd.shape == (17, k) and slots.shape == (17, k)
+        got_ids, got_d = idx.search(q, k=k)
+        np.testing.assert_array_equal(
+            idx.store.ids_of(np.asarray(slots)), got_ids
+        )
+        np.testing.assert_allclose(np.asarray(dd), got_d, rtol=1e-6)
+        # single-query path still returns 1-D
+        one_ids, one_d = idx.search(q[0], k=k)
+        assert one_ids.shape == (k,) and one_d.shape == (k,)
