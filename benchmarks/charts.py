@@ -87,19 +87,48 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
         base = [r for r in vss
                 if "ef" not in r["permutation"]
                 and "nprobe" not in r["permutation"]]
-        sr = _series(base, ["engine", "queries"], "n", "recall_at_k")
+        sr = _series(base, ["engine", "dim", "queries"], "n", "recall_at_k")
         charts["vss_recall"] = _fig(
             "Recall@k vs corpus size", "N vectors", "recall@k",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sr.items()],
             log_x=True,
         )
-        sq = _series(base, ["engine", "queries"], "n", "query_qps")
+        # model-dim series vs the reference's published recall curves
+        # (recall_models_ag_news.json — MiniLM 384-d / BGE-Large 1024-d
+        # on AG News, darwin-arm64; BASELINE.md rows 1-2)
+        REF_RECALL = {
+            384: ([100, 1000, 5000, 10000, 50000, 100000],
+                  [0.9986, 0.9884, 0.9722, 0.9598, 0.8812, 0.916],
+                  "reference MiniLM-384 (CPU)"),
+            1024: ([100, 5000, 50000],
+                   [0.9982, 0.9733, 0.942],
+                   "reference BGE-Large-1024 (CPU)"),
+        }
+        model_traces = []
+        for dim, (rx, ry, rname) in REF_RECALL.items():
+            ours = [r for r in base
+                    if r["permutation"].get("dim") == dim
+                    and r["permutation"].get("engine") == "hnsw"
+                    and r["permutation"].get("queries") == "heldout"]
+            if not ours:
+                continue
+            s = _series(ours, [], "n", "recall_at_k")
+            for _, (x, y) in s.items():
+                model_traces.append(
+                    {"name": f"muninn-tpu hnsw {dim}-d", "x": x, "y": y})
+            model_traces.append({"name": rname, "x": rx, "y": ry})
+        if model_traces:
+            charts["vss_recall_models"] = _fig(
+                "Recall@10 vs reference published curves (model dims)",
+                "N vectors", "recall@10", model_traces, log_x=True,
+            )
+        sq = _series(base, ["engine", "dim", "queries"], "n", "query_qps")
         charts["vss_query_qps"] = _fig(
             "Query throughput vs corpus size", "N vectors", "queries/s",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sq.items()],
             log_x=True, log_y=True,
         )
-        sb = _series(base, ["engine"], "n", "build_vec_per_s")
+        sb = _series(base, ["engine", "dim"], "n", "build_vec_per_s")
         charts["vss_build"] = _fig(
             "Build throughput vs corpus size", "N vectors", "vectors/s",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sb.items()],
@@ -113,16 +142,18 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             by_n = defaultdict(list)
             for r in sweep:
                 perm = r["permutation"]
-                key = (perm["n"], perm.get("queries", "heldout"))
+                key = (perm["n"], perm.get("dim", 128),
+                       perm.get("queries", "heldout"))
                 by_n[key].append(
                     (r["metrics"]["recall_at_k"], r["metrics"]["query_qps"],
                      perm["ef"])
                 )
             traces = []
-            for (n, qdist), pts in sorted(by_n.items()):
+            for (n, dim, qdist), pts in sorted(by_n.items()):
                 pts.sort()
+                name = f"n={n}" + (f" {dim}-d" if dim != 128 else "")
                 traces.append({
-                    "name": f"n={n}" + ("" if qdist == "heldout" else f" ({qdist})"),
+                    "name": name + ("" if qdist == "heldout" else f" ({qdist})"),
                     "x": [p[0] for p in pts], "y": [p[1] for p in pts],
                     "text": [f"ef={p[2]}" for p in pts],
                 })
