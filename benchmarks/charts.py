@@ -184,6 +184,22 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
                 "recall@k", "queries/s", traces, log_y=True,
             )
 
+    vp = by_treatment.get("vss_params", [])
+    if vp:
+        sr = _series(vp, ["ef_construction"], "m", "recall_at_k")
+        charts["vss_params_recall"] = _fig(
+            "HNSW recall@10 vs M (ef_construction sweep, ef_search=64)",
+            "M", "recall@10",
+            [{"name": f"efC {g}", "x": x, "y": y} for g, (x, y) in sr.items()],
+        )
+        sb = _series(vp, ["ef_construction"], "m", "build_vec_per_s")
+        charts["vss_params_build"] = _fig(
+            "HNSW build rate vs M (ef_construction sweep)",
+            "M", "vectors/s",
+            [{"name": f"efC {g}", "x": x, "y": y} for g, (x, y) in sb.items()],
+            log_y=True,
+        )
+
     tr = by_treatment.get("graph_traversal", [])
     if tr:
         traces = []

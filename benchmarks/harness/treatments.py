@@ -160,6 +160,52 @@ def run_vss(params, rng, emit):
             )
 
 
+def _vss_params_grid(sizes):
+    # reference sweep space: M in {8,16,32,64} x efC in {100,200}
+    # (benchmarks/harness/common.py:51-53) — fixed N above the
+    # exact-small-N routing threshold so the graph path is measured
+    return [
+        {"engine": "hnsw", "n": 20000, "dim": 128, "k": 10,
+         "m": m, "ef_construction": efc, "queries": "heldout"}
+        for m in (8, 16, 32, 64)
+        for efc in (100, 200)
+    ]
+
+
+@treatment("vss_params", _vss_params_grid)
+def run_vss_params(params, rng, emit):
+    """HNSW (M, ef_construction) parameter sweep: build rate, recall
+    and queued-dispatch QPS at ef_search=64 for each point of the
+    reference's published sweep space."""
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.index.hnsw import HnswIndex
+
+    n, dim, k = params["n"], params["dim"], params["k"]
+    x, q, _ = prep_mod.vss_data(rng, n, dim)
+    t0 = time.time()
+    idx = HnswIndex(dim, "cosine", m=params["m"],
+                    ef_construction=params["ef_construction"],
+                    wave_size=2048, capacity=max(2048, n * 2))
+    idx.insert(np.arange(n), x)
+    build_s = time.time() - t0
+
+    flat = FlatIndex(dim, "cosine")
+    flat.insert(np.arange(n), x)
+    tid, _ = flat.search(q, k=k)
+    ids, _ = idx.search(q, k=k, ef_search=64)
+    recall = float(np.mean([
+        len(set(a[a >= 0]) & set(b[b >= 0])) / k
+        for a, b in zip(ids, tid)
+    ]))
+    emit(
+        dict(params),
+        {"build_s": build_s, "build_vec_per_s": n / build_s,
+         "query_qps": _queued_qps(idx, q, k, ef_search=64),
+         "recall_at_k": recall},
+        build_s,
+    )
+
+
 # ───────────────────────── graph families ─────────────────────────
 
 
