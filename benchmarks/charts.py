@@ -27,14 +27,27 @@ PALETTE = ["#4269d0", "#efb118", "#ff725c", "#6cc5b0", "#3ca951",
 
 
 def load_records(paths) -> list[dict]:
-    recs = []
+    """Load JSONL records; one record per (treatment, permutation) —
+    the LATEST (by ts) wins, so re-runs supersede stale points instead
+    of double-plotting on the charts."""
+    latest: dict = {}
+    order: list = []
     for p in paths:
         with open(p) as f:
             for line in f:
                 line = line.strip()
-                if line:
-                    recs.append(json.loads(line))
-    return recs
+                if not line:
+                    continue
+                r = json.loads(line)
+                key = (r.get("treatment"),
+                       json.dumps(r.get("permutation"), sort_keys=True))
+                prev = latest.get(key)
+                if prev is None:
+                    order.append(key)
+                    latest[key] = r
+                elif r.get("ts", 0) >= prev.get("ts", 0):
+                    latest[key] = r
+    return [latest[k] for k in order]
 
 
 def _fig(title: str, xtitle: str, ytitle: str, traces: list[dict],
