@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from muninn_tpu.index.store import VectorStore
-from muninn_tpu.ops.pallas_beam import gather_block_dots
+from muninn_tpu.ops.pallas_beam import gather_block_dots, gather_block_topm
 from muninn_tpu.ops.pallas_flat import flat_topk
 from muninn_tpu.ops.distance import (
     Metric,
@@ -161,7 +161,7 @@ def _route_entries(
 @partial(
     jax.jit,
     static_argnames=("metric", "ef", "expand", "max_iters", "patience",
-                     "dedup", "fused", "interpret"),
+                     "dedup", "fused", "interpret", "topm"),
 )
 def _beam_search_level0(
     queries: jax.Array,        # [B, d]
@@ -179,6 +179,7 @@ def _beam_search_level0(
     fused: bool = False,               # Pallas DMA gather+dots for `packed`
     interpret: bool = False,
     pscales: jax.Array | None = None,  # [cap, R0] dequant (int8 `packed`)
+    topm: int = 0,                     # >0: in-kernel per-pick top-m
 ) -> tuple[jax.Array, jax.Array]:
     """Batched ef-bounded beam search at level 0.
 
@@ -215,6 +216,9 @@ def _beam_search_level0(
     if max_iters <= 0:
         max_iters = 2 * (ef // expand + 1) + patience // expand + 8
 
+    use_topm = (
+        packed is not None and fused and topm > 0 and pscales is None
+    )
     ef_pos = jnp.arange(ef, dtype=jnp.int32)[None, None, :]  # [1,1,ef]
 
     # init: beam = entry point(s) — [B] or [B, R] (multi-entry seeding
@@ -285,6 +289,53 @@ def _beam_search_level0(
             axis=2,
         )                                                         # [B, C]
         c = nbrs.shape[1]
+        if use_topm:
+            # in-kernel top-m: metric epilogue + per-block candidate
+            # selection inside the DMA kernel (gather_block_topm);
+            # the downstream dedup/merge runs over E*topm candidates
+            # instead of E*R0 — the beam's largest non-DMA cost
+            # (DEVELOPMENT.md "Beam DMA economics")
+            pen = jnp.where(in_beam | (nbrs < 0), 3.0e38, 0.0)
+            md, ml = gather_block_topm(
+                qf, jnp.maximum(pick_i, 0), packed,
+                pen, metric=metric, m=topm, interpret=interpret,
+            )
+            sel = jnp.take_along_axis(
+                nbrs.reshape(b, expand, r0), ml, axis=2
+            ).reshape(b, expand * topm)
+            nd = md.reshape(b, expand * topm)
+            okc = nd < 1.0e38
+            nd = jnp.where(okc, nd, jnp.inf)
+            nbrs = jnp.where(okc, sel, -1)
+            c = nbrs.shape[1]
+            if dedup:
+                # same-iteration duplicates, now over the reduced set
+                lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
+                dup = jnp.any(
+                    (nbrs[:, :, None] == nbrs[:, None, :]) & lower[None],
+                    axis=2,
+                )
+                nd = jnp.where(dup, jnp.inf, nd)
+                nbrs = jnp.where(dup, -1, nbrs)
+            cat_d = jnp.concatenate([beam_d, nd], axis=1)
+            cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
+            cat_f = jnp.concatenate(
+                [expanded, jnp.zeros((b, c), bool)], axis=1
+            )
+            neg_top, pos = jax.lax.top_k(-cat_d, ef)
+            new_d = -neg_top
+            new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+            new_f = jnp.take_along_axis(cat_f, pos, axis=1)
+            new_i = jnp.where(jnp.isinf(new_d), -1, new_i)
+            new_f = new_f & (new_i >= 0)
+            improved = (new_d[:, ef - 1] < beam_d[:, ef - 1]) | (
+                jnp.sum(new_i >= 0, axis=1) > jnp.sum(beam_i >= 0, axis=1)
+            )
+            stall = jnp.where(
+                live, jnp.where(improved, 0, stall + jnp.sum(do, axis=1)),
+                stall,
+            )
+            return new_d, new_i, new_f, stall.astype(jnp.int32), it + 1
         if dedup:
             # same-iteration duplicate candidates (two expansions
             # sharing a neighbor): O(C^2) compare — the beam's largest
@@ -362,7 +413,7 @@ def _beam_search_level0(
 @partial(
     jax.jit,
     static_argnames=("metric", "k", "ef", "expand", "r", "interpret",
-                     "patience", "dedup", "max_iters", "fused"),
+                     "patience", "dedup", "max_iters", "fused", "topm"),
 )
 def _search_topk_fused(
     q: jax.Array,            # [B, d] f32
@@ -385,6 +436,7 @@ def _search_topk_fused(
     max_iters: int = 0,
     fused: bool = False,
     pscales: jax.Array | None = None,
+    topm: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """The full production query path in one XLA program: Pallas-kernel
     routing over the promoted pool, bf16 beam search, soft-delete
@@ -398,7 +450,7 @@ def _search_topk_fused(
         q, entries, v16, neighbors0, metric, ef, expand,
         patience=patience, scales=scales, packed=packed, dedup=dedup,
         max_iters=max_iters, fused=fused, interpret=interpret,
-        pscales=pscales,
+        pscales=pscales, topm=topm,
     )
     ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
     beam_i = jnp.where(ok, beam_i, -1)
@@ -521,6 +573,10 @@ class HnswIndex:
         # duplicate check (duplicates die at the final unique top-k)
         self.search_degree: int | None = None
         self.beam_dedup = True
+        # >0: in-kernel per-pick top-m (gather_block_topm) — the
+        # downstream dedup/merge runs over E*topm candidates instead
+        # of E*R0. Capped at R0; topm == R0 is exact vs the dots path.
+        self.beam_topm = 0
         # beam-iteration budget (0 = auto = ceil(ef/expand)+1; -1 =
         # run to convergence): a while_loop runs until the SLOWEST
         # query in the batch converges, but a query expands at most
@@ -696,6 +752,8 @@ class HnswIndex:
                 self.store.valid, self.metric, k, ef, self.expand, r,
                 interp, scales, self.beam_patience, packed,
                 self.beam_dedup, mi, fused, pscales,
+                max(0, min(self.beam_topm, nbrs0.shape[1]))
+                if fused and pscales is None else 0,
             )
 
         b = q.shape[0]

@@ -30,9 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from muninn_tpu.ops.distance import Metric
+
 _NBUF = 8  # in-flight block DMAs per program (default; see gather_block_dots)
 _VMEM_BUDGET = 12 * 1024 * 1024  # scoped-VMEM stack target (16 MB hard cap)
 _SMEM_IDS_BUDGET = 512 * 1024    # scalar-prefetch id bytes (1 MB hard cap)
+_BIG = 3.0e38
+_MODE = {Metric.L2: 0, Metric.COSINE: 1, Metric.INNER_PRODUCT: 2}
 
 
 def _sublanes(dtype) -> int:
@@ -136,7 +140,7 @@ def gather_block_dots(
                 grid=(bc // tb,),
                 in_specs=[
                     pl.BlockSpec((tb, d), lambda i, ids: (i, 0)),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=[
                     pl.BlockSpec((tb, e, r0), lambda i, ids: (i, 0, 0)),
@@ -156,6 +160,7 @@ def gather_block_dots(
         )(idsc.reshape(-1).astype(jnp.int32), qc, packed)
 
     # The scalar-prefetch id operand lives in SMEM (1 MB hard cap):
+    # (shared by gather_block_dots and gather_block_topm)
     # at bp*e ids it overflows for large batches x wide expansions
     # (e.g. 8192 queries x nprobe=32 = 1 MB exactly). Chunk the query
     # batch so each kernel call's id block fits with headroom, mapping
@@ -179,3 +184,190 @@ def gather_block_dots(
         dots[:b].reshape(b, e * r0),
         cn2[:b].reshape(b, e * r0),
     )
+
+
+def _beam_topm_kernel(
+    ids_ref,     # [B*E] int32 (scalar prefetch): rows of `packed` to score
+    q_ref,       # [TB, d] f32 (VMEM)
+    qn_ref,      # [TB, 1] f32 query squared norms
+    pen_ref,     # [TB, E, R0] f32 additive penalty (+BIG = masked out)
+    packed_ref,  # [cap, R0, d] bf16/f32 (HBM)
+    od_ref,      # [TB, E, M] f32 out distances, ascending (+BIG padded)
+    ol_ref,      # [TB, E, M] i32 out local neighbor indices in [0, R0)
+    buf_ref,     # [NBUF, R0, d] scratch
+    sems,        # DMA semaphores [NBUF]
+    *,
+    tb: int,
+    e: int,
+    m: int,
+    nbuf: int,
+    mode: int,
+):
+    base = pl.program_id(0) * tb * e
+
+    def dma(p):
+        return pltpu.make_async_copy(
+            packed_ref.at[ids_ref[base + p]],
+            buf_ref.at[p % nbuf],
+            sems.at[p % nbuf],
+        )
+
+    total = tb * e
+    for p in range(min(nbuf, total)):
+        dma(p).start()
+
+    def body(p, carry):
+        dma(p).wait()
+        t = p // e
+        ei = p % e
+        blk = buf_ref[p % nbuf].astype(jnp.float32)           # [R0, d]
+        qrow = q_ref[pl.ds(t, 1), :]                          # [1, d]
+        dots = jnp.sum(blk * qrow[0][None, :], axis=1)[None, :]  # [1, R0]
+        if mode == 2:
+            dist = -dots
+        else:
+            cn2 = jnp.sum(blk * blk, axis=1)[None, :]         # [1, R0]
+            qn2 = qn_ref[pl.ds(t, 1), :]                      # [1, 1]
+            if mode == 0:
+                dist = jnp.maximum(qn2 + cn2 - 2.0 * dots, 0.0)
+            else:
+                denom = jnp.sqrt(qn2) * jnp.sqrt(cn2)
+                sim = jnp.where(
+                    denom < 1e-30, 0.0, dots / jnp.maximum(denom, 1e-30)
+                )
+                dist = 1.0 - sim
+        dist = dist + pen_ref[pl.ds(t, 1), pl.ds(ei, 1), :].reshape(1, -1)
+        # iterative top-m: m unrolled (min, argmin, mask) rounds on the
+        # [1, R0] row — VPU work, negligible next to the block DMA
+        r0 = dist.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, r0), 1)
+        ds, ls = [], []
+        for _ in range(m):
+            mn = jnp.min(dist, axis=1, keepdims=True)                  # [1,1]
+            loc = jnp.min(
+                jnp.where(dist == mn, iota, r0), axis=1, keepdims=True
+            )
+            ds.append(mn)
+            ls.append(loc)
+            dist = jnp.where(iota == loc, _BIG, dist)
+        od_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = (
+            jnp.concatenate(ds, axis=1).reshape(1, 1, m)
+        )
+        ol_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = (
+            jnp.concatenate(ls, axis=1).astype(jnp.int32).reshape(1, 1, m)
+        )
+
+        @pl.when(p + nbuf < total)
+        def _():
+            dma(p + nbuf).start()
+
+        return carry
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@partial(jax.jit, static_argnames=("metric", "m", "tb", "interpret", "nbuf"))
+def gather_block_topm(
+    queries: jax.Array,   # [B, d] f32
+    idx: jax.Array,       # [B, E] int32, in-range (clamp at the call site)
+    packed: jax.Array,    # [cap, R0, d] bf16/f32
+    penalty: jax.Array,   # [B, E*R0] f32 additive (+BIG = drop candidate)
+    metric: Metric = Metric.COSINE,
+    m: int = 16,
+    tb: int = 256,
+    interpret: bool = False,
+    nbuf: int = _NBUF,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused gather + metric epilogue + per-pick top-m.
+
+    Same DMA pipeline as :func:`gather_block_dots`, but the distance
+    epilogue AND the per-block candidate selection happen in-kernel:
+    only the ``m`` best (distance, local index) pairs per (query, pick)
+    leave the kernel — the beam's downstream dedup/merge runs over
+    ``E*m`` candidates instead of ``E*R0`` (the merge + O(C^2) dedup
+    tail is the fused beam's largest non-DMA cost; DEVELOPMENT.md
+    "Beam DMA economics"). ``penalty`` carries the caller's masking
+    (already-in-beam / padding) so masked candidates can't crowd the
+    top-m. Returns ``(dists [B, E, m] ascending, local_idx [B, E, m])``;
+    entries with ``dist >= _BIG/2`` are masked-out padding.
+    """
+    b, d = queries.shape
+    _, r0, dp = packed.shape
+    e = idx.shape[1]
+    if dp != d:
+        raise ValueError(f"packed dim {dp} != query dim {d}")
+    if d % 128 != 0 or r0 % _sublanes(packed.dtype) != 0:
+        raise ValueError(
+            f"unaligned block [{r0}, {d}] for {packed.dtype}: need "
+            f"d % 128 == 0 and R0 % {_sublanes(packed.dtype)} == 0"
+        )
+    if not 0 < m <= r0:
+        raise ValueError(f"m={m} must be in (0, R0={r0}]")
+    mode = _MODE[metric]
+    tb = min(tb, max(8, b))
+    # VMEM: nbuf scratch blocks + double-buffered [tb, d] f32 queries,
+    # [tb, 1] norms, [tb, e, r0] f32 penalties, and [tb, e, m] f32+i32
+    # outputs
+    fixed = nbuf * r0 * d * jnp.dtype(packed.dtype).itemsize
+    while tb > 8 and fixed + 2 * tb * (e * r0 + 2 * e * m + d + 1) * 4 > _VMEM_BUDGET:
+        tb //= 2
+    pad = (-b) % tb
+    q = queries.astype(jnp.float32)
+    qn2 = jnp.sum(q * q, axis=1, keepdims=True)
+    pen = penalty.astype(jnp.float32).reshape(b, e, r0)
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        qn2 = jnp.pad(qn2, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        pen = jnp.pad(pen, ((0, pad), (0, 0), (0, 0)))
+    bp = q.shape[0]
+
+    def call(qc, qnc, idsc, penc):
+        bc = qc.shape[0]
+        return pl.pallas_call(
+            partial(_beam_topm_kernel, tb=tb, e=e, m=m, nbuf=nbuf, mode=mode),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bc // tb,),
+                in_specs=[
+                    pl.BlockSpec((tb, d), lambda i, ids: (i, 0)),
+                    pl.BlockSpec((tb, 1), lambda i, ids: (i, 0)),
+                    pl.BlockSpec((tb, e, r0), lambda i, ids: (i, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec((tb, e, m), lambda i, ids: (i, 0, 0)),
+                    pl.BlockSpec((tb, e, m), lambda i, ids: (i, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((nbuf, r0, d), packed.dtype),
+                    pltpu.SemaphoreType.DMA((nbuf,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bc, e, m), jnp.float32),
+                jax.ShapeDtypeStruct((bc, e, m), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(idsc.reshape(-1).astype(jnp.int32), qc, qnc, penc, packed)
+
+    if bp * e * 4 <= _SMEM_IDS_BUDGET:
+        od, ol = call(q, qn2, idx, pen)
+    else:
+        bc = max(tb, _SMEM_IDS_BUDGET // (4 * e * tb) * tb)
+        extra = (-bp) % bc
+        if extra:
+            q = jnp.pad(q, ((0, extra), (0, 0)))
+            qn2 = jnp.pad(qn2, ((0, extra), (0, 0)))
+            idx = jnp.pad(idx, ((0, extra), (0, 0)))
+            pen = jnp.pad(pen, ((0, extra), (0, 0), (0, 0)))
+        nch = q.shape[0] // bc
+        od, ol = jax.lax.map(
+            lambda xs: call(*xs),
+            (q.reshape(nch, bc, d), qn2.reshape(nch, bc, 1),
+             idx.reshape(nch, bc, e), pen.reshape(nch, bc, e, r0)),
+        )
+        od = od.reshape(nch * bc, e, m)
+        ol = ol.reshape(nch * bc, e, m)
+    return od[:b], ol[:b]

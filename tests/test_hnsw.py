@@ -408,3 +408,132 @@ def test_fused_beam_int8_packed_matches_row_dequant(rng):
             np.sort(np.asarray(bd), axis=1)[:, :ef // 2],
             rtol=1e-3, atol=1e-4,
         )
+
+
+def test_topm_kernel_matches_reference_math(rng):
+    """gather_block_topm (interpret) == numpy epilogue + per-pick
+    top-m on the same blocks, for every metric; penalty masking
+    excludes candidates from the top-m."""
+    import jax.numpy as jnp
+    from muninn_tpu.ops.pallas_beam import gather_block_topm
+    from muninn_tpu.ops.distance import Metric
+
+    n, d, r0, e, b, m = 256, 128, 8, 3, 16, 5
+    x = rng.standard_normal((n, r0, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    idx = rng.integers(0, n, (b, e)).astype(np.int32)
+    pen = np.where(rng.random((b, e * r0)) < 0.25, 3.0e38, 0.0).astype(
+        np.float32
+    )
+
+    blocks = x[idx]                                   # [b, e, r0, d]
+    dots = np.einsum("bd,berd->ber", q, blocks)
+    cn2 = np.sum(blocks * blocks, axis=3)
+    qn2 = np.sum(q * q, axis=1)[:, None, None]
+    want = {
+        Metric.INNER_PRODUCT: -dots,
+        Metric.L2: np.maximum(qn2 + cn2 - 2 * dots, 0.0),
+        Metric.COSINE: 1.0 - dots / np.maximum(
+            np.sqrt(qn2) * np.sqrt(cn2), 1e-30
+        ),
+    }
+    for metric, ref in want.items():
+        ref = ref + pen.reshape(b, e, r0)
+        md, ml = gather_block_topm(
+            jnp.asarray(q), jnp.asarray(idx), jnp.asarray(x),
+            jnp.asarray(pen), metric=metric, m=m, interpret=True,
+        )
+        md, ml = np.asarray(md), np.asarray(ml)
+        order = np.argsort(ref, axis=2, kind="stable")[:, :, :m]
+        np.testing.assert_allclose(
+            md, np.take_along_axis(ref, order, axis=2),
+            rtol=1e-4, atol=1e-4,
+        )
+        # locations agree wherever distances are unique and unmasked
+        ref_d = np.take_along_axis(ref, order, axis=2)
+        uniq = ref_d < 1e37
+        assert (ml[uniq] == order[uniq]).mean() > 0.99
+
+
+def test_beam_topm_full_width_matches_dots_path(rng):
+    """topm == R0 keeps every candidate — the beam must be identical
+    to the fused dots path (same candidates, same merge)."""
+    import jax.numpy as jnp
+    from muninn_tpu.index.hnsw import _beam_search_level0
+    from muninn_tpu.ops.distance import Metric
+
+    n, d, r0, ef = 512, 128, 16, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    nbrs = rng.integers(0, n, (n, r0)).astype(np.int32)
+    vecs = jnp.asarray(x)
+    packed = vecs[jnp.asarray(nbrs)]
+    q = jnp.asarray(
+        x[:32] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+    )
+    entry = jnp.asarray(rng.integers(0, n, (32, 4)).astype(np.int32))
+    for metric in (Metric.COSINE, Metric.L2):
+        bd, bi = _beam_search_level0(
+            q, entry, vecs, jnp.asarray(nbrs), metric, ef, expand=4,
+            packed=packed, fused=True, interpret=True,
+        )
+        td, ti = _beam_search_level0(
+            q, entry, vecs, jnp.asarray(nbrs), metric, ef, expand=4,
+            packed=packed, fused=True, interpret=True, topm=r0,
+        )
+        same = np.mean([
+            len(set(a[a >= 0]) & set(b[b >= 0])) / max((a >= 0).sum(), 1)
+            for a, b in zip(np.asarray(bi), np.asarray(ti))
+        ])
+        assert same > 0.97, same
+        np.testing.assert_allclose(
+            np.asarray(td), np.asarray(bd), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_hnsw_beam_topm_recall(rng):
+    """The full production dispatch (_search_topk_fused) with
+    beam_topm keeps recall within a whisker of the full-width fused
+    beam. (The public CPU path gates fused off by design — CPU tests
+    keep the row-gather path exercised — so this drives the fused
+    program in interpret mode like the kernel tests do.)"""
+    import jax.numpy as jnp
+    from muninn_tpu.index.hnsw import _search_topk_fused
+
+    n, d, k = 3000, 128, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:64] + 0.05 * rng.standard_normal((64, d)).astype(np.float32)
+    flat = FlatIndex(d, "cosine")
+    flat.insert(np.arange(n), x)
+    tid, _ = flat.search(q, k=k)
+
+    idx = HnswIndex(d, "cosine", m=8, ef_construction=64,
+                    wave_size=4096, capacity=2 * n)
+    idx.insert(np.arange(n), x)
+    idx.pack_neighbors()
+    packed = idx._maybe_packed(force=True)
+    assert packed is not None
+    pool = idx._routing_pool()
+    pv = idx._pool_vecs(pool)
+    qj = jnp.asarray(q)
+
+    def run(topm):
+        d_, s_ = _search_topk_fused(
+            qj, pool, pv, idx.store.vectors, idx._vecs16(),
+            idx.neighbors0, idx.store.valid, idx.metric, k, 32, 4, 8,
+            True,  # interpret
+            None, 0, packed, True, 0, True, None, topm,
+        )
+        return idx.store.ids_of(np.asarray(s_))
+
+    def recall(ids):
+        return np.mean([
+            len(set(a[a >= 0]) & set(b[b >= 0])) / k
+            for a, b in zip(ids, tid)
+        ])
+
+    r_full = recall(run(0))
+    r_topm = recall(run(8))
+    assert r_topm >= r_full - 0.02, (r_full, r_topm)
+    assert r_full > 0.7
