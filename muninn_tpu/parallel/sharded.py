@@ -333,3 +333,62 @@ def sharded_pagerank(
         return jax.lax.fori_loop(0, iterations, body, rank)
 
     return _run(src, dst, share, dangling)
+
+
+def sharded_components(
+    src: jax.Array,          # [E_pad] int32, E_pad % n_shards == 0
+    dst: jax.Array,          # [E_pad] int32 (pads: src = dst = V)
+    num_nodes: int,
+    mesh: Mesh,
+    max_iters: int = 0,
+    axis: str = "shard",
+) -> jax.Array:
+    """Edge-sharded connected components (undirected): min-label
+    propagation — each chip relaxes labels over its own edge shard
+    (segment-min in both edge directions), and a ``pmin`` across the
+    mesh completes the pull. Labels are replicated [V] int32; returns
+    the component label (min node index) per node. Pad edges with
+    ``src = dst = num_nodes`` — out-of-range segment ids are dropped.
+
+    Reference role: ``graph_components`` (``src/graph_tvf.c:1204-1360``)
+    at multi-chip scale; single-chip paths live in graph/traversal.py
+    and the native host engine.
+    """
+    if max_iters <= 0:
+        max_iters = num_nodes
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def _run(src_l, dst_l):
+        n = num_nodes
+        labels = jnp.arange(n, dtype=jnp.int32)
+
+        def cond(state):
+            _, it, changed = state
+            return changed & (it < max_iters)
+
+        def body(state):
+            lab, it, _ = state
+            ls = lab[jnp.minimum(src_l, n - 1)]
+            ld = lab[jnp.minimum(dst_l, n - 1)]
+            # both directions: a pad edge's endpoints are n -> dropped
+            fwd = jax.ops.segment_min(ls, dst_l, num_segments=n)
+            rev = jax.ops.segment_min(ld, src_l, num_segments=n)
+            cand = jnp.minimum(fwd, rev)
+            cand = jax.lax.pmin(cand, axis)
+            new = jnp.minimum(lab, cand)
+            # labels are replicated and pmin-synchronized, so `changed`
+            # is identical on every shard — the while_loop stays in step
+            return new, it + 1, jnp.any(new < lab)
+
+        lab, _, _ = jax.lax.while_loop(
+            cond, body, (labels, jnp.int32(0), jnp.bool_(True))
+        )
+        return lab
+
+    return _run(src, dst)

@@ -210,3 +210,58 @@ def test_shard_ivf_guards(rng):
     idx = IvfIndex(8, "l2")
     with pytest.raises(ValueError):
         shard_ivf(idx, make_mesh())  # unbuilt
+
+
+def test_sharded_components_matches_host(rng):
+    """Edge-sharded min-label components == networkx-style host union
+    on a random graph with several components, shard-count invariant."""
+    from muninn_tpu.parallel import sharded_components
+
+    mesh = make_mesh()
+    v, e = 120, 240
+    r = np.random.default_rng(11)
+    # three disjoint blocks of 40 nodes, edges only within a block
+    src = []
+    dst = []
+    for b in range(3):
+        lo = b * 40
+        src.extend(r.integers(lo, lo + 40, e // 3))
+        dst.extend(r.integers(lo, lo + 40, e // 3))
+    src = np.asarray(src, np.int32)
+    dst = np.asarray(dst, np.int32)
+
+    # host ground truth: union-find
+    parent = list(range(v))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for s, t in zip(src, dst):
+        a, b_ = find(int(s)), find(int(t))
+        if a != b_:
+            parent[max(a, b_)] = min(a, b_)
+    want_groups = {}
+    for node in range(v):
+        want_groups.setdefault(find(node), []).append(node)
+
+    e_pad = 256  # pad to a multiple of 8 shards; pads = (V, V)
+    sp = np.full(e_pad, v, np.int32); sp[: len(src)] = src
+    dp = np.full(e_pad, v, np.int32); dp[: len(dst)] = dst
+    labels = np.asarray(sharded_components(
+        shard_rows(jnp.asarray(sp), mesh),
+        shard_rows(jnp.asarray(dp), mesh),
+        v, mesh, max_iters=v,
+    ))
+    # same partition: every ground-truth group has exactly one label,
+    # and distinct groups have distinct labels
+    got = {}
+    for root, members in want_groups.items():
+        ls = {int(labels[m]) for m in members}
+        assert len(ls) == 1, (root, ls)
+        got[root] = ls.pop()
+    assert len(set(got.values())) == len(got)
+    # singleton nodes (no edges) keep their own label
+    isolated = [n for n in range(v) if n not in set(src) | set(dst)]
+    for n in isolated:
+        assert labels[n] == n
