@@ -6,6 +6,7 @@ from muninn_tpu.parallel.sharded import (
     sharded_exact_search,
     sharded_ivf_search,
     shard_ivf,
+    sharded_bfs_depths,
     sharded_components,
     sharded_pagerank,
     sharded_sgns_step,
@@ -23,6 +24,7 @@ __all__ = [
     "sharded_exact_search",
     "sharded_ivf_search",
     "shard_ivf",
+    "sharded_bfs_depths",
     "sharded_components",
     "sharded_pagerank",
     "sharded_sgns_step",

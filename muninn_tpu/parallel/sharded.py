@@ -392,3 +392,64 @@ def sharded_components(
         return lab
 
     return _run(src, dst)
+
+
+def sharded_bfs_depths(
+    src: jax.Array,          # [E_pad] int32 (pads: src = dst = V)
+    dst: jax.Array,
+    seeds: jax.Array,        # [S] int32 seed nodes (depth 0)
+    num_nodes: int,
+    mesh: Mesh,
+    max_iters: int = 0,
+    directed: bool = True,
+    axis: str = "shard",
+) -> jax.Array:
+    """Edge-sharded multi-source BFS: returns int32 [V] hop counts from
+    the nearest seed (2**30 where unreached). Min-plus label
+    propagation — per-shard segment-min relax, ``pmin`` across the
+    mesh. ``directed=False`` relaxes both edge directions.
+
+    Reference role: ``graph_bfs`` frontier semantics
+    (``src/graph_tvf.c:230-416``) at multi-chip scale."""
+    if max_iters <= 0:
+        max_iters = num_nodes
+    big = jnp.int32(2**30)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    def _run(src_l, dst_l, seeds_g):
+        n = num_nodes
+        depth = jnp.full((n,), big, jnp.int32)
+        depth = depth.at[jnp.clip(seeds_g, 0, n - 1)].set(0)
+
+        def cond(state):
+            _, it, changed = state
+            return changed & (it < max_iters)
+
+        def body(state):
+            d, it, _ = state
+            ds = d[jnp.minimum(src_l, n - 1)]
+            relax = jnp.where(ds < big, ds + 1, big)
+            cand = jax.ops.segment_min(relax, dst_l, num_segments=n)
+            if not directed:
+                dd = d[jnp.minimum(dst_l, n - 1)]
+                relax_r = jnp.where(dd < big, dd + 1, big)
+                cand = jnp.minimum(
+                    cand,
+                    jax.ops.segment_min(relax_r, src_l, num_segments=n),
+                )
+            cand = jax.lax.pmin(cand, axis)
+            new = jnp.minimum(d, cand)
+            return new, it + 1, jnp.any(new < d)
+
+        d, _, _ = jax.lax.while_loop(
+            cond, body, (depth, jnp.int32(0), jnp.bool_(True))
+        )
+        return d
+
+    return _run(src, dst, seeds)

@@ -265,3 +265,40 @@ def test_sharded_components_matches_host(rng):
     isolated = [n for n in range(v) if n not in set(src) | set(dst)]
     for n in isolated:
         assert labels[n] == n
+
+
+def test_sharded_bfs_depths_matches_host(rng):
+    """Edge-sharded multi-source BFS == host BFS hop counts."""
+    from collections import deque
+
+    from muninn_tpu.parallel import sharded_bfs_depths
+
+    mesh = make_mesh()
+    v = 60
+    r = np.random.default_rng(5)
+    src = r.integers(0, v, 160).astype(np.int32)
+    dst = r.integers(0, v, 160).astype(np.int32)
+    seeds = np.array([0, 41], np.int32)
+
+    adj = {}
+    for s, t in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(t))
+    want = np.full(v, 2**30, np.int64)
+    dq = deque()
+    for s in seeds:
+        want[s] = 0
+        dq.append(int(s))
+    while dq:
+        u = dq.popleft()
+        for t in adj.get(u, []):
+            if want[t] > want[u] + 1:
+                want[t] = want[u] + 1
+                dq.append(t)
+
+    e_pad = 160  # multiple of 8
+    got = np.asarray(sharded_bfs_depths(
+        shard_rows(jnp.asarray(src), mesh),
+        shard_rows(jnp.asarray(dst), mesh),
+        jnp.asarray(seeds), v, mesh, max_iters=v,
+    ))
+    np.testing.assert_array_equal(got, want)
