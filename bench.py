@@ -100,7 +100,36 @@ def make_data(rng, n, dim, n_clusters=1000):
     return x.astype(np.float32)
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """The axon TPU tunnel hangs jax init indefinitely when its worker
+    is down (observed: multi-hour outage, round 3). Probe it in a
+    killable subprocess so bench fails FAST with a diagnostic line
+    instead of hanging the driver."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0 and b"64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "backend_unreachable",
+            "value": 0.0,
+            "unit": "error",
+            "vs_baseline": 0.0,
+            "extras": {"error": "TPU backend probe timed out/failed — "
+                                "tunnel down; no engine numbers this run"},
+        }))
+        sys.exit(1)
     import jax
 
     # persistent compilation cache: honest steady-state numbers
