@@ -42,6 +42,29 @@ def test_viz_server_endpoints():
         srv.stop()
 
 
+def test_page_interaction_script():
+    """No browser runtime exists in this image (the reference uses
+    Playwright), so validate the embedded page statically: the
+    selection/search UI is present, every element the script queries
+    exists in the DOM, and the script's brackets are balanced."""
+    import re
+
+    from viz.server import _PAGE
+
+    # interaction surface: detail panel, search box, click handler
+    for frag in ("id=\"detail\"", "id=\"search\"",
+                 "addEventListener('click'", "function select("):
+        assert frag in _PAGE, frag
+    # every getElementById target has a matching id= in the markup
+    for eid in set(re.findall(r"getElementById\('([^']+)'\)", _PAGE)):
+        assert f'id="{eid}"' in _PAGE, eid
+    # bracket balance over the whole script (catches editing typos;
+    # string literals in the page contain no brackets)
+    script = _PAGE.split("<script>")[1].split("</script>")[0]
+    for o, c in ("{}", "()", "[]"):
+        assert script.count(o) == script.count(c), (o, c)
+
+
 def test_embed_payload_endpoints(rng):
     """Embedding-projection payloads (reference viz/server/embed.py:
     /embed/:table_id shape: table_id, count, points with id/x/y/z/

@@ -46,6 +46,8 @@ _PAGE = """<!doctype html>
 <div id="bar">muninn-tpu graph viewer — <span id="stats"></span>
  &nbsp; min degree <input id="mind" type="number" value="0" min="0" style="width:4em">
  &nbsp; view <select id="view"><option value="graph">graph</option></select>
+ &nbsp; find <input id="search" placeholder="node id" style="width:8em">
+ &nbsp; <span id="detail"></span>
 </div>
 <canvas id="c"></canvas>
 <script>
@@ -64,6 +66,7 @@ async function load(){
   nodes = g.nodes; edges = g.edges; byId = {};
   nodes.forEach(n => { n.x = Math.random()*cv.width; n.y = Math.random()*cv.height;
                        n.vx = 0; n.vy = 0; byId[n.id] = n; });
+  select(null);
 }
 function step(){
   // simple force layout: repulsion + springs + centering
@@ -94,9 +97,39 @@ function draw(){
     cx.fillStyle = palette[n.community % palette.length];
     const r = 3 + 10*(n.centrality || 0);
     cx.beginPath(); cx.arc(n.x,n.y,r,0,7); cx.fill();
-    if (nodes.length <= 200){ cx.fillStyle = '#bbb'; cx.fillText(n.id, n.x+r+2, n.y+3); }
+    if (n === selected){
+      cx.strokeStyle = '#fff'; cx.lineWidth = 2;
+      cx.beginPath(); cx.arc(n.x,n.y,r+3,0,7); cx.stroke(); cx.lineWidth = 1;
+    }
+    if (nodes.length <= 200 || n === selected){
+      cx.fillStyle = '#bbb'; cx.fillText(n.id, n.x+r+2, n.y+3);
+    }
   }
 }
+// ── node selection: click or search (reference frontend detail panel) ──
+let selected = null;
+function select(n){
+  selected = n;
+  document.getElementById('detail').textContent = n
+    ? `${n.id}: degree ${n.degree}, centrality ${(n.centrality||0).toFixed(3)}, community ${n.community}`
+    : '';
+}
+cv.addEventListener('click', ev => {
+  const x = ev.offsetX, y = ev.offsetY;
+  let best = null, bd = 12*12;
+  for (const n of nodes){
+    const d = (n.x-x)*(n.x-x) + (n.y-y)*(n.y-y);
+    if (d < bd){ bd = d; best = n; }
+  }
+  select(best);
+});
+document.getElementById('search').addEventListener('change', ev => {
+  const q = ev.target.value.trim().toLowerCase();
+  const n = q && (nodes.find(n => n.id.toLowerCase() === q) ||
+                  nodes.find(n => n.id.toLowerCase().includes(q)));
+  select(n || null);
+  if (n){ n.x = cv.width/2; n.y = cv.height/2; n.vx = n.vy = 0; }
+});
 // ── 3D embedding scatter (the reference's Deck.GL view, canvas-native) ──
 let points = [], angle = 0, catColor = {};
 async function loadEmbed(name){
