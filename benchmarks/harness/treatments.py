@@ -273,6 +273,73 @@ def run_community(params, rng, emit):
     )
 
 
+@treatment(
+    "graph_scale",
+    lambda sizes: [
+        {"n": n, "avg_deg": 10}
+        for n in (sizes if sizes else [1_000_000, 10_000_000])
+    ],
+)
+def run_graph_scale(params, rng, emit):
+    """Device-resident scale demo: the regime one decade past the host
+    C++ engine's comfort zone. Edges are generated ON DEVICE (the TPU
+    tunnel uploads at ~2 MB/s — shipping a 100M-edge COO would take ~7
+    minutes and measure the tunnel), the CSR is built by a device
+    stable sort (``Graph.from_device_edges``), and each analytics op is
+    timed end-to-end through the public API (device fixpoint + the
+    one host download its array result costs). Ops run in
+    cheapest-first order and emit partials, so a device OOM on the
+    largest op still records the rest."""
+    import jax
+    import jax.numpy as jnp
+
+    from muninn_tpu.graph import Graph
+
+    n = params["n"]
+    e = n * params["avg_deg"]
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    ks, kd = jax.random.split(key)
+    src = jax.random.randint(ks, (e,), 0, n, jnp.int32)
+    dst = jax.random.randint(kd, (e,), 0, n, jnp.int32)
+    dst.block_until_ready()
+
+    g = Graph.from_device_edges(src, dst, num_nodes=n)
+    metrics: dict = {"edges": e}
+    t0 = time.time()
+    # pagerank pulls over the reverse CSR and reads degrees off the
+    # forward one; building both IS the device build cost
+    g.csr("forward")
+    g.csr("reverse")
+    build_s = time.time() - t0
+    metrics["csr_build_s"] = build_s
+    metrics["csr_build_medge_per_s"] = 2 * e / build_s / 1e6
+    total = build_s
+    try:
+        t0 = time.time()
+        depth, _ = g.bfs(0, as_array=True, backend="device")
+        bfs_s = time.time() - t0
+        metrics["bfs_s"] = bfs_s
+        metrics["bfs_reached"] = int((depth < 2**30).sum())
+        total += bfs_s
+
+        t0 = time.time()
+        rank = g.pagerank(iterations=20, backend="device", as_array=True)
+        pr_s = time.time() - t0
+        metrics["pagerank20_s"] = pr_s
+        metrics["pagerank_medge_iter_per_s"] = 20 * e / pr_s / 1e6
+        metrics["pagerank_sum"] = float(rank.sum())  # ~1.0 sanity
+
+        t0 = time.time()
+        labels = g.connected_components(backend="device", as_array=True)
+        cc_s = time.time() - t0
+        metrics["components_s"] = cc_s
+        metrics["n_components"] = int(labels.max()) + 1
+        total += pr_s + cc_s
+    except Exception as exc:  # partial results still emit
+        metrics["error"] = f"{type(exc).__name__}: {exc}"
+    emit({**params, "backend": "device"}, metrics, total)
+
+
 @treatment("graph_vt", _sized_grid(lambda n: {"avg_deg": 5}))
 def run_graph_vt(params, rng, emit):
     """CSR cache build + incremental delta (the reference's graph_vt

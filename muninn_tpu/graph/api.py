@@ -57,10 +57,15 @@ class Graph(core.Graph):
     # ── traversal ──
 
     def bfs(self, start, max_depth: int | None = None,
-            direction: str = "forward", backend: str = "auto"):
+            direction: str = "forward", backend: str = "auto",
+            as_array: bool = False):
         """Breadth-first traversal. Returns list of (node, depth, parent)
         ordered by (depth, node index), parent None for the root —
         the reference TVF's output columns (``src/graph_tvf.c:230-416``).
+        ``as_array=True`` instead returns the raw ``(depth, parent)``
+        index-aligned int arrays (depth >= 2**30 == unreached) — the
+        only usable shape at device scale (a 10M-row python list is
+        not a result, it's a liability).
         """
         s = self.node_index(start)
         md = max_depth if max_depth is not None else self.num_nodes
@@ -77,6 +82,8 @@ class Graph(core.Graph):
             )
             depth = np.asarray(depth)
             parent = np.asarray(parent)
+        if as_array:
+            return depth, parent
         reached = np.nonzero(depth < 2**30)[0]
         order = reached[np.lexsort((reached, depth[reached]))]
         return [
@@ -135,11 +142,14 @@ class Graph(core.Graph):
         path_idx = trv.reconstruct_path(parent, s, t)
         return [self.nodes.id_of(i) for i in path_idx], float(dist[t])
 
-    def connected_components(self, backend: str = "auto"):
+    def connected_components(self, backend: str = "auto",
+                             as_array: bool = False):
         """Returns dict node_id -> (component_id, component_size);
         component ids are 0..k-1 renumbered by first appearance
         (``src/graph_tvf.c:1204-1360``). Undirected semantics (the
-        reference's union-find ignores direction)."""
+        reference's union-find ignores direction). ``as_array=True``
+        returns the index-aligned renumbered label array instead (sizes
+        are one ``np.bincount`` away) — the device-scale shape."""
         if self._use_host(
             backend, routing.COST_COMPONENTS_EDGE * self.num_edges
         ):
@@ -155,6 +165,8 @@ class Graph(core.Graph):
                 )
             )
         _, inv = np.unique(comp, return_inverse=True)
+        if as_array:
+            return inv.astype(np.int32)
         sizes = np.bincount(inv)
         return {
             self.nodes.id_of(i): (int(inv[i]), int(sizes[inv[i]]))
@@ -166,11 +178,13 @@ class Graph(core.Graph):
     def pagerank(
         self, damping: float = 0.85, iterations: int = 20,
         *, weighted: bool = False, direction: str = "forward",
-        backend: str = "auto",
-    ) -> dict:
+        backend: str = "auto", as_array: bool = False,
+    ):
         """PageRank with dangling redistribution; defaults match the
         reference (damping=0.85, iterations=20,
-        ``src/graph_tvf.c:1631-1717``). Returns node_id -> rank."""
+        ``src/graph_tvf.c:1631-1717``). Returns node_id -> rank, or the
+        index-aligned float array with ``as_array=True`` (device-scale
+        shape)."""
         e_dir = self.num_edges * (2 if direction == "both" else 1)
         if self._use_host(
             backend, routing.COST_PAGERANK_EDGE_ITER * e_dir * iterations
@@ -184,6 +198,8 @@ class Graph(core.Graph):
             rank = native.graph_pagerank(
                 hs, hd, hw, deg, damping, iterations, weighted
             )
+            if as_array:
+                return np.asarray(rank, np.float32)
             return {
                 self.nodes.id_of(i): float(rank[i])
                 for i in range(self.num_nodes)
@@ -207,6 +223,8 @@ class Graph(core.Graph):
                 damping, iterations, weighted,
             )
         )
+        if as_array:
+            return rank
         return {self.nodes.id_of(i): float(rank[i]) for i in range(self.num_nodes)}
 
     # ── centrality ──

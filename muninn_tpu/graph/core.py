@@ -75,6 +75,52 @@ class NodeTable:
         return self._ids
 
 
+class IdentityNodeTable:
+    """Node ids ARE the dense indices ``0..n-1``.
+
+    Used by :meth:`Graph.from_device_edges`, where materializing a
+    python list/dict of 10M+ interned ids would dwarf the graph itself
+    (and serve no purpose — device-generated graphs are already dense).
+    API-compatible with :class:`NodeTable` for lookups; the table is
+    fixed-size, so ``find_or_add`` of an out-of-range id raises.
+    """
+
+    def __init__(self, n: int):
+        self._n = int(n)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def find(self, node_id) -> int | None:
+        try:
+            i = int(node_id)
+        except (TypeError, ValueError):
+            return None
+        return i if 0 <= i < self._n else None
+
+    def find_or_add(self, node_id) -> int:
+        i = self.find(node_id)
+        if i is None:
+            raise KeyError(
+                f"identity node table is fixed at {self._n} nodes; "
+                f"cannot intern {node_id!r}"
+            )
+        return i
+
+    def id_of(self, idx: int) -> int:
+        return int(idx)
+
+    def intern_many(self, ids) -> np.ndarray:
+        a = np.asarray(ids, np.int64)
+        if a.size and (a.min() < 0 or a.max() >= self._n):
+            raise KeyError("node id out of range for identity table")
+        return a.astype(np.int32)
+
+    @property
+    def ids(self) -> range:
+        return range(self._n)
+
+
 @dataclass
 class DeviceCsr:
     """One direction of the graph on device. ``src``/``dst`` are sorted
@@ -146,6 +192,15 @@ class Graph:
     ``muninn_tpu.graph.api.Graph`` (subclass).
     """
 
+    # class-level defaults: some construction paths build a Graph via
+    # ``__new__`` + attribute assignment (GraphCache.graph()) and never
+    # run ``__init__``
+    _dev_coo: tuple | None = None
+    _e_dev: int = 0
+    _src_np = None
+    _dst_np = None
+    _w_np = None
+
     def __init__(
         self,
         nodes: NodeTable,
@@ -154,8 +209,9 @@ class Graph:
         weights: np.ndarray | None,
     ):
         self.nodes = nodes
-        n = len(nodes)
         e = len(src_idx)
+        self._dev_coo: tuple | None = None
+        self._e_dev = 0
         self._src = src_idx.astype(np.int32)
         self._dst = dst_idx.astype(np.int32)
         self._w = (
@@ -166,6 +222,53 @@ class Graph:
         self._fwd: DeviceCsr | None = None
         self._rev: DeviceCsr | None = None
         self._host_csr: dict[str, tuple] = {}
+
+    # host COO mirrors: plain numpy arrays for host-built graphs, lazy
+    # (downloaded once on first touch) for device-built graphs
+    @property
+    def _src(self) -> np.ndarray:
+        if self._src_np is None:
+            self._materialize_host()
+        return self._src_np
+
+    @_src.setter
+    def _src(self, v) -> None:
+        self._src_np = v
+
+    @property
+    def _dst(self) -> np.ndarray:
+        if self._dst_np is None:
+            self._materialize_host()
+        return self._dst_np
+
+    @_dst.setter
+    def _dst(self, v) -> None:
+        self._dst_np = v
+
+    @property
+    def _w(self) -> np.ndarray:
+        if self._w_np is None:
+            self._materialize_host()
+        return self._w_np
+
+    @_w.setter
+    def _w(self, v) -> None:
+        self._w_np = v
+
+    def _materialize_host(self) -> None:
+        """Download the device COO once (pads sliced off). Only reached
+        from a device-built graph when a host-side consumer touches the
+        mirrors — a deliberate, one-time cost (the tunnel downloads at
+        ~50 MB/s; at 100M edges that is minutes, so device-scale
+        workloads should stay on ``backend='device'`` paths)."""
+        js, jd, jw = self._dev_coo
+        e = self._e_dev
+        self._src_np = np.asarray(js[:e], np.int32)
+        self._dst_np = np.asarray(jd[:e], np.int32)
+        self._w_np = (
+            np.ones(e, np.float32) if jw is None
+            else np.asarray(jw[:e], np.float32)
+        )
 
     # ── construction ──
 
@@ -238,6 +341,44 @@ class Graph:
         di = table.intern_many(dst_ids)
         return cls(table, si, di, weights)
 
+    @classmethod
+    def from_device_edges(
+        cls, src, dst, *, num_nodes: int, weights=None
+    ) -> "Graph":
+        """Build from DEVICE-RESIDENT dense int32 edge arrays — nothing
+        crosses the host boundary.
+
+        This is the constructor for device-scale graphs (10M+ nodes,
+        100M+ edges): edges generated on device (e.g. ``jax.random``)
+        stay on device, the CSR is built by a device stable sort, and
+        node ids are the dense indices themselves
+        (:class:`IdentityNodeTable`). The host COO mirrors are lazy —
+        host-fast-path analytics and persistence still work, but pay a
+        one-time download. Ids must already be in ``[0, num_nodes)``;
+        arbitrary external ids (interning) are a host concept, use
+        :meth:`from_edges`.
+        """
+        js = jnp.asarray(src, jnp.int32)
+        jd = jnp.asarray(dst, jnp.int32)
+        if js.shape != jd.shape or js.ndim != 1:
+            raise ValueError("src/dst must be equal-length 1-D arrays")
+        e = int(js.shape[0])
+        cap = _pad_bucket(e)
+        pad = ((0, cap - e),)
+        jw = None
+        if weights is not None:
+            jw = jnp.pad(jnp.asarray(weights, jnp.float32), pad)
+        # inert pads (V, V, 0): sort after every valid edge
+        js = jnp.pad(js, pad, constant_values=num_nodes)
+        jd = jnp.pad(jd, pad, constant_values=num_nodes)
+        g = cls(IdentityNodeTable(num_nodes), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), None)
+        g._dev_coo = (js, jd, jw)
+        g._e_dev = e
+        g._src = g._dst = g._w = None  # lazy mirrors
+        g.has_weights = weights is not None
+        return g
+
     # ── views ──
 
     @property
@@ -246,7 +387,9 @@ class Graph:
 
     @property
     def num_edges(self) -> int:
-        return len(self._src)
+        if self._src_np is None:
+            return self._e_dev
+        return len(self._src_np)
 
     def csr(self, direction: str = "forward") -> DeviceCsr:
         """Direction semantics match the reference
@@ -255,14 +398,24 @@ class Graph:
         (each edge present in both orientations)."""
         if direction not in DIRECTIONS:
             raise ValueError(f"direction must be one of {DIRECTIONS}")
+        dev = self._dev_coo is not None and self._src_np is None
         if direction == "forward":
             if self._fwd is None:
-                self._fwd = self._build(self._src, self._dst)
+                self._fwd = (
+                    self._build_device(0) if dev
+                    else self._build(self._src, self._dst)
+                )
             return self._fwd
         if direction == "reverse":
             if self._rev is None:
-                self._rev = self._build(self._dst, self._src)
+                self._rev = (
+                    self._build_device(1) if dev
+                    else self._build(self._dst, self._src)
+                )
             return self._rev
+        if dev and (self._fwd is None or self._rev is None):
+            self.csr("forward")
+            self.csr("reverse")
         if not hasattr(self, "_both") or self._both is None:
             if self._fwd is not None and self._rev is not None:
                 # both directions already on device: one device-side
@@ -279,6 +432,20 @@ class Graph:
     def _build(self, s: np.ndarray, d: np.ndarray) -> DeviceCsr:
         off, ss, dd, ww = build_csr_arrays(s, d, self._w, self.num_nodes)
         return _to_device_csr(off, ss, dd, ww, self.num_nodes)
+
+    def _build_device(self, flip: int) -> DeviceCsr:
+        """CSR by device stable sort over the device COO — same edge
+        order as the host counting sort (``native.csr_build``): grouped
+        by key node, input order preserved within a group, pads last.
+        ``flip=1`` builds the reverse direction (sort by dst)."""
+        js, jd, jw = self._dev_coo
+        if jw is None:
+            jw = jnp.ones(js.shape, jnp.float32)
+            jw = jnp.where(js < self.num_nodes, jw, 0.0)
+        s, d = (jd, js) if flip else (js, jd)
+        off, ss, dd, ww = _device_sort_csr(s, d, jw, self.num_nodes)
+        max_deg = int(jnp.max(off[1:] - off[:-1]))
+        return DeviceCsr(off, ss, dd, ww, self._e_dev, max(max_deg, 1))
 
     def host_coo(self, direction: str = "forward"):
         """(src, dst, w) numpy COO in the requested direction with NO
@@ -314,6 +481,19 @@ class Graph:
 
     def node_ids(self, indices) -> list:
         return [self.nodes.id_of(int(i)) for i in indices]
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def _device_sort_csr(s, d, w, num_nodes: int):
+    """Sort a padded device COO by ``s`` (stable) and derive offsets.
+    Pads carry ``s == num_nodes`` so they sort to the tail; offsets stop
+    at the first pad. One compiled program per (capacity, num_nodes)."""
+    order = jnp.argsort(s, stable=True).astype(jnp.int32)
+    ss = s[order]
+    off = jnp.searchsorted(
+        ss, jnp.arange(num_nodes + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return off, ss, d[order], w[order]
 
 
 def _to_device_csr(

@@ -80,3 +80,18 @@ def test_kg_resolve_quality(rng):
     m = recs[0][1]
     assert m["triple_merge_rate"] >= 0.9
     assert m["entities_per_s"] > 0
+
+
+def test_graph_scale_treatment(rng):
+    """Device-resident scale treatment: device edge gen + device-sort
+    CSR + array-mode analytics, tiny size on the CPU backend."""
+    recs = _run("graph_scale", {"n": 1500, "avg_deg": 6}, rng)
+    assert len(recs) == 1
+    p, m, w = recs[0]
+    assert p["backend"] == "device"
+    assert m["edges"] == 9000 and "error" not in m
+    assert m["pagerank_sum"] == pytest.approx(1.0, abs=1e-3)
+    assert m["bfs_reached"] > 1000  # ER at deg 6: giant component
+    assert m["n_components"] >= 1
+    assert all(m[k] > 0 for k in
+               ("csr_build_s", "bfs_s", "pagerank20_s", "components_s"))

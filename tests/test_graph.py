@@ -296,3 +296,79 @@ def test_incremental_patch_bit_identical_to_rebuild(rng):
         np.testing.assert_array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
         np.testing.assert_array_equal(np.asarray(a.src[:e_v]), np.asarray(b.src[:e_v]))
         np.testing.assert_array_equal(np.asarray(a.dst[:e_v]), np.asarray(b.dst[:e_v]))
+
+
+def test_device_graph_matches_host_build(rng):
+    """Graph.from_device_edges (device-resident COO, device stable-sort
+    CSR, identity node table) produces the exact same CSRs and analytics
+    as the host-interned path — the constructor for 100M-edge-scale
+    graphs where the COO never crosses the host boundary."""
+    from muninn_tpu.graph import Graph
+
+    n, e = 400, 2500
+    s = rng.integers(0, n, e)
+    d = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    gh = Graph.from_edges(s, d, w)
+    gd = Graph.from_device_edges(s, d, num_nodes=n, weights=w)
+
+    for direction in ("forward", "reverse", "both"):
+        ch, cd = gh.csr(direction), gd.csr(direction)
+        assert ch.e_valid == cd.e_valid and ch.max_deg == cd.max_deg
+        ev = ch.e_valid
+        np.testing.assert_array_equal(
+            np.asarray(ch.offsets), np.asarray(cd.offsets)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ch.src[:ev]), np.asarray(cd.src[:ev])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ch.dst[:ev]), np.asarray(cd.dst[:ev])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ch.weights[:ev]), np.asarray(cd.weights[:ev])
+        )
+
+    np.testing.assert_allclose(
+        gh.pagerank(backend="device", as_array=True),
+        gd.pagerank(backend="device", as_array=True),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        gh.connected_components(backend="device", as_array=True),
+        gd.connected_components(backend="device", as_array=True),
+    )
+    dh, ph = gh.bfs(0, as_array=True, backend="device")
+    dd_, pd = gd.bfs(0, as_array=True, backend="device")
+    np.testing.assert_array_equal(dh, dd_)
+    np.testing.assert_array_equal(ph, pd)
+
+
+def test_device_graph_lazy_host_mirrors(rng):
+    """Host mirrors materialize once on first host-side touch and the
+    host backend then agrees; dict-mode results still work."""
+    from muninn_tpu.graph import Graph
+
+    n, e = 200, 1200
+    s = rng.integers(0, n, e)
+    d = rng.integers(0, n, e)
+    gd = Graph.from_device_edges(s, d, num_nodes=n)
+    assert gd.num_edges == e and gd.num_nodes == n
+    assert gd._src_np is None  # nothing downloaded yet
+    pr_dev = gd.pagerank(backend="device", as_array=True)
+    assert gd._src_np is None  # device analytics keep it lazy
+    np.testing.assert_array_equal(gd._src, s.astype(np.int32))
+    np.testing.assert_allclose(
+        gd.pagerank(backend="host", as_array=True), pr_dev,
+        rtol=2e-4, atol=1e-7,
+    )
+    cc = gd.connected_components()
+    assert isinstance(cc, dict) and len(cc) == n
+    # identity table semantics: ids are indices; foreign ids rejected
+    assert gd.node_index(5) == 5
+    import pytest
+
+    with pytest.raises(KeyError):
+        gd.node_index("zebra")
+    with pytest.raises(KeyError):
+        gd.nodes.find_or_add(n + 7)
