@@ -252,6 +252,19 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
         }
         charts["graph_community"] = fig
 
+    gs = by_treatment.get("graph_scale", [])
+    if gs:
+        traces = []
+        for metric in ("csr_build_s", "bfs_s", "pagerank20_s",
+                       "components_s"):
+            s = _series(gs, [], "n", metric)
+            for _, (x, y) in s.items():
+                traces.append({"name": metric, "x": x, "y": y})
+        charts["graph_scale"] = _fig(
+            "Device-resident graph ops at scale (avg degree 10)",
+            "N nodes", "seconds", traces, log_x=True, log_y=True,
+        )
+
     gv = by_treatment.get("graph_vt", [])
     if gv:
         traces = []
