@@ -34,12 +34,40 @@ NEG_TABLE_SIZE = 100_000  # matches reference, src/node2vec.c:274-303
 # ───────────────────────── walks ─────────────────────────
 
 
+@jax.jit
+def _row_sorted_cumw(src, dst, w):
+    """Device-side walk-table prep from a (src-sorted, padded) CSR:
+    sort each row by dst (two stable sorts == lexsort(dst within src);
+    pads src=V stay last) and compute PER-ROW inclusive prefix sums of
+    the weights via one segmented associative scan. Row-local sums stay
+    f32-accurate at any edge count — a global cumsum loses edge-weight
+    resolution once the running total passes 2^24 (unit-weight edges
+    become indistinguishable), which silently skews sampling on
+    10M+-edge graphs."""
+    o1 = jnp.argsort(dst, stable=True).astype(jnp.int32)
+    o2 = jnp.argsort(src[o1], stable=True).astype(jnp.int32)
+    order = o1[o2]
+    srcj = src[order]
+    ww = w[order]
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), srcj[1:] != srcj[:-1]]
+    )
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    cumw, _ = jax.lax.associative_scan(comb, (ww, first))
+    return dst[order], cumw
+
+
 @partial(jax.jit, static_argnames=("num_nodes",))
 def _searchsorted_segment(
-    cumw: jax.Array,      # [E] inclusive prefix sums of edge weights
+    cumw: jax.Array,      # [E] per-row inclusive prefix sums
     lo: jax.Array,        # [W] segment start (offsets[v])
     hi: jax.Array,        # [W] segment end   (offsets[v+1])
-    target: jax.Array,    # [W] value in (cumw[lo-1], cumw[hi-1]]
+    target: jax.Array,    # [W] value in (0, cumw[hi-1]]
     num_nodes: int,
 ) -> jax.Array:
     """Vectorized binary search: smallest e in [lo, hi) with
@@ -93,7 +121,7 @@ def biased_walks(
     key: jax.Array,
     offsets: jax.Array,      # [V+1] int32 (row-sorted CSR, dst ascending)
     dst: jax.Array,          # [E] int32
-    cumw: jax.Array,         # [E] f32 inclusive prefix sums of weights
+    cumw: jax.Array,         # [E] f32 per-row inclusive weight prefix sums
     starts: jax.Array,       # [W] int32 start nodes
     num_nodes: int,
     walk_length: int,
@@ -109,14 +137,14 @@ def biased_walks(
     max_bias = max(inv_p, 1.0, inv_q)
 
     def sample_neighbor(k, cur):
-        """Weighted neighbor draw for each walker at cur."""
+        """Weighted neighbor draw for each walker at cur (cumw is
+        row-local, so the draw is base-free and f32-exact)."""
         lo = offsets[cur]
         hi = offsets[cur + 1]
         deg = hi - lo
-        base = jnp.where(lo > 0, cumw[jnp.maximum(lo - 1, 0)], 0.0)
-        total = cumw[jnp.maximum(hi - 1, 0)] - base
+        total = cumw[jnp.maximum(hi - 1, 0)]
         u = jax.random.uniform(k, (w_count,))
-        target = base + u * jnp.maximum(total, 1e-30)
+        target = u * jnp.maximum(total, 1e-30)
         e = _searchsorted_segment(cumw, lo, hi, target, num_nodes)
         e = jnp.clip(e, lo, jnp.maximum(hi - 1, lo))
         cand = dst[jnp.clip(e, 0, dst.shape[0] - 1)]
@@ -334,21 +362,14 @@ def node2vec_train(
         raise ValueError("dim must be <= 1024 (reference cap)")
     c = graph.csr("both")
     v_count = graph.num_nodes
-    offsets_np = np.asarray(c.offsets)
-    dst_np = np.asarray(c.dst)
-    w_np = np.asarray(c.weights)
+    # row-sort + per-row weight prefix sums, entirely on device (the
+    # previous host lexsort/cumsum round-trip re-uploaded [E] arrays —
+    # minutes at 100M edges through the tunnel — and its GLOBAL f32
+    # cumsum lost weight resolution past 2^24 total weight)
+    offsets = c.offsets
+    dstj, cumw = _row_sorted_cumw(c.src, c.dst, c.weights)
 
-    # sort each CSR row by dst so membership tests can binary-search
-    order = np.lexsort((dst_np, np.asarray(c.src)))
-    dst_np = dst_np[order]
-    w_np = w_np[order]
-    cumw_np = np.cumsum(w_np, dtype=np.float64).astype(np.float32)
-
-    offsets = jnp.asarray(offsets_np)
-    dstj = jnp.asarray(dst_np)
-    cumw = jnp.asarray(cumw_np)
-
-    degrees = offsets_np[1:] - offsets_np[:-1]
+    degrees = np.asarray(c.degrees())
     neg_table = jnp.asarray(build_negative_table(degrees))
 
     key = jax.random.PRNGKey(seed)

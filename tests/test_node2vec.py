@@ -127,3 +127,36 @@ def test_node2vec_dim_cap():
     g = line_graph(4)
     with pytest.raises(ValueError):
         node2vec_train(g, dim=2048)
+
+
+def test_row_sorted_cumw_is_row_local(rng):
+    """Per-row prefix sums reset at row starts and rows come out
+    dst-sorted — the f32-at-any-scale contract (a global cumsum loses
+    unit-weight resolution past 2^24 total weight)."""
+    import jax.numpy as jnp
+
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.models.node2vec import _row_sorted_cumw
+
+    n, e = 50, 400
+    s = rng.integers(0, n, e)
+    d = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32) + 0.1
+    g = Graph.from_edges(s, d, w)
+    c = g.csr("both")
+    dst_sorted, cumw = _row_sorted_cumw(c.src, c.dst, c.weights)
+    off = np.asarray(c.offsets)
+    ds = np.asarray(dst_sorted)
+    cw = np.asarray(cumw)
+    hs, hd, hw = g.host_coo("both")
+    for v in range(n):
+        lo, hi = off[v], off[v + 1]
+        if hi == lo:
+            continue
+        row = ds[lo:hi]
+        assert (np.diff(row) >= 0).all()  # dst ascending within row
+        want = np.sort(hw[hs == v].astype(np.float64))
+        got = np.sort(np.diff(np.concatenate([[0.0], cw[lo:hi]])))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # row-local: first entry is its own weight, not a running total
+        assert cw[lo] <= hw[hs == v].max() + 1e-6
