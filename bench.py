@@ -277,14 +277,30 @@ def main():
         pass
 
     # ── north-star workload: 1M x 768 cosine (BASELINE.json) ──
+    # data gen + exact ground truth are their own stage: the int8 and
+    # IVF sections below both consume (big, bigq, ns_true), and an
+    # early failure in one section must not silently starve the other
+    # (the IVF floor check only runs when its median exists)
     northstar_qps = None
     ns_int8_qps = ns_int8_recall = ns_bf16_recall = None
     ns_auto = None
+    big = bigq = ns_true = None
     try:
         del corpus_all, corpus
         big, bigq = jax.jit(gen, static_argnums=(1, 2, 3))(
             jax.random.PRNGKey(3), 1_000_000, 768, 4096
         )
+        # exact-f32 ranking on a 512 slice: recall denominator for
+        # every northstar mode
+        ns_true = np.asarray(
+            flat_topk(bigq[:512], big, K, metric="cosine",
+                      precision="highest")[1]
+        )
+    except Exception:
+        big = bigq = ns_true = None
+    try:
+        if big is None:
+            raise RuntimeError("northstar data unavailable")
         # full 8192-query batches (RTT amortization, same as 100k path)
         ii = flat_topk(bigq, big, K, metric="cosine",
                        precision="bfloat16", tc=2048)[1]
@@ -319,11 +335,7 @@ def main():
         ns_int8_qps, *ranges["northstar_1m_768d_int8_qps"] = sample_rate(
             run_ns8, 8192, inner=3
         )
-        # recall of both modes vs the exact-f32 ranking on a 512 slice
-        ns_true = np.asarray(
-            flat_topk(bigq[:512], big, K, metric="cosine",
-                      precision="highest")[1]
-        )
+        # recall of both modes vs the exact-f32 ranking (ns_true)
         ii8 = np.asarray(flat_topk_int8_rescored(
             bigq[:512], big, bi8, sc8, K, r=16, metric="cosine", tc=2048
         )[1])
@@ -371,6 +383,8 @@ def main():
     # points on this workload; nprobe is the ef_search analogue)
     ns_ivf = None
     try:
+        if big is None:
+            raise RuntimeError("northstar data unavailable")
         from muninn_tpu.index.ivf import IvfIndex, _ivf_search
 
         t0 = time.time()

@@ -275,9 +275,13 @@ def run_community(params, rng, emit):
 
 @treatment(
     "graph_scale",
+    # device-regime treatment: only emit permutations at sizes where
+    # the device engine is the story (the CLI always passes --sizes, so
+    # a fallback default here would be dead code — and running this at
+    # n=1000 would measure pure tunnel-dispatch overhead, polluting
+    # results.jsonl on a default `run`)
     lambda sizes: [
-        {"n": n, "avg_deg": 10}
-        for n in (sizes if sizes else [1_000_000, 10_000_000])
+        {"n": n, "avg_deg": 10} for n in sizes if n >= 50_000
     ],
 )
 def run_graph_scale(params, rng, emit):

@@ -52,6 +52,15 @@ class Graph(core.Graph):
     """
 
     def _use_host(self, backend: str, work: float) -> bool:
+        if backend == "auto" and self._src_np is None and self._dev_coo is not None:
+            # device-resident graph whose host COO mirror hasn't been
+            # materialized (from_device_edges): routing to the host
+            # would first download the full edge list through the
+            # ~50 MB/s tunnel — minutes at the 100M-edge scale the
+            # constructor exists for, silently inverting its
+            # nothing-crosses-the-host-boundary promise. 'auto' stays
+            # on device; pass backend='host' to opt into the download.
+            return False
         return use_host(backend, work)
 
     # ── traversal ──

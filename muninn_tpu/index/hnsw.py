@@ -572,6 +572,7 @@ class HnswIndex:
         # search"); beam_dedup=False skips the O(C^2) same-iteration
         # duplicate check (duplicates die at the final unique top-k)
         self.search_degree: int | None = None
+        self._sd_cache: tuple | None = None
         self.beam_dedup = True
         # >0: in-kernel per-pick top-m (gather_block_topm) — the
         # downstream dedup/merge runs over E*topm candidates instead
@@ -725,12 +726,27 @@ class HnswIndex:
         else:
             mi = self.beam_max_iters
         nbrs0 = self.neighbors0
-        if self.search_degree and self.search_degree < self.m0:
-            nbrs0 = nbrs0[:, : self.search_degree]
-            if packed is not None:
-                packed = packed[:, : self.search_degree]
-            if pscales is not None:
-                pscales = pscales[:, : self.search_degree]
+        sd = self.search_degree
+        if sd and sd < self.m0:
+            # cache the sliced tables: the slices are invariant until
+            # the knob or the source arrays change, and re-slicing the
+            # packed table eagerly per call would copy GBs on device
+            # (plus a tunnel dispatch) every search
+            c = self._sd_cache
+            hit = (
+                c is not None and c[0] == sd and c[1] is self.neighbors0
+                and c[2] is packed and c[3] is pscales
+            )
+            if not hit:
+                # keep the SOURCE arrays in the cache entry: identity
+                # (`is`) comparison is only sound while they stay alive
+                self._sd_cache = c = (
+                    sd, self.neighbors0, packed, pscales,
+                    self.neighbors0[:, :sd],
+                    packed[:, :sd] if packed is not None else None,
+                    pscales[:, :sd] if pscales is not None else None,
+                )
+            nbrs0, packed, pscales = c[4], c[5], c[6]
         sublanes = {2: 16, 1: 32}.get(
             jnp.dtype(packed.dtype).itemsize, 8
         ) if packed is not None else 8

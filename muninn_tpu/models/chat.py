@@ -227,6 +227,12 @@ class FlaxChatModel:
         self.tokenizer = HfTokenizer(path)
         self._token_bytes = None
         self._tg_cache: dict[str, object] = {}
+        # jitted grammar-decode programs keyed by their static config —
+        # a fresh @jax.jit closure per call would retrace the whole
+        # KV-cache scan every generate_batch (25-200 s-class through
+        # the TPU tunnel); table arrays are runtime args so jax's own
+        # shape-keyed cache handles different grammars per key
+        self._decode_fns: dict[tuple, object] = {}
 
     def _token_grammar(self, gbnf: str):
         if gbnf not in self._tg_cache:
@@ -295,21 +301,44 @@ class FlaxChatModel:
         grammar on host per step; here the compiled mask/transition
         tables live on device and the decode never leaves the device.
         """
-        import jax
         import jax.numpy as jnp
         import numpy as np
 
         model = self._model
-        trans, mask = _grammar_tables(tg, model.config.vocab_size)
-        trans_j = jnp.asarray(trans)
-        mask_j = jnp.asarray(mask)
+        vocab = model.config.vocab_size
+        tabs = getattr(tg, "_decode_tables", None)
+        if tabs is None or tabs[2] != vocab:
+            trans, mask = _grammar_tables(tg, vocab)
+            tabs = (jnp.asarray(trans), jnp.asarray(mask), vocab)
+            tg._decode_tables = tabs
+        trans_j, mask_j, _ = tabs
         eos_id = int(tg.eos_id)
         pad_id = int(self._tok.pad_token_id)
         b, in_len = input_ids.shape
-        max_len = in_len + max_new
-        bias = float(eos_bias)
+        key = (b, in_len, int(max_new), eos_id, pad_id, float(eos_bias))
+        run = self._decode_fns.get(key)
+        if run is None:
+            run = self._build_decode_fn(*key)
+            self._decode_fns[key] = run
+        return np.asarray(run(
+            jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            model.params, trans_j, mask_j,
+        ))
 
-        def constrain(logits, st):
+    def _build_decode_fn(
+        self, b: int, in_len: int, max_new: int, eos_id: int,
+        pad_id: int, bias: float,
+    ):
+        """One jitted decode program for a static (batch, lengths,
+        special-ids, bias) configuration; the grammar transition/mask
+        tables are runtime arguments."""
+        import jax
+        import jax.numpy as jnp
+
+        model = self._model
+        max_len = in_len + max_new
+
+        def constrain(logits, st, trans_j, mask_j):
             allowed = mask_j[st]
             neg = jnp.finfo(logits.dtype).min
             out = jnp.where(allowed, logits, neg)
@@ -323,7 +352,7 @@ class FlaxChatModel:
             return out
 
         @jax.jit
-        def run(input_ids, attention_mask, params):
+        def run(input_ids, attention_mask, params, trans_j, mask_j):
             cache = model.init_cache(b, max_len)
             # extended mask covers future cache positions (the
             # prepare_inputs_for_generation contract of HF Flax LMs)
@@ -338,7 +367,7 @@ class FlaxChatModel:
             )
             st0 = jnp.zeros((b,), jnp.int32)
             tok0 = jnp.argmax(
-                constrain(out.logits[:, -1], st0), axis=-1
+                constrain(out.logits[:, -1], st0, trans_j, mask_j), axis=-1
             ).astype(jnp.int32)
             done0 = tok0 == eos_id
             st1 = jnp.where(
@@ -353,7 +382,7 @@ class FlaxChatModel:
                     params=params,
                 )
                 nxt = jnp.argmax(
-                    constrain(out.logits[:, -1], st), axis=-1
+                    constrain(out.logits[:, -1], st, trans_j, mask_j), axis=-1
                 ).astype(jnp.int32)
                 nxt = jnp.where(done, pad_id, nxt)
                 fin = nxt == eos_id
@@ -371,10 +400,7 @@ class FlaxChatModel:
             )
             return jnp.concatenate([tok0[:, None], toks.T], axis=1)
 
-        return np.asarray(run(
-            jnp.asarray(input_ids), jnp.asarray(attention_mask),
-            model.params,
-        ))
+        return run
 
     def generate_batch(
         self,

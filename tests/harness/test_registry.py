@@ -49,3 +49,12 @@ def test_filter_permutations():
 def test_permutation_status_missing_by_default(tmp_path):
     rows = permutation_status([500], results_dir=tmp_path)
     assert rows and all(not done for _, done in rows)
+
+
+def test_graph_scale_grid_is_device_regime_only():
+    """graph_scale only emits permutations at device-regime sizes: tiny
+    sizes would measure tunnel dispatch, not the engine, and the CLI's
+    default --sizes would otherwise pollute every full `run`."""
+    grid = REGISTRY["graph_scale"].grid
+    assert grid([1000, 5000]) == []
+    assert grid([5000, 1_000_000]) == [{"n": 1_000_000, "avg_deg": 10}]

@@ -147,3 +147,28 @@ def test_chat_template_special_cases(tiny_model_dir):
     )
     assert m._render("q", None, skip_think=True).endswith("<think>\n\n</think>\n\n")
     assert not m._render("q", None, skip_think=False).endswith("</think>\n\n")
+
+
+def test_grammar_decode_program_is_cached(tiny_model_dir):
+    """Repeated grammar decodes with the same static config must reuse
+    ONE jitted program (a fresh @jax.jit closure per call retraces the
+    whole KV-cache scan — 25-200 s-class through the TPU tunnel) and
+    the grammar tables must build once per (grammar, vocab)."""
+    from muninn_tpu.models.chat import FlaxChatModel
+    from muninn_tpu.text.grammar import GRAMMAR_NER
+
+    m = FlaxChatModel(tiny_model_dir)
+    prompts = ["Extract: Ada.", "Extract: Bob."]
+    out1 = m.generate_batch(prompts, grammar=GRAMMAR_NER, max_tokens=8)
+    assert len(m._decode_fns) == 1
+    fn = next(iter(m._decode_fns.values()))
+    tg = m._token_grammar(GRAMMAR_NER)
+    tabs = tg._decode_tables
+    out2 = m.generate_batch(prompts, grammar=GRAMMAR_NER, max_tokens=8)
+    assert len(m._decode_fns) == 1
+    assert next(iter(m._decode_fns.values())) is fn
+    assert tg._decode_tables is tabs  # tables not rebuilt
+    assert out1 == out2
+    # a different static config gets its own cached program
+    m.generate_batch(prompts, grammar=GRAMMAR_NER, max_tokens=12)
+    assert len(m._decode_fns) == 2

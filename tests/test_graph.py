@@ -372,3 +372,23 @@ def test_device_graph_lazy_host_mirrors(rng):
         gd.node_index("zebra")
     with pytest.raises(KeyError):
         gd.nodes.find_or_add(n + 7)
+
+
+def test_device_graph_auto_routing_stays_on_device(rng):
+    """'auto' must not route an unmaterialized device-resident graph to
+    the host engine: the host path would first download the whole COO
+    through the tunnel, inverting from_device_edges' nothing-crosses-
+    the-host-boundary promise. Once mirrors exist, tiny graphs route
+    host again."""
+    from muninn_tpu.graph import Graph
+
+    n, e = 150, 800
+    gd = Graph.from_device_edges(
+        rng.integers(0, n, e), rng.integers(0, n, e), num_nodes=n
+    )
+    assert gd._use_host("auto", 0.0) is False
+    pr = gd.pagerank(as_array=True)  # default backend='auto'
+    assert gd._src_np is None        # no mirror download happened
+    assert abs(float(pr.sum()) - 1.0) < 1e-3
+    _ = gd._src                      # materialize mirrors explicitly
+    assert gd._use_host("auto", 0.0) is True

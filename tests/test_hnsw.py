@@ -537,3 +537,47 @@ def test_hnsw_beam_topm_recall(rng):
     r_topm = recall(run(8))
     assert r_topm >= r_full - 0.02, (r_full, r_topm)
     assert r_full > 0.7
+
+
+def test_search_degree_slices_cached_and_consistent(rng):
+    """search_degree slices the neighbor/packed tables once and caches
+    them (re-slicing the multi-GB packed table per call would copy it
+    on device every search); the cache invalidates when the knob or the
+    source tables change."""
+    n, d = 3000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:32] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+    idx = HnswIndex(d, "cosine", m=8, ef_construction=64,
+                    wave_size=4096, capacity=2 * n)
+    idx.insert(np.arange(n), x)
+    idx.exact_small_n = 0
+    idx.search_bf16 = True     # production fused path (honors the knobs)
+    idx.pack_neighbors()
+    idx.search_degree = 8
+    ids1, _ = idx.search(q, k=10, ef_search=32)
+    cache1 = idx._sd_cache
+    assert cache1 is not None and cache1[4].shape[1] == 8
+    ids2, _ = idx.search(q, k=10, ef_search=32)
+    assert idx._sd_cache is cache1  # second call reused the slices
+    np.testing.assert_array_equal(ids1, ids2)
+    # searched-degree results stay usable (rows are distance-sorted, so
+    # the first 8 of 16 are the closest half; random unclustered data
+    # is the hard case — the knob trades some recall for throughput)
+    flat = FlatIndex(d, "cosine", use_pallas=False)
+    flat.insert(np.arange(n), x)
+    true_ids, _ = flat.search(q, k=10)
+    hits = sum(
+        len(set(a[a >= 0]) & set(b[b >= 0]))
+        for a, b in zip(ids1, true_ids)
+    )
+    assert hits / (len(q) * 10) >= 0.6
+    # knob change -> fresh slices
+    idx.search_degree = 12
+    idx.search(q, k=10, ef_search=32)
+    assert idx._sd_cache is not cache1 and idx._sd_cache[4].shape[1] == 12
+    # mutation swaps the source tables -> fresh slices again
+    cache2 = idx._sd_cache
+    idx.insert(np.arange(n, n + 4), x[:4])
+    idx.search(q, k=10, ef_search=32)
+    assert idx._sd_cache is not cache2

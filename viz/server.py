@@ -125,8 +125,8 @@ cv.addEventListener('click', ev => {
 });
 document.getElementById('search').addEventListener('change', ev => {
   const q = ev.target.value.trim().toLowerCase();
-  const n = q && (nodes.find(n => n.id.toLowerCase() === q) ||
-                  nodes.find(n => n.id.toLowerCase().includes(q)));
+  const n = q && (nodes.find(n => String(n.id).toLowerCase() === q) ||
+                  nodes.find(n => String(n.id).toLowerCase().includes(q)));
   select(n || null);
   if (n){ n.x = cv.width/2; n.y = cv.height/2; n.vx = n.vy = 0; }
 });
