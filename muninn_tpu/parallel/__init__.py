@@ -6,6 +6,8 @@ from muninn_tpu.parallel.sharded import (
     sharded_exact_search,
     sharded_ivf_search,
     shard_ivf,
+    sharded_hnsw_search,
+    shard_hnsw,
     sharded_bfs_depths,
     sharded_components,
     sharded_pagerank,
@@ -24,6 +26,8 @@ __all__ = [
     "sharded_exact_search",
     "sharded_ivf_search",
     "shard_ivf",
+    "sharded_hnsw_search",
+    "shard_hnsw",
     "sharded_bfs_depths",
     "sharded_components",
     "sharded_pagerank",

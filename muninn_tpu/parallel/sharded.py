@@ -226,6 +226,154 @@ def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
     return search
 
 
+def sharded_hnsw_search(
+    queries: jax.Array,       # [B, d] f32
+    vectors: jax.Array,       # [S, cap, d] f32 per-shard stores
+    neighbors0: jax.Array,    # [S, cap, R0] int32 per-shard level-0 graphs
+    pools: jax.Array,         # [S, Mp] int32 promoted slots (-1 pad)
+    valid: jax.Array,         # [S, cap] bool
+    k: int,
+    ef: int,
+    metric: Metric | str,
+    mesh: Mesh,
+    axis: str = "shard",
+    expand: int = 8,
+):
+    """Scatter-gather ANN over per-shard HNSW graphs (the multi-chip
+    form of ``HnswIndex.search``; the classic sharded-graph-ANN
+    pattern the reference has no analogue for, SURVEY.md §2.4).
+
+    Each chip owns one independent level-0 graph over its slice of the
+    corpus: exact routing over the shard's promoted pool seeds the
+    batched beam (``index/hnsw._route_entries``), the beam runs
+    entirely shard-local (``_beam_search_level0`` over f32 vectors, so
+    per-shard distances are already exact — no rescore tier), and an
+    ``all_gather`` of the [B, k] partials + merge yields the global
+    top-k. Communication is O(B*k*n_shards), never O(B*ef).
+
+    Returns (dists [B, k], global slots [B, k]) replicated; a global
+    slot is ``shard * cap + local_slot`` (decode via the wrapper from
+    :func:`shard_hnsw`). Empty shards (all-(-1) pools) contribute only
+    +inf rows and are merged away.
+    """
+    from muninn_tpu.index.hnsw import _beam_search_level0, _route_entries
+
+    metric = parse_metric(metric)
+    nsh = mesh.devices.size
+    if vectors.shape[0] != nsh:
+        raise ValueError(
+            f"{vectors.shape[0]} shard slices for a {nsh}-device mesh"
+        )
+    cap = vectors.shape[1]
+    r = min(8, ef)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(axis, None, None), P(axis, None, None),
+                  P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+    )
+    def _search(q, v_l, n_l, pool_l, ok_l):
+        b = q.shape[0]
+        v0, n0, p0, ok0 = v_l[0], n_l[0], pool_l[0], ok_l[0]
+        entries = _route_entries(q, v0, p0, metric, r)       # [B, r]
+        beam_d, beam_i = _beam_search_level0(
+            q, entries, v0, n0, metric, ef, expand
+        )
+        live = (beam_i >= 0) & ok0[jnp.maximum(beam_i, 0)]
+        beam_d = jnp.where(live, beam_d, jnp.inf)
+        beam_i = jnp.where(live, beam_i, -1)
+        ld, li = sorted_topk_unique(beam_d, beam_i, k)       # [B, k] local
+        my = jax.lax.axis_index(axis)
+        gi_local = jnp.where(li >= 0, my * cap + li, -1)
+        gd = jax.lax.all_gather(ld, axis)                    # [S, B, k]
+        gi = jax.lax.all_gather(gi_local, axis)
+        gd = jnp.moveaxis(gd, 0, 1).reshape(b, -1)
+        gi = jnp.moveaxis(gi, 0, 1).reshape(b, -1)
+        return sorted_topk_unique(gd, gi, k)
+
+    return _search(queries, vectors, neighbors0, pools, valid)
+
+
+def shard_hnsw(indexes, mesh: Mesh | None = None, axis: str = "shard"):
+    """Distribute per-shard ``HnswIndex`` graphs over a mesh and return
+    ``search(queries, k=10, ef_search=None) -> (dists, external ids)``
+    (numpy, ids decoded through each shard's store; -1 = no result).
+
+    ``indexes`` is one built ``HnswIndex`` per mesh device (same dim +
+    metric; capacities may differ — slices are padded to the largest).
+    The per-shard graphs stay independent (insert/delete churn goes to
+    the owning index; re-call ``shard_hnsw`` to re-place after churn).
+    """
+    mesh = mesh or make_mesh(axis=axis)
+    nsh = mesh.devices.size
+    if len(indexes) != nsh:
+        raise ValueError(f"{len(indexes)} indexes for a {nsh}-device mesh")
+    dim = indexes[0].dim
+    metric = indexes[0].metric
+    if any(ix.dim != dim or ix.metric is not metric for ix in indexes):
+        raise ValueError("all shards must share dim and metric")
+    cap = max(ix.store.capacity for ix in indexes)
+    r0 = max(ix.neighbors0.shape[1] for ix in indexes)
+
+    def pool_of(ix) -> np.ndarray:
+        p = ix._routing_pool()
+        if p is not None:
+            return np.asarray(p)
+        if ix.entry_point >= 0:  # tiny graph: seed from the entry point
+            return np.array([ix.entry_point], np.int32)
+        return np.array([-1], np.int32)  # empty shard
+
+    raw_pools = [pool_of(ix) for ix in indexes]
+    mp = max(len(p) for p in raw_pools)
+
+    def padded(x, shape, fill):
+        out = np.full(shape, fill, np.asarray(x).dtype)
+        out[tuple(slice(0, s) for s in np.asarray(x).shape)] = x
+        return out
+
+    vecs = jnp.asarray(np.stack([
+        padded(np.asarray(ix.store.vectors, np.float32), (cap, dim), 0.0)
+        for ix in indexes
+    ]))
+    nbrs = jnp.asarray(np.stack([
+        padded(np.asarray(ix.neighbors0), (cap, r0), -1) for ix in indexes
+    ]))
+    pools = jnp.asarray(np.stack([
+        padded(p, (mp,), -1) for p in raw_pools
+    ]))
+    valid = jnp.asarray(np.stack([
+        padded(np.asarray(ix.store.valid), (cap,), False) for ix in indexes
+    ]))
+    spec = jax.sharding.NamedSharding(mesh, P(axis, None, None))
+    spec2 = jax.sharding.NamedSharding(mesh, P(axis, None))
+    vecs = jax.device_put(vecs, spec)
+    nbrs = jax.device_put(nbrs, spec)
+    pools = jax.device_put(pools, spec2)
+    valid = jax.device_put(valid, spec2)
+
+    def search(queries, k: int = 10, ef_search: int | None = None):
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        ef = max(ef_search or k * 2, k)
+        gd, gi = sharded_hnsw_search(
+            q, vecs, nbrs, pools, valid, k, ef, metric, mesh, axis,
+        )
+        gd = np.asarray(gd)
+        gi = np.asarray(gi)
+        ids = np.full(gi.shape, -1, np.int64)
+        for s, ix in enumerate(indexes):
+            mine = (gi >= s * cap) & (gi < (s + 1) * cap)
+            if mine.any():
+                ids[mine] = ix.store.ids_of(gi[mine] - s * cap)
+        return gd, ids
+
+    return search
+
+
 def sharded_sgns_step(
     syn0: jax.Array,         # [V, D] replicated
     syn1: jax.Array,         # [V, D] replicated

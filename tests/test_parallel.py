@@ -302,3 +302,84 @@ def test_sharded_bfs_depths_matches_host(rng):
         jnp.asarray(seeds), v, mesh, max_iters=v,
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_shard_hnsw_recall_and_id_decode(rng):
+    """Scatter-gather HNSW over 8 per-shard graphs: recall vs the exact
+    oracle, and global-slot -> external-id decoding through each
+    shard's own store."""
+    from muninn_tpu.index.hnsw import HnswIndex
+    from muninn_tpu.parallel import shard_hnsw
+
+    mesh = make_mesh()
+    nsh = mesh.devices.size
+    n, d, k = 4000, 32, 10
+    centers = rng.standard_normal((40, d)).astype(np.float32)
+    x = centers[rng.integers(0, 40, n)] + 0.25 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.integers(0, n, 32)] + 0.05 * rng.standard_normal(
+        (32, d)
+    ).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    # external ids offset per shard so decoding is actually exercised
+    per = n // nsh
+    indexes = []
+    for s in range(nsh):
+        ix = HnswIndex(d, "cosine", m=8, ef_construction=64,
+                       wave_size=4096, capacity=per + 64)
+        ix.insert(np.arange(per) + 100_000 * (s + 1), x[s * per:(s + 1) * per])
+        indexes.append(ix)
+
+    search = shard_hnsw(indexes, mesh)
+    gd, ids = search(q, k=k, ef_search=32)
+    assert gd.shape == ids.shape == (32, k)
+    assert (np.diff(gd, axis=1) >= -1e-6).all()  # sorted ascending
+
+    # oracle over the full corpus with the same external-id scheme
+    ext = np.concatenate([
+        np.arange(per) + 100_000 * (s + 1) for s in range(nsh)
+    ])
+    sims = q @ x.T
+    want = ext[np.argsort(-sims, axis=1)[:, :k]]
+    hits = sum(len(set(a[a >= 0]) & set(b)) for a, b in zip(ids, want))
+    assert hits / (32 * k) >= 0.9
+
+    # exact lookup of a stored vector lands on its own external id
+    gd1, ids1 = search(x[3], k=1, ef_search=16)
+    assert ids1[0, 0] == 100_000 + 3 and gd1[0, 0] < 1e-5
+
+
+def test_shard_hnsw_uneven_and_empty_shards(rng):
+    """Different capacities, a tiny (no promoted pool) shard, and empty
+    shards must all merge cleanly."""
+    from muninn_tpu.index.hnsw import HnswIndex
+    from muninn_tpu.parallel import shard_hnsw
+
+    mesh = make_mesh()
+    nsh = mesh.devices.size
+    d = 16
+    x = rng.standard_normal((300, d)).astype(np.float32)
+    indexes = []
+    for s in range(nsh):
+        ix = HnswIndex(d, "l2", m=4, ef_construction=32,
+                       wave_size=256, capacity=64 * (s % 3 + 1))
+        if s == 0:
+            ix.insert(np.arange(300, 600), x[:300])   # full shard
+        elif s == 1:
+            ix.insert([7, 8, 9], x[:3])               # tiny: no pool
+        indexes.append(ix)                            # s >= 2: empty
+
+    search = shard_hnsw(indexes, mesh)
+    gd, ids = search(x[:8], k=5, ef_search=16)
+    assert ids.shape == (8, 5)
+    assert (ids[:, 0] >= 0).all()
+    # row 0 of the corpus lives in shard 0 (id 300) AND shard 1 (id 7):
+    # both must surface at distance ~0
+    top2 = set(ids[0, :2].tolist())
+    assert top2 == {300, 7}
+    assert gd[0, 0] < 1e-6 and gd[0, 1] < 1e-6
+    live = {*range(300, 600), 7, 8, 9, -1}
+    assert set(ids.ravel().tolist()) <= live
