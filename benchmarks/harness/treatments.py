@@ -439,6 +439,46 @@ def run_kg_extract(params, rng, emit):
     )
 
 
+@treatment("kg_re", lambda sizes: [{"n_docs": 200, "backend": "echo"}])
+def run_kg_re(params, rng, emit):
+    """Relation-extraction quality + throughput: micro precision /
+    recall / F1 of extracted (head, relation, tail) triples against the
+    docs' gold triples (the reference's dedicated kg_re treatment,
+    ``benchmarks/harness/treatments/kg_re.py`` role — distinct from
+    kg_extract, which measures the joint NER+RE surface's throughput)."""
+    from muninn_tpu.models.chat import load_chat_model
+    from muninn_tpu.models.registry import registry
+    from muninn_tpu.text import extract_relations
+
+    if "harness-chat" not in registry.names():
+        load_chat_model("harness-chat")
+    docs, gold = [], []
+    for i in range(params["n_docs"]):
+        h, t, p = f"Firm{i}", f"Unit{i % 31}", f"City{i % 7}"
+        docs.append(f"{h} acquired {t} based in {p}.")
+        gold.append({(h, "acquired", t), (t, "based in", p)})
+    t0 = time.time()
+    preds = [
+        {
+            (r["head"], r["relation"], r["tail"])
+            for r in extract_relations("harness-chat", d)["relations"]
+        }
+        for d in docs
+    ]
+    s = time.time() - t0
+    tp = sum(len(p & g) for p, g in zip(preds, gold))
+    np_, ng = sum(map(len, preds)), sum(map(len, gold))
+    prec = tp / np_ if np_ else 0.0
+    rec = tp / ng if ng else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    emit(
+        dict(params),
+        {"docs_per_s": len(docs) / s, "triple_precision": prec,
+         "triple_recall": rec, "triple_f1": f1},
+        s,
+    )
+
+
 @treatment(
     "kg_resolve",
     lambda sizes: [{"n_entities": 3 * max(n // 3, 100)} for n in sizes],

@@ -58,3 +58,13 @@ def test_kg_resolve_merges_case_and_abbrev_variants(rng):
     _, m, _ = recs[0]
     assert m["triple_merge_rate"] >= 0.9
     np.testing.assert_allclose(m["entities_per_s"] > 0, True)
+
+
+def test_kg_re_treatment_scores_triples(rng):
+    recs = _run("kg_re", {"n_docs": 30, "backend": "echo"}, rng)
+    _, m, _ = recs[0]
+    # the echo backend extracts exactly the 'X <verb> Y' pattern the
+    # gold docs embed, so the quality gate is tight
+    assert m["triple_f1"] >= 0.95
+    assert m["triple_precision"] >= 0.95 and m["triple_recall"] >= 0.95
+    assert m["docs_per_s"] > 0

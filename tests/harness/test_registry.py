@@ -11,8 +11,8 @@ from benchmarks.harness.registry import (
 def test_registry_has_all_treatment_families():
     assert {
         "vss", "graph_traversal", "graph_centrality", "graph_community",
-        "graph_vt", "node2vec", "embed", "kg_extract", "kg_resolve",
-        "kg_graphrag",
+        "graph_vt", "node2vec", "embed", "kg_extract", "kg_re",
+        "kg_resolve", "kg_graphrag",
     } <= set(REGISTRY)
 
 
