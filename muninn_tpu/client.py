@@ -147,6 +147,7 @@ class EngineClient:
         m: int = 16,
         ef_construction: int = 200,
         precision: str = "highest",  # flat only
+        proj_dim: int = 128,         # flat proj_rescored only
         cluster_size: int = 128,     # ivf only
         nprobe: int = 8,             # ivf only
         rescore_r: int = 32,         # ivf only
@@ -155,7 +156,8 @@ class EngineClient:
         self._request("/index/create", {
             "name": name, "dim": dim, "metric": metric, "kind": kind,
             "m": m, "ef_construction": ef_construction,
-            "precision": precision, "cluster_size": cluster_size,
+            "precision": precision, "proj_dim": proj_dim,
+            "cluster_size": cluster_size,
             "nprobe": nprobe, "rescore_r": rescore_r, "quant": quant,
         })
         return RemoteIndex(self, name)

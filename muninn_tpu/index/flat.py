@@ -25,6 +25,8 @@ from muninn_tpu.ops.pallas_flat import (
     flat_topk,
     flat_topk_int8,
     flat_topk_int8_rescored,
+    flat_topk_proj_rescored,
+    proj_basis,
 )
 from muninn_tpu.index.store import VectorStore
 
@@ -111,23 +113,30 @@ class FlatIndex:
         capacity: int = 1024,
         use_pallas: bool | None = None,
         precision: str = "highest",
+        proj_dim: int = 128,
     ):
         """``precision``: "highest" (exact f32 ranking, the default),
         "default" (single bf16 MXU pass, ~2x faster, ranking-accurate
-        for embedding workloads), "bfloat16" (bf16 inputs), or
+        for embedding workloads), "bfloat16" (bf16 inputs),
         "int8_rescored" (int8 shadow stream retrieves top-16
         candidates at 2x the MXU rate + 1/4 the HBM bytes, exact f32
         rescore picks the final k — measured recall 0.9998 @ 1M x 768
-        vs 0.979 for the bf16 pass; cosine/ip only)."""
+        vs 0.979 for the bf16 pass; cosine/ip only), or
+        "proj_rescored" (int8 stream over a learned ``proj_dim``-d
+        uncentered-PCA projection — ``proj_dim/d`` of the int8 scan
+        bytes — retrieves top-``rescore_r`` by projected dot, exact
+        f32 rescore picks the final k; cosine/ip only)."""
         self.metric = parse_metric(metric)
         self.store = VectorStore(dim, capacity)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.precision = precision
-        self.rescore_r = 16
+        self.rescore_r = 32 if precision == "proj_rescored" else 16
+        self.proj_dim = int(proj_dim)
         self.tune_report: dict[int, float] = {}
-        self._i8 = None  # (values, scales) shadow for int8_rescored
+        self._i8 = None    # (values, scales) shadow for int8_rescored
+        self._proj = None  # (W, values, scales) shadow for proj_rescored
 
     @property
     def dim(self) -> int:
@@ -139,6 +148,7 @@ class FlatIndex:
     def insert(self, ids, vectors) -> None:
         self.store.add(np.asarray(ids, np.int64), vectors)
         self._i8 = None
+        self._proj = None
 
     def delete(self, ids) -> None:
         # no shadow invalidation needed: deletes only flip the valid
@@ -160,6 +170,26 @@ class FlatIndex:
             self._i8 = (vi, sc.astype(jnp.float32))
         return self._i8
 
+    def _ensure_proj(self, corpus, hw):
+        """Build (or refresh) the projected-int8 shadow for
+        ``proj_rescored``: uncentered-PCA basis from the corpus itself,
+        rows (cosine: normalized, then) projected and symmetrically
+        int8-quantized with one f32 scale per row."""
+        if self._proj is None or self._proj[1].shape[0] != hw:
+            v = corpus
+            if self.metric is Metric.COSINE:
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30
+                )
+            w = proj_basis(v, min(self.proj_dim, self.dim))
+            vp = v @ w                                       # [hw, dp]
+            sc = jnp.max(jnp.abs(vp), axis=1) / 127.0
+            vi = jnp.clip(
+                jnp.round(vp / jnp.maximum(sc[:, None], 1e-30)), -127, 127
+            ).astype(jnp.int8)
+            self._proj = (w, vi, sc.astype(jnp.float32))
+        return self._proj
+
     def tune_rescore_r(
         self,
         queries=None,
@@ -170,23 +200,26 @@ class FlatIndex:
         sample: int = 512,
         seed: int = 0,
     ) -> int:
-        """Autotune the ``int8_rescored`` retrieve width per corpus:
-        probe recall of each ladder ``r`` on held-out queries and keep
-        the smallest one clearing ``target_recall`` (the faster point —
+        """Autotune the rescored-mode retrieve width per corpus: probe
+        recall of each ladder ``r`` on held-out queries and keep the
+        smallest one clearing ``target_recall`` (the faster point —
         e.g. r=12 measures ~1.12x the r=16 rate at 1M x 768 when the
         corpus tolerates it). One r_max retrieval yields the whole
         curve (see ``pick_rescore_r``). Sets ``self.rescore_r`` and
         ``self.tune_report`` ({r: recall}); returns the chosen r.
+        Applies to ``int8_rescored`` and ``proj_rescored``.
 
         ``queries=None`` samples up to ``sample`` live corpus rows and
         perturbs them (the held-out same-distribution methodology of
         the benchmark harness)."""
-        if self.precision != "int8_rescored":
-            raise ValueError("tune_rescore_r applies to precision='int8_rescored'")
+        if self.precision not in ("int8_rescored", "proj_rescored"):
+            raise ValueError(
+                "tune_rescore_r applies to precision='int8_rescored'"
+                " or 'proj_rescored'"
+            )
         hw = max(self.store.high_watermark, 1)
         corpus = self.store.vectors[:hw]
         valid = self.store.valid[:hw]
-        vi, sc = self._ensure_i8(corpus, hw)
 
         if queries is None:
             live = np.flatnonzero(np.asarray(valid))
@@ -205,10 +238,23 @@ class FlatIndex:
 
         interpret = jax.default_backend() != "tpu"
         r_max = max(max(ladder), k)
-        _, cand = flat_topk_int8(
-            q, vi, sc, r_max, metric=self.metric, corpus_valid=valid,
-            interpret=interpret,
-        )
+        if self.precision == "proj_rescored":
+            w, vi, sc = self._ensure_proj(corpus, hw)
+            qs = q
+            if self.metric is Metric.COSINE:
+                qs = qs / jnp.maximum(
+                    jnp.linalg.norm(qs, axis=1, keepdims=True), 1e-30
+                )
+            _, cand = flat_topk_int8(
+                qs @ w, vi, sc, r_max, metric=Metric.INNER_PRODUCT,
+                corpus_valid=valid, interpret=interpret,
+            )
+        else:
+            vi, sc = self._ensure_i8(corpus, hw)
+            _, cand = flat_topk_int8(
+                q, vi, sc, r_max, metric=self.metric, corpus_valid=valid,
+                interpret=interpret,
+            )
         if self.use_pallas:
             _, true_slots = flat_topk(
                 q, corpus, k, metric=self.metric, corpus_valid=valid,
@@ -246,6 +292,16 @@ class FlatIndex:
             vi, sc = self._ensure_i8(corpus, hw)
             return flat_topk_int8_rescored(
                 q, corpus, vi, sc, k,
+                r=max(self.rescore_r, k), metric=self.metric,
+                corpus_valid=valid,
+                interpret=jax.default_backend() != "tpu",
+            )
+        if self.precision == "proj_rescored":
+            if self.metric is Metric.L2:
+                raise ValueError("proj_rescored supports cosine/inner_product")
+            w, vi, sc = self._ensure_proj(corpus, hw)
+            return flat_topk_proj_rescored(
+                q, corpus, w, vi, sc, k,
                 r=max(self.rescore_r, k), metric=self.metric,
                 corpus_valid=valid,
                 interpret=jax.default_backend() != "tpu",

@@ -523,3 +523,84 @@ def flat_topk_int8_rescored(
     d = gathered_distances(q, cv, metric)
     d = jnp.where(cand >= 0, d, jnp.inf)
     return sorted_topk_unique(d, cand, k)
+
+
+def proj_basis(corpus: jax.Array, dp: int, chunk: int = 65536) -> jax.Array:
+    """Top-``dp`` UNCENTERED principal directions of ``corpus`` as a
+    ``[d, dp]`` f32 projection matrix.
+
+    Uncentered on purpose: the projected retrieve ranks by the
+    projected dot product, and ``q @ x ~= (W.T q) @ (W.T x)`` holds
+    when ``W`` spans the data's second-moment subspace (``x ~= W W.T
+    x``); mean-centering would break that identity for dot/cosine
+    ranking. The d x d second-moment matrix accumulates over corpus
+    chunks (peak memory [chunk, d]), then one ``eigh`` — O(d^3) on a
+    768-d space is microseconds of MXU time.
+    """
+    n, d = corpus.shape
+    if not 0 < dp <= d:
+        raise ValueError(f"proj dim {dp} must be in (0, {d}]")
+    pad = (-n) % chunk
+    x = jnp.pad(corpus.astype(jnp.float32), ((0, pad), (0, 0)))
+    nc = x.shape[0] // chunk
+
+    def body(m, xc):
+        return m + xc.T @ xc, None
+
+    m, _ = jax.lax.scan(
+        body, jnp.zeros((d, d), jnp.float32), x.reshape(nc, chunk, d)
+    )
+    _, vecs = jnp.linalg.eigh(m)          # ascending eigenvalues
+    return vecs[:, -dp:][:, ::-1]          # [d, dp], leading first
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "r", "metric", "tb", "tc", "interpret"),
+)
+def flat_topk_proj_rescored(
+    queries: jax.Array,       # [B, d] f32
+    corpus: jax.Array,        # [N, d] f32 store (exact rescore source)
+    proj: jax.Array,          # [d, dp] f32 projection basis (proj_basis)
+    proj_i8: jax.Array,       # [N, dp] int8 projected rows
+    proj_scale: jax.Array,    # [N] f32 per-row dequant scales
+    k: int,
+    r: int = 32,
+    *,
+    metric: Metric | str = Metric.COSINE,
+    corpus_valid: jax.Array | None = None,
+    tb: int = 256,
+    tc: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-tier search through a learned low-dim projection: the int8
+    PROJECTED stream (``dp/d`` of the int8 bytes — e.g. 6x less HBM
+    traffic at 768 -> 128) retrieves top-``r`` by projected dot
+    product, and the exact f32 rescore of the surviving ``[B, r]`` rows
+    picks the final ``k``. The TPU-native take on the PQ/ADC scan: a
+    per-code LUT gather is transaction-bound on TPU, while a dense
+    projection keeps the whole retrieve on the MXU. cosine /
+    inner_product (the projected surrogate ranks by dot; for cosine the
+    rows are normalized before projection so dot == cosine).
+    """
+    from muninn_tpu.ops.distance import gathered_distances
+    from muninn_tpu.ops.topk import sorted_topk_unique
+
+    metric = parse_metric(metric)
+    if metric is Metric.L2:
+        raise ValueError("proj_rescored supports cosine/inner_product")
+    q = queries.astype(jnp.float32)
+    if metric is Metric.COSINE:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    qp = q @ proj                                           # [B, dp]
+    # retrieve by projected dot: INNER_PRODUCT ranking regardless of
+    # the original metric (projected norms are not 1, and the rescore
+    # re-ranks with the true metric anyway)
+    _, cand = flat_topk_int8(
+        qp, proj_i8, proj_scale, r, metric=Metric.INNER_PRODUCT,
+        corpus_valid=corpus_valid, tb=tb, tc=tc, interpret=interpret,
+    )
+    cv = corpus[jnp.maximum(cand, 0)]                       # [B, r, d]
+    d = gathered_distances(q, cv, metric)
+    d = jnp.where(cand >= 0, d, jnp.inf)
+    return sorted_topk_unique(d, cand, k)

@@ -58,6 +58,7 @@ class EngineServer:
             idx = FlatIndex(
                 body["dim"], body.get("metric", "l2"),
                 precision=body.get("precision", "highest"),
+                proj_dim=body.get("proj_dim", 128),
             )
         elif kind == "quantized":
             idx = QuantizedFlatIndex(body["dim"], body.get("metric", "cosine"))

@@ -312,3 +312,100 @@ def test_search_device_matches_search_all_engines(rng):
         # single-query path still returns 1-D
         one_ids, one_d = idx.search(q[0], k=k)
         assert one_ids.shape == (k,) and one_d.shape == (k,)
+
+
+def test_proj_basis_properties(rng):
+    """Uncentered-PCA basis: orthonormal columns, and projected dots
+    approximate original dots on data living near a low-dim subspace."""
+    from muninn_tpu.ops.pallas_flat import proj_basis
+
+    # data on a 12-dim subspace of 64-d + small noise
+    core = rng.standard_normal((400, 12)).astype(np.float32)
+    lift = rng.standard_normal((12, 64)).astype(np.float32)
+    x = core @ lift + 0.01 * rng.standard_normal((400, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    w = np.asarray(proj_basis(jnp.asarray(x), 16, chunk=128))
+    assert w.shape == (64, 16)
+    np.testing.assert_allclose(w.T @ w, np.eye(16), atol=1e-4)
+    xp = x @ w
+    dots = x[:50] @ x[50:100].T
+    dots_p = xp[:50] @ xp[50:100].T
+    np.testing.assert_allclose(dots_p, dots, atol=0.02)
+    import pytest
+
+    with pytest.raises(ValueError):
+        proj_basis(jnp.asarray(x), 0)
+
+
+def test_proj_rescored_precision_mode(rng):
+    """FlatIndex precision='proj_rescored': int8 projected retrieve +
+    exact f32 rescore — near-exact recall on clustered data at a
+    fraction of the scan bytes; exact distances for returned ids."""
+    import pytest
+
+    n, d, k = 800, 96, 10
+    centers = rng.standard_normal((12, d)).astype(np.float32)
+    x = centers[rng.integers(0, 12, n)] + 0.3 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:32] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+
+    exact = FlatIndex(d, "cosine")
+    exact.insert(np.arange(n), x)
+    tid, tdist = exact.search(q, k=k)
+
+    idx = FlatIndex(d, "cosine", precision="proj_rescored", proj_dim=32)
+    idx.insert(np.arange(n), x)
+    idx.rescore_r = 48
+    ids, dist = idx.search(q, k=k)
+    recall = np.mean([
+        len(set(a[a >= 0]) & set(b[b >= 0])) / k for a, b in zip(ids, tid)
+    ])
+    assert recall >= 0.95, recall
+    for a, da, b, db in zip(ids, dist, tid, tdist):
+        for cid in set(a) & set(b):
+            ia = list(a).index(cid); ib = list(b).index(cid)
+            assert abs(da[ia] - db[ib]) < 1e-5
+    # churn: insert invalidates the shadow (basis + rows refresh)
+    assert idx._proj is not None
+    idx.insert([n], x[:1] * -1.0)
+    assert idx._proj is None
+    _ = idx.search(q[:1], k=k)
+    assert idx._proj is not None and idx._proj[1].shape[0] == n + 1
+    # deletes respected without shadow rebuild
+    idx.delete(tid[0][:3])
+    ids2, _ = idx.search(q[:1], k=k)
+    assert not (set(tid[0][:3]) & set(ids2[0]))
+    # L2 is rejected
+    bad = FlatIndex(d, "l2", precision="proj_rescored")
+    bad.insert(np.arange(4), x[:4])
+    with pytest.raises(ValueError):
+        bad.search(q[:1], k=2)
+
+
+def test_tune_rescore_r_proj_mode(rng):
+    """The r-autotune works on the projected mode: the candidate
+    prefix-containment curve drives the choice, and the chosen r
+    clears the target recall end to end."""
+    n, d, k = 600, 64, 10
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    x = centers[rng.integers(0, 8, n)] + 0.3 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = FlatIndex(d, "cosine", precision="proj_rescored", proj_dim=24)
+    idx.insert(np.arange(n), x)
+    r = idx.tune_rescore_r(k=k, target_recall=0.98, sample=64, seed=3)
+    assert r == idx.rescore_r and r >= k
+    assert idx.tune_report[r] >= 0.98 or r == max(idx.tune_report)
+
+    exact = FlatIndex(d, "cosine")
+    exact.insert(np.arange(n), x)
+    q = x[:32] + 0.05 * rng.standard_normal((32, d)).astype(np.float32)
+    tid, _ = exact.search(q, k=k)
+    ids, _ = idx.search(q, k=k)
+    recall = np.mean([
+        len(set(a[a >= 0]) & set(b[b >= 0])) / k for a, b in zip(ids, tid)
+    ])
+    assert recall >= 0.9
