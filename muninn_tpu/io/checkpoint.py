@@ -133,6 +133,11 @@ def save_flat(index, path: str | os.PathLike) -> None:
             "metric": index.metric.value,
             "high_watermark": store.high_watermark,
             "count": len(store),
+            # search-mode config: shadows (int8/proj) are derived and
+            # rebuild lazily on first search after load
+            "precision": index.precision,
+            "proj_dim": index.proj_dim,
+            "rescore_r": index.rescore_r,
         },
     )
 
@@ -143,7 +148,13 @@ def load_flat(path: str | os.PathLike):
     p = Path(path)
     m = _read_manifest(p, "flat")
     z = np.load(p / "arrays.npz")
-    idx = FlatIndex(m["dim"], m["metric"], capacity=z["vectors"].shape[0])
+    idx = FlatIndex(
+        m["dim"], m["metric"], capacity=z["vectors"].shape[0],
+        precision=m.get("precision", "highest"),
+        proj_dim=m.get("proj_dim", 128),
+    )
+    if "rescore_r" in m:
+        idx.rescore_r = int(m["rescore_r"])
     st = idx.store
     st.vectors = jnp.asarray(z["vectors"])
     st.valid = jnp.asarray(z["valid"])

@@ -363,3 +363,28 @@ def test_ivf_save_load_unbuilt(rng, tmp_path):
     idx2 = load_ivf(tmp_path / "u")
     got_ids, _ = idx2.search(q, k=3)
     np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_flat_checkpoint_preserves_precision_mode(rng, tmp_path):
+    """A rescored-mode FlatIndex must come back in the same mode (the
+    manifest persists precision/proj_dim/rescore_r; shadows rebuild
+    lazily) — a silent revert to 'highest' would change the engine's
+    cost/recall profile under the caller."""
+    from muninn_tpu.index.flat import FlatIndex
+    from muninn_tpu.io.checkpoint import load_flat, save_flat
+
+    n, d = 300, 64
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = FlatIndex(d, "cosine", precision="proj_rescored", proj_dim=24)
+    idx.insert(np.arange(n), x)
+    idx.rescore_r = 48
+    ids0, d0 = idx.search(x[:8], k=5)
+
+    save_flat(idx, tmp_path / "flat")
+    back = load_flat(tmp_path / "flat")
+    assert back.precision == "proj_rescored"
+    assert back.proj_dim == 24 and back.rescore_r == 48
+    ids1, d1 = back.search(x[:8], k=5)
+    np.testing.assert_array_equal(ids1, ids0)
+    np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-6)
