@@ -495,8 +495,13 @@ def run_kg_resolve(params, rng, emit):
     model = HashEmbedModel(dim=96)
     idx = FlatIndex(96, "cosine")
     idx.insert(np.arange(len(names)), model.embed(names))
+    # blocker width scales with corpus density: at 30k+ entities the
+    # k=6 neighborhood fills with names sharing 2/3 tokens and crowds
+    # out the true variants (measured: merge rate 0.466 at k=6 vs
+    # 0.973 at k=12 on 30k entities; 0.062 at 99k)
+    k = 6 if params["n_entities"] <= 10_000 else 12
     t0 = time.time()
-    res = resolve_entities(ents, idx, k=6, dist_threshold=0.45, jw_weight=0.7)
+    res = resolve_entities(ents, idx, k=k, dist_threshold=0.45, jw_weight=0.7)
     s = time.time() - t0
     clusters = res["clusters"]
     good = sum(
@@ -507,7 +512,7 @@ def run_kg_resolve(params, rng, emit):
     emit(
         dict(params),
         {"resolve_s": s, "entities_per_s": len(names) / s,
-         "triple_merge_rate": good / n_base},
+         "triple_merge_rate": good / n_base, "blocker_k": k},
         s,
     )
 

@@ -19,7 +19,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from muninn_tpu.ops.distance import Metric, parse_metric, pairwise_distances
+from muninn_tpu.ops.distance import (
+    Metric,
+    parse_metric,
+    pairwise_distances,
+    quantize_rows_int8,
+)
 from muninn_tpu.ops.topk import masked_topk, merge_topk
 from muninn_tpu.ops.pallas_flat import (
     flat_topk,
@@ -131,6 +136,14 @@ class FlatIndex:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        allowed = ("highest", "default", "bfloat16", "int8_rescored",
+                   "proj_rescored")
+        if precision not in allowed:
+            # an unknown string would flow into flat_topk and silently
+            # rank with the approximate bf16 pass
+            raise ValueError(
+                f"precision must be one of {allowed}, got {precision!r}"
+            )
         self.precision = precision
         self.rescore_r = 32 if precision == "proj_rescored" else 16
         self.proj_dim = int(proj_dim)
@@ -158,16 +171,9 @@ class FlatIndex:
     def _ensure_i8(self, corpus, hw):
         """Build (or refresh) the int8 shadow for ``int8_rescored``."""
         if self._i8 is None or self._i8[0].shape[0] != hw:
-            v = corpus
-            if self.metric is Metric.COSINE:
-                v = v / jnp.maximum(
-                    jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30
-                )
-            sc = jnp.max(jnp.abs(v), axis=1) / 127.0
-            vi = jnp.clip(
-                jnp.round(v / jnp.maximum(sc[:, None], 1e-30)), -127, 127
-            ).astype(jnp.int8)
-            self._i8 = (vi, sc.astype(jnp.float32))
+            self._i8 = quantize_rows_int8(
+                corpus, normalize=self.metric is Metric.COSINE
+            )
         return self._i8
 
     def _ensure_proj(self, corpus, hw):
@@ -182,12 +188,8 @@ class FlatIndex:
                     jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30
                 )
             w = proj_basis(v, min(self.proj_dim, self.dim))
-            vp = v @ w                                       # [hw, dp]
-            sc = jnp.max(jnp.abs(vp), axis=1) / 127.0
-            vi = jnp.clip(
-                jnp.round(vp / jnp.maximum(sc[:, None], 1e-30)), -127, 127
-            ).astype(jnp.int8)
-            self._proj = (w, vi, sc.astype(jnp.float32))
+            vi, sc = quantize_rows_int8(v @ w)
+            self._proj = (w, vi, sc)
         return self._proj
 
     def tune_rescore_r(
@@ -367,12 +369,9 @@ class QuantizedFlatIndex:
         if len(ids) == 0:
             return  # match FlatIndex/VectorStore.add on the legal no-op
         v = jnp.asarray(vectors, jnp.float32).reshape(len(ids), self.dim)
-        if self.metric is Metric.COSINE:
-            v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-        sc = jnp.max(jnp.abs(v), axis=1) / 127.0                    # [n]
-        vi = jnp.clip(
-            jnp.round(v / jnp.maximum(sc[:, None], 1e-30)), -127, 127
-        ).astype(jnp.int8)
+        vi, sc = quantize_rows_int8(
+            v, normalize=self.metric is Metric.COSINE
+        )
         slots = self.store.add(ids, vi)
         # slots are contiguous (append-only store)
         self.store.scales = jax.lax.dynamic_update_slice(

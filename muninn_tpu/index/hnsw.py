@@ -45,13 +45,18 @@ import jax
 import jax.numpy as jnp
 
 from muninn_tpu.index.store import VectorStore
-from muninn_tpu.ops.pallas_beam import gather_block_dots, gather_block_topm
+from muninn_tpu.ops.pallas_beam import (
+    _sublanes,
+    gather_block_dots,
+    gather_block_topm,
+)
 from muninn_tpu.ops.pallas_flat import flat_topk
 from muninn_tpu.ops.distance import (
     Metric,
     gathered_distances,
     pairwise_distances,
     parse_metric,
+    quantize_rows_int8,
 )
 from muninn_tpu.ops.topk import (
     masked_topk,
@@ -747,9 +752,7 @@ class HnswIndex:
                     pscales[:, :sd] if pscales is not None else None,
                 )
             nbrs0, packed, pscales = c[4], c[5], c[6]
-        sublanes = {2: 16, 1: 32}.get(
-            jnp.dtype(packed.dtype).itemsize, 8
-        ) if packed is not None else 8
+        sublanes = _sublanes(packed.dtype) if packed is not None else 8
         fused = (
             self.beam_fused
             and packed is not None
@@ -857,12 +860,7 @@ class HnswIndex:
 
     def _vecs8(self) -> tuple:
         if self._v8 is None:
-            v = self.store.vectors
-            sc = jnp.max(jnp.abs(v), axis=1) / 127.0
-            vi = jnp.clip(
-                jnp.round(v / jnp.maximum(sc[:, None], 1e-30)), -127, 127
-            ).astype(jnp.int8)
-            self._v8 = (vi, sc.astype(jnp.float32))
+            self._v8 = quantize_rows_int8(self.store.vectors)
         return self._v8
 
     def _pool_vecs(self, pool: jax.Array) -> jax.Array:
@@ -1007,14 +1005,22 @@ class HnswIndex:
         base = int(slots[0])  # bulk slots are contiguous
         chunks_i, chunks_d = [], []
         for s in range(0, n, qb):
-            q = corpus[base + s : base + s + min(qb, n - s)]
+            qn = min(qb, n - s)
+            # pad the tail to a pow2 bucket: a raw remainder is a novel
+            # flat_topk shape = one 30-200 s tunnel compile per distinct
+            # corpus-size remainder (CLAUDE.md bucket rule); pad rows'
+            # outputs are sliced off below
+            bucket = min(qb, 1 << int(np.ceil(np.log2(max(qn, 256)))))
+            q = corpus[base + s : base + s + qn]
+            if qn < bucket:
+                q = jnp.pad(q, ((0, bucket - qn), (0, 0)))
             dd, ii = flat_topk(
                 q, corpus, self.m0 + 1, metric=self.metric, interpret=interp,
                 precision=self.build_precision,
             )
             ci, cd = _drop_self_matches(dd, ii, jnp.int32(base + s), self.m0)
-            chunks_i.append(ci)
-            chunks_d.append(cd)
+            chunks_i.append(ci[:qn])
+            chunks_d.append(cd[:qn])
         rows_i = jnp.concatenate(chunks_i)        # [n, m0] device
         rows_d = jnp.concatenate(chunks_d)
         mark("knn_sweep", rows_i)
@@ -1193,15 +1199,20 @@ class HnswIndex:
                     self.store.vectors, jnp.asarray(wm), pl,
                     self.m, self.metric,
                 )                                      # [P_pad, m] slots
-                hi_rows = jnp.asarray(
-                    np.where(wm >= 0, self._hi_index_np[np.maximum(wm, 0)],
-                             self.hi_neighbors.shape[0] - 1)
+                # pads (and any unpromoted member, defensively) scatter
+                # to the OUT-OF-RANGE row H and are dropped: writing a
+                # stale row back at a real index races the owner's own
+                # update in the same duplicate-index scatter when the
+                # hi table is exactly full (row H-1 then belongs to a
+                # real node), and duplicate order is nondeterministic
+                h_cap = self.hi_neighbors.shape[0]
+                rows_np = np.where(
+                    wm >= 0, self._hi_index_np[np.maximum(wm, 0)], h_cap
                 )
-                live = jnp.asarray(wm >= 0)
-                cur = self.hi_neighbors[hi_rows, lv_row]
-                self.hi_neighbors = self.hi_neighbors.at[hi_rows, lv_row].set(
-                    jnp.where(live[:, None], sel, cur)
-                )
+                hi_rows = jnp.asarray(np.where(rows_np < 0, h_cap, rows_np))
+                self.hi_neighbors = self.hi_neighbors.at[
+                    hi_rows, lv_row
+                ].set(sel, mode="drop")
                 all_sel.append((wm, np.asarray(sel)))
             # reverse edges: each chosen o gains the wave member s;
             # chunked so the prune's [E, 2m, d] gather stays bounded
@@ -1339,27 +1350,31 @@ def _drop_self_matches(
 
 
 @partial(jax.jit, static_argnames=("cap", "a_max"))
-def _reverse_append(
-    rows_i: jax.Array,   # [n, m0] forward kNN rows (device)
-    rows_d: jax.Array,   # [n, m0]
-    slots: jax.Array,    # [n] source slots
+def _grouped_bounded_append(
+    tgt_raw: jax.Array,  # [E] target slots (-1 = invalid edge)
+    src: jax.Array,      # [E] source slots
+    dd: jax.Array,       # [E] edge distances
     cap: int,
     a_max: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Build bounded reverse-append buffers for the bulk symmetrization:
-    sort edges by target, take positions within each target group, flat
-    1D scatter — all device-side."""
-    m0 = rows_i.shape[1]
-    tgt = rows_i.reshape(-1)
-    srcr = jnp.repeat(slots, m0)
-    ddr = rows_d.reshape(-1)
-    order = jnp.argsort(jnp.where(tgt >= 0, tgt, jnp.int32(2**31 - 1)), stable=True)
+    """Group edges by target and keep the first ``a_max`` per target via
+    sort + run-rank + one flat 1D scatter (batched 2D scatters are
+    pathologically slow on TPU).
+
+    Invalid targets are masked to ``cap`` IN THE SORTED VALUES, not just
+    the sort key: sorting by a masked key while keeping raw ``-1``
+    values puts a non-monotone tail behind the sorted prefix, and
+    ``searchsorted`` then mis-ranks the largest real targets (measured:
+    90% of random cases with any padding — silently lost reverse edges
+    in every padded wave)."""
+    tgt = jnp.where(tgt_raw >= 0, tgt_raw, jnp.int32(cap))
+    order = jnp.argsort(tgt, stable=True)
     tgt_s = tgt[order]
-    src_s = srcr[order]
-    dd_s = ddr[order]
+    src_s = src[order]
+    dd_s = dd[order]
     first = jnp.searchsorted(tgt_s, tgt_s, side="left")
     pos = jnp.arange(tgt_s.shape[0], dtype=jnp.int32) - first.astype(jnp.int32)
-    keep = (tgt_s >= 0) & (pos < a_max)
+    keep = (tgt_s < cap) & (pos < a_max)
     flat_idx = jnp.where(
         keep, tgt_s * a_max + jnp.minimum(pos, a_max - 1), cap * a_max
     )
@@ -1370,6 +1385,23 @@ def _reverse_append(
         dd_s, mode="drop"
     ).reshape(cap, a_max)
     return append_i, append_d
+
+
+def _reverse_append(
+    rows_i: jax.Array,   # [n, m0] forward kNN rows (device)
+    rows_d: jax.Array,   # [n, m0]
+    slots: jax.Array,    # [n] source slots
+    cap: int,
+    a_max: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Build bounded reverse-append buffers for the bulk symmetrization:
+    sort edges by target, take positions within each target group, flat
+    1D scatter — all device-side (see ``_grouped_bounded_append``)."""
+    m0 = rows_i.shape[1]
+    return _grouped_bounded_append(
+        rows_i.reshape(-1), jnp.repeat(slots, m0), rows_d.reshape(-1),
+        cap, a_max,
+    )
 
 
 @partial(jax.jit, static_argnames=("m", "metric"))
@@ -1409,8 +1441,13 @@ def _hi_reverse_wire(
     ho = jnp.where(o_arr >= 0, hi_index[jnp.maximum(o_arr, 0)], -1)
     valid = (ho >= 0) & (s_arr >= 0)
 
-    order = jnp.argsort(jnp.where(valid, ho, jnp.int32(2**31 - 1)))
-    ho_s = ho[order]
+    # invalid entries are masked to h IN THE SORTED VALUES so ho_s stays
+    # monotone — a raw -1 tail behind the sorted prefix breaks
+    # searchsorted and mis-ranks the largest rows (same hazard as
+    # _grouped_bounded_append's docstring)
+    hom = jnp.where(valid, ho, jnp.int32(h))
+    order = jnp.argsort(hom, stable=True)
+    ho_s = hom[order]
     s_s = s_arr[order]
     o_s = o_arr[order]
     valid_s = valid[order]
@@ -1424,19 +1461,23 @@ def _hi_reverse_wire(
         s_s, mode="drop"
     ).reshape(h, a_max)
 
-    ho_aff = jnp.where(valid_s, ho_s, 0)
+    # invalid entries scatter to the OUT-OF-RANGE row h and are dropped:
+    # routing them to a real row (e.g. 0) would put two different values
+    # on one index whenever that row's owner also updates in this chunk,
+    # and duplicate-index scatter order is nondeterministic
+    ho_aff = jnp.where(valid_s, ho_s, h)
+    ho_rd = jnp.minimum(ho_aff, h - 1)                     # clamped reads
     lvl_c = jnp.clip(lvl, 0, hi_neighbors.shape[1] - 1)
-    rows = hi_neighbors[ho_aff, lvl_c]                     # [E, m]
-    cand = jnp.concatenate([rows, appends[ho_aff]], axis=1)  # [E, 2m]
+    rows = hi_neighbors[ho_rd, lvl_c]                      # [E, m]
+    cand = jnp.concatenate([rows, appends[ho_rd]], axis=1)  # [E, 2m]
     ovec = vectors[jnp.maximum(o_s, 0)]                    # [E, d]
     cvec = vectors[jnp.maximum(cand, 0)]                   # [E, 2m, d]
     dd = gathered_distances(ovec, cvec, metric)
     dd = jnp.where(cand >= 0, dd, jnp.inf)
     _, new_rows = sorted_topk_unique(dd, cand, m)
-    # duplicated owners write identical pruned rows (idempotent); padded
-    # entries write row 0's unchanged content back
-    safe_rows = jnp.where(valid_s[:, None], new_rows, rows)
-    return hi_neighbors.at[ho_aff, lvl_c].set(safe_rows)
+    # duplicated VALID owners write identical pruned rows (the appends
+    # table is per-owner, so their candidate sets agree) — idempotent
+    return hi_neighbors.at[ho_aff, lvl_c].set(new_rows, mode="drop")
 
 
 def _prune_rows_impl(neighbors0, dists0, append_i, append_d, aff, m_max,
@@ -1583,30 +1624,18 @@ def _insert_wave_fused(
     # bounded appends via flat 1D scatter (batched 2D scatters are
     # pathologically slow on TPU), then prune affected rows
     tgt = sel_i.reshape(-1)
-    srcr = jnp.repeat(slots, m0)
-    ddr = sel_d.reshape(-1)
     valid_e = tgt >= 0
-    order = jnp.argsort(jnp.where(valid_e, tgt, jnp.int32(2**31 - 1)))
-    tgt_s = tgt[order]
-    src_s = srcr[order]
-    dd_s = ddr[order]
-    valid_s = valid_e[order]
-    first_of = jnp.searchsorted(tgt_s, tgt_s, side="left")
-    p = jnp.arange(tgt_s.shape[0], dtype=jnp.int32) - first_of.astype(jnp.int32)
-    keep = valid_s & (p < m0)
-    flat_idx = jnp.where(
-        keep, tgt_s * m0 + jnp.minimum(p, m0 - 1), cap * m0
+    append_i, append_d = _grouped_bounded_append(
+        tgt, jnp.repeat(slots, m0), sel_d.reshape(-1), cap, m0
     )
-    append_i = jnp.full((cap * m0,), -1, jnp.int32).at[flat_idx].set(
-        src_s, mode="drop"
-    ).reshape(cap, m0)
-    append_d = jnp.full((cap * m0,), jnp.inf, jnp.float32).at[flat_idx].set(
-        dd_s, mode="drop"
-    ).reshape(cap, m0)
     # affected rows: all targets, duplicates included — the prune is a
     # deterministic function of pre-update row content, so duplicate
-    # writes are idempotent
-    aff = jnp.maximum(jnp.where(tgt >= 0, tgt, tgt_s[0]), 0)
+    # writes are idempotent; invalid edges fall back to the smallest
+    # valid target (row 0 when the wave wired nothing)
+    fallback = jnp.minimum(
+        jnp.min(jnp.where(valid_e, tgt, jnp.int32(cap))), cap - 1
+    )
+    aff = jnp.maximum(jnp.where(valid_e, tgt, fallback), 0)
     neighbors0, dists0 = _prune_rows_impl(
         neighbors0, dists0, append_i, append_d, aff, m0, mn_tiebreak=mn
     )

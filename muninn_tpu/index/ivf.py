@@ -50,6 +50,7 @@ from muninn_tpu.ops.distance import (
     gathered_distances,
     pairwise_distances,
     parse_metric,
+    quantize_rows_int8,
 )
 from muninn_tpu.ops.pallas_beam import gather_block_dots
 from muninn_tpu.ops.pallas_flat import flat_topk
@@ -215,11 +216,7 @@ def _quantize_blocks(blocks: jax.Array) -> tuple[jax.Array, jax.Array]:
     nch = bp.shape[0] // chunk
 
     def step(_, blk):
-        f = blk.astype(jnp.float32)
-        sc = jnp.max(jnp.abs(f), axis=2) / 127.0
-        qv = jnp.clip(
-            jnp.round(f / jnp.maximum(sc, 1e-30)[:, :, None]), -127, 127
-        ).astype(jnp.int8)
+        qv, sc = quantize_rows_int8(blk)
         return None, (qv, sc)
 
     _, (q, sc) = jax.lax.scan(
@@ -584,11 +581,7 @@ class IvfIndex:
             flat = self.blocks.reshape(ncl * s, self.dim)
             frows = self.store.vectors[jnp.asarray(pslots)].astype(jnp.float32)
             if self.quant == "int8":
-                sc = jnp.max(jnp.abs(frows), axis=1) / 127.0
-                rows = jnp.clip(
-                    jnp.round(frows / jnp.maximum(sc, 1e-30)[:, None]),
-                    -127, 127,
-                ).astype(jnp.int8)
+                rows, sc = quantize_rows_int8(frows)
                 self.block_scales = (
                     self.block_scales.reshape(ncl * s)
                     .at[jnp.asarray(pos)].set(sc).reshape(ncl, s)
@@ -669,17 +662,33 @@ class IvfIndex:
 
     def _exact_region(self, q, slots, k, interpret):
         """Exact top-k over an explicit slot set (pending region /
-        unbuilt fallback), padded to a 1024 bucket to bound compiles."""
+        unbuilt fallback), padded to a 1024 bucket to bound compiles.
+        Queries are chunked so the [B_chunk, pad] distance transient
+        stays ~1 GB — pending can legally reach len(store)//10 before
+        the auto-rebuild, and a full 8192-query batch against ~100k
+        pending slots would otherwise build a ~3 GB transient (the
+        2 GB device-temporary ceiling crashes the TPU worker)."""
         pad = _round_up(max(slots.shape[0], 1), 1024)
         sl = jnp.full((pad,), -1, jnp.int32).at[: slots.shape[0]].set(slots)
-        return _exact_slots_topk(
-            q, sl, self.store.vectors, self.store.valid, self.metric, k,
-            interpret,
+        args = (sl, self.store.vectors, self.store.valid, self.metric, k)
+        b = q.shape[0]
+        chunk = int(max(256, min(b, (1 << 28) // pad)))
+        if b <= chunk:
+            return _exact_slots_topk(q, *args)
+        qpad = (-b) % chunk
+        qp = jnp.pad(q, ((0, qpad), (0, 0)))
+        parts = [
+            _exact_slots_topk(qp[s : s + chunk], *args)
+            for s in range(0, b + qpad, chunk)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts])[:b],
+            jnp.concatenate([p[1] for p in parts])[:b],
         )
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "interpret"))
-def _exact_slots_topk(q, sl, vectors, valid, metric, k, interpret=False):
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _exact_slots_topk(q, sl, vectors, valid, metric, k):
     ok = (sl >= 0) & valid[jnp.maximum(sl, 0)]
     vv = vectors[jnp.maximum(sl, 0)]
     dd = pairwise_distances(q, vv, metric)

@@ -146,3 +146,22 @@ def normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     reference normalizes at embed time, ``src/llama_embed.c:118-191``)."""
     n = jnp.linalg.norm(x, axis=-1, keepdims=True)
     return x / jnp.maximum(n, eps)
+
+
+def quantize_rows_int8(v, normalize: bool = False):
+    """Symmetric per-row int8 quantization — THE int8 contract shared by
+    every engine (flat/quantized/HNSW shadow/IVF blocks/projected tier):
+    ``vi = clip(round(v / s), -127, 127)`` with one scale
+    ``s = max|row| / 127`` per row (last axis = the vector axis; leading
+    axes pass through, so [N, d] and [ncl, S, d] both work).
+    ``normalize=True`` L2-normalizes rows first (cosine storage: the
+    scale then carries the full row magnitude, so 1 - dot is the cosine
+    distance). Returns ``(int8 rows, f32 scales[leading axes])``."""
+    v = v.astype(jnp.float32)
+    if normalize:
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    sc = jnp.max(jnp.abs(v), axis=-1) / 127.0
+    vi = jnp.clip(
+        jnp.round(v / jnp.maximum(sc[..., None], 1e-30)), -127, 127
+    ).astype(jnp.int8)
+    return vi, sc.astype(jnp.float32)

@@ -35,7 +35,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from muninn_tpu.ops.distance import Metric, parse_metric, squared_norms
+from muninn_tpu.ops.distance import (
+    Metric,
+    parse_metric,
+    quantize_rows_int8,
+    squared_norms,
+)
 
 _BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
 _MODE = {Metric.L2: 0, Metric.COSINE: 1, Metric.INNER_PRODUCT: 2}
@@ -300,12 +305,10 @@ def flat_topk(
         # grid has no input slot for (and l2 callers want exactness).
         if metric is Metric.L2:
             raise ValueError("precision='int8' supports cosine/inner_product")
-        qs = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0   # [B,1]
-        csr_ = jnp.max(jnp.abs(c), axis=1, keepdims=True) / 127.0  # [N,1]
-        q = jnp.clip(jnp.round(q / jnp.maximum(qs, 1e-30)), -127, 127).astype(jnp.int8)
-        c = jnp.clip(jnp.round(c / jnp.maximum(csr_, 1e-30)), -127, 127).astype(jnp.int8)
-        qn = qs  # the qn slot carries the query scale in int8 mode
-        cs = csr_[:, 0][None, :]
+        q, qs_r = quantize_rows_int8(q)
+        c, cs_r = quantize_rows_int8(c)
+        qn = qs_r[:, None]  # the qn slot carries the query scale
+        cs = cs_r[None, :]
 
     bp, dp = q.shape
     np_, _ = c.shape
@@ -415,8 +418,8 @@ def flat_topk_int8(
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     q = _pad_to(q, 128, 1, 0.0)
     q = _pad_to(q, tb, 0, 0.0)
-    qs = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0       # [B,1]
-    qi = jnp.clip(jnp.round(q / jnp.maximum(qs, 1e-30)), -127, 127).astype(jnp.int8)
+    qi, qs_r = quantize_rows_int8(q)
+    qs = qs_r[:, None]                                             # [B,1]
 
     c = _pad_to(corpus_i8, 128, 1, jnp.int8(0))
     c = _pad_to(c, tc, 0, jnp.int8(0))

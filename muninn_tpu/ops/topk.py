@@ -145,9 +145,18 @@ def merge_topk_flagged(
 def sorted_topk_unique(
     dists: jax.Array, ids: jax.Array, k: int
 ) -> tuple[jax.Array, jax.Array]:
-    """Sort (dist, id) pairs ascending by distance after id-dedup, keep k."""
+    """Sort (dist, id) pairs ascending by distance after id-dedup, keep
+    k. Always returns width-``k`` arrays: when fewer than k candidates
+    exist the tail is (+inf, -1) padded — callers rely on a stable
+    [B, k] shape (e.g. IVF with k > nprobe * cluster_size would
+    otherwise return a clipped width that flips with churn state)."""
     d, i = _dedup_ids(dists, ids)
     order = jnp.argsort(d, axis=-1)
-    d = jnp.take_along_axis(d, order, axis=-1)
-    i = jnp.take_along_axis(i, order, axis=-1)
-    return d[..., :k], i[..., :k]
+    d = jnp.take_along_axis(d, order, axis=-1)[..., :k]
+    i = jnp.take_along_axis(i, order, axis=-1)[..., :k]
+    short = k - d.shape[-1]
+    if short > 0:
+        pad = [(0, 0)] * (d.ndim - 1) + [(0, short)]
+        d = jnp.pad(d, pad, constant_values=jnp.inf)
+        i = jnp.pad(i, pad, constant_values=-1)
+    return d, i

@@ -581,3 +581,32 @@ def test_search_degree_slices_cached_and_consistent(rng):
     idx.insert(np.arange(n, n + 4), x[:4])
     idx.search(q, k=10, ef_search=32)
     assert idx._sd_cache is not cache2
+
+
+def test_grouped_bounded_append_with_padding(rng):
+    """Monotone-sort regression: invalid (-1) targets must not corrupt
+    the per-target run ranking (a raw -1 tail behind the sorted prefix
+    broke searchsorted's precondition and silently mis-ranked the
+    largest targets — lost reverse edges in every padded wave)."""
+    from muninn_tpu.index.hnsw import _grouped_bounded_append
+    import jax.numpy as jnp
+
+    cap, a_max = 50, 3
+    for trial in range(20):
+        e = int(rng.integers(4, 60))
+        tgt = rng.integers(-1, cap, e).astype(np.int32)
+        src = rng.integers(0, cap, e).astype(np.int32)
+        dd = rng.random(e).astype(np.float32)
+        ai, ad = _grouped_bounded_append(
+            jnp.asarray(tgt), jnp.asarray(src), jnp.asarray(dd), cap, a_max
+        )
+        ai, ad = np.asarray(ai), np.asarray(ad)
+        # reference: first a_max sources per target, input order
+        want: dict = {}
+        for t, s_, d_ in zip(tgt, src, dd):
+            if t >= 0 and len(want.setdefault(int(t), [])) < a_max:
+                want[int(t)].append((int(s_), float(d_)))
+        for t in range(cap):
+            got = [(int(s_), float(d_)) for s_, d_ in zip(ai[t], ad[t])
+                   if s_ >= 0]
+            assert sorted(got) == sorted(want.get(t, [])), (trial, t)
