@@ -401,14 +401,6 @@ class GraphCache:
             jnp.asarray(is_), jnp.asarray(id_), jnp.asarray(iw_),
             num_nodes=v,
         )
-        # the host replay already knows the exact new edge count (no
-        # device sync needed): host COO is the source of truth.
-        # max_deg: inserts can only grow a segment by the insert count
-        # (upper bound keeps the static reduction pass count valid)
-        setattr(g, attr, DeviceCsr(
-            off, ss, dd, ww, len(self._src), c.max_deg + len(pis)
-        ))
-
         # patch the mirror the same way (np.delete keeps order; inserts
         # land after existing equal-src edges, in rank order — exactly
         # the device sort's (src, rank) key)
@@ -423,6 +415,16 @@ class GraphCache:
         h_off3 = np.zeros(v + 1, np.int32)
         np.cumsum(counts, out=h_off3[1:])
         self._mirror[attr] = (h_src3, h_dst3, h_w3, h_off3)
+
+        # the host mirror already knows the EXACT new max degree (no
+        # device sync) — a `max_deg + len(inserts)` upper bound would
+        # ratchet upward every patch, crossing log2 thresholds of the
+        # static n_passes_for() jit key (each crossing recompiles every
+        # seg_min fixpoint and permanently adds reduction passes)
+        max_deg = int(counts.max()) if v else 1
+        setattr(g, attr, DeviceCsr(
+            off, ss, dd, ww, len(self._src), max(max_deg, 1)
+        ))
 
         # keep the mirror->COO permutation in lockstep: surviving COO
         # positions shift down past deletions; inserts append to the COO

@@ -215,10 +215,14 @@ class Graph(core.Graph):
             }
         c = self.csr(direction)
         if weighted:
-            hs, _, hw = c.host_coo()
-            deg = np.zeros(self.num_nodes, np.float32)
-            np.add.at(deg, hs, hw)
-            deg_j = jnp.asarray(deg)
+            # weighted out-degree on device: the forward CSR groups
+            # edges by src, so per-node weight sums are segment sums
+            # (pad edges carry w=0). The former host_coo() here pulled
+            # the full [E] arrays through the tunnel — minutes at the
+            # 100M-edge scale the device path exists for.
+            from muninn_tpu.ops.segments import seg_sum
+
+            deg_j = seg_sum(c.weights, c.offsets)
         else:
             deg_j = c.degrees().astype(jnp.float32)
         # the pull iterates over TARGET-sorted edges (the opposite

@@ -151,6 +151,9 @@ def dedupe_parallel_edges(
     """Collapse parallel (src,dst) duplicates keeping the min weight.
     Path *counting* (sigma) must see a simple graph — parallel edges
     would multiply shortest-path counts."""
+    if len(src) == 0:  # edgeless graph: run[-1] below would IndexError
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float32))
     key = src.astype(np.int64) * num_nodes + dst
     order = np.argsort(key, kind="stable")
     ks, ws = key[order], w[order]
@@ -352,13 +355,20 @@ def closeness(
     rw = jnp.asarray(np.pad(rw_, (0, e_pad - e)))
     out = np.zeros(n, np.float32)
     for i in range(0, n, batch):
-        chunk = np.arange(i, min(i + batch, n), dtype=np.int32)
+        real = min(i + batch, n) - i
+        # pad the tail chunk to the full batch with repeats of its
+        # first source (per-source outputs are independent; the
+        # duplicates' rows are sliced off) — a raw remainder is a novel
+        # [S] shape = one 30-200 s tunnel compile per (graph, batch)
+        chunk = np.arange(i, i + batch, dtype=np.int32)
+        chunk[real:] = chunk[0]
         dist = np.array(
             multi_source_distances_pull(
                 roff, resrc, rw, jnp.asarray(chunk), n, n_passes=npass
             )
-        )  # writable host copy
-        dist[np.arange(len(chunk)), chunk] = np.inf  # exclude self
+        )[:real]  # writable host copy; drop pad rows
+        chunk = chunk[:real]
+        dist[np.arange(real), chunk] = np.inf  # exclude self
         finite = np.isfinite(dist)
         r = finite.sum(axis=1)                       # reachable (excl self)
         sd = np.where(finite, dist, 0.0).sum(axis=1)

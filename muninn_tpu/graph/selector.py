@@ -152,6 +152,47 @@ def _bfs_depths(pull_csr, start: int, num_nodes: int, max_depth: int) -> np.ndar
     return np.asarray(depth)
 
 
+_UNREACHED = 2**30
+
+
+def _depths(graph, direction: str, start: int, max_depth: int,
+            host: bool) -> np.ndarray:
+    """BFS depths along ``direction`` ('forward' = descendants), routed
+    host/device like every other graph analytic — on the reference's
+    whole published envelope (100-10k nodes) each device dispatch costs
+    0.2-0.4 s through the tunnel where the native BFS answers in
+    microseconds."""
+    if host:
+        from muninn_tpu import native
+
+        off, _, dd, _ = graph.host_csr(direction)
+        depth, _ = native.graph_bfs(off, dd, start, max_depth)
+        return np.asarray(depth)
+    opp = {"forward": "reverse", "reverse": "forward"}[direction]
+    return _bfs_depths(graph.csr(opp), start, graph.num_nodes, max_depth)
+
+
+def _seeded_bfs_host(off, dst, seed_depth: np.ndarray) -> np.ndarray:
+    """Multi-source BFS with heterogeneous entry depths (Dial buckets):
+    depth[u] = min over seeds v of seed_depth[v] + hops(v, u). The host
+    form of ``seeded_bfs_depths_pull``."""
+    depth = np.asarray(seed_depth, np.int64).copy()
+    buckets: dict[int, list[int]] = {}
+    for v in np.nonzero(depth < _UNREACHED)[0]:
+        buckets.setdefault(int(depth[v]), []).append(int(v))
+    while buckets:
+        d = min(buckets)
+        for v in buckets.pop(d):
+            if depth[v] != d:
+                continue  # relaxed to a smaller depth already
+            for e in range(off[v], off[v + 1]):
+                u = int(dst[e])
+                if depth[u] > d + 1:
+                    depth[u] = d + 1
+                    buckets.setdefault(d + 1, []).append(u)
+    return depth
+
+
 def _eval_atom(graph, a: Atom) -> dict[int, tuple[int, str]]:
     """Returns node_idx -> (depth, direction)."""
     idx = graph.nodes.find(a.ident)
@@ -174,33 +215,46 @@ def _eval_atom(graph, a: Atom) -> dict[int, tuple[int, str]]:
             if int(v) not in out or d < out[int(v)][0]:
                 out[int(v)] = (d, direction)
 
+    from muninn_tpu.graph import routing
+    from muninn_tpu.graph.routing import use_host
+
+    host = graph._use_host(
+        "auto", routing.COST_BFS_EDGE * graph.num_edges
+    ) if hasattr(graph, "_use_host") else use_host(
+        "auto", routing.COST_BFS_EDGE * graph.num_edges
+    )
+
     if a.closure:
         # descendants, then ancestors of every descendant (including
         # self). The per-descendant ancestor walks collapse into ONE
         # seeded multi-source BFS on the reverse graph: seeding each
         # descendant v at depth down[v] yields exactly
         # min_v(down[v] + hops_rev(v, u)) per node u.
-        down = _bfs_depths(graph.csr("reverse"), idx, n, n)
+        down = _depths(graph, "forward", idx, n, host)
         add(down, "descendant")
-        fwd = graph.csr("forward")  # pull CSR of the reverse graph
-        from muninn_tpu.ops.segments import n_passes_for as _npf
+        if host:
+            roff, _, rdd, _ = graph.host_csr("reverse")
+            up = _seeded_bfs_host(roff, rdd, down)
+        else:
+            fwd = graph.csr("forward")  # pull CSR of the reverse graph
+            from muninn_tpu.ops.segments import n_passes_for as _npf
 
-        up = np.asarray(seeded_bfs_depths_pull(
-            fwd.offsets, fwd.dst, jnp.asarray(down), n,
-            n_passes=_npf(fwd.max_deg),
-        ))
-        for u in np.nonzero(up < 2**30)[0]:
+            up = np.asarray(seeded_bfs_depths_pull(
+                fwd.offsets, fwd.dst, jnp.asarray(down), n,
+                n_passes=_npf(fwd.max_deg),
+            ))
+        for u in np.nonzero(up < _UNREACHED)[0]:
             if int(u) not in out:
                 out[int(u)] = (int(up[u]), "closure")
         return out
 
     if a.up is not None:
         md = n if a.up < 0 else a.up
-        up = _bfs_depths(graph.csr("forward"), idx, n, md)
+        up = _depths(graph, "reverse", idx, md, host)
         add(up, "ancestor")
     if a.down is not None:
         md = n if a.down < 0 else a.down
-        down = _bfs_depths(graph.csr("reverse"), idx, n, md)
+        down = _depths(graph, "forward", idx, md, host)
         add(down, "descendant")
     return out
 

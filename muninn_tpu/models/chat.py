@@ -422,7 +422,29 @@ class FlaxChatModel:
         if self._tok.pad_token is None:
             self._tok.pad_token = self._tok.eos_token
         enc = self._tok(texts, return_tensors="np", padding=True)
+        # bucket the padded prompt length to a pow2 (capped at n_ctx):
+        # the decode program is keyed on in_len, so organically varying
+        # prompt lengths would otherwise compile a fresh program per
+        # length (25-200 s-class through the TPU tunnel; CLAUDE.md
+        # bucket rule). Extra LEFT pads carry attention_mask 0 and are
+        # position-id-neutral.
+        import numpy as _np
+
         in_len = enc["input_ids"].shape[1]
+        bucket = 16
+        while bucket < in_len:
+            bucket *= 2
+        bucket = min(bucket, self.n_ctx)
+        if bucket > in_len:
+            pw = bucket - in_len
+            enc["input_ids"] = _np.pad(
+                enc["input_ids"], ((0, 0), (pw, 0)),
+                constant_values=int(self._tok.pad_token_id),
+            )
+            enc["attention_mask"] = _np.pad(
+                enc["attention_mask"], ((0, 0), (pw, 0))
+            )
+            in_len = bucket
         if grammar is not None:
             seqs = self._grammar_greedy_decode(
                 enc["input_ids"], enc["attention_mask"],

@@ -105,10 +105,28 @@ class FlaxEmbedModel:
         outs = []
         for s in range(0, len(texts), self.batch_size):
             batch = texts[s : s + self.batch_size]
+            # honor the configured context window; bucket the padded
+            # length to a pow2 (>= 64) of the batch's longest sequence
+            # so compiles stay bounded at O(log n_ctx) shapes instead
+            # of silently truncating every document to 512 tokens
             enc = self._hf_tok(
-                batch, padding="max_length", truncation=True,
-                max_length=min(self.n_ctx, 512), return_tensors="np",
+                batch, truncation=True, max_length=self.n_ctx,
+                return_tensors="np", padding=True,
             )
+            ln = enc["input_ids"].shape[1]
+            bucket = 64
+            while bucket < ln:
+                bucket *= 2
+            bucket = min(bucket, self.n_ctx)
+            if bucket > ln:
+                pad_id = self._hf_tok.pad_token_id or 0
+                enc["input_ids"] = np.pad(
+                    enc["input_ids"], ((0, 0), (0, bucket - ln)),
+                    constant_values=pad_id,
+                )
+                enc["attention_mask"] = np.pad(
+                    enc["attention_mask"], ((0, 0), (0, bucket - ln))
+                )
             outs.append(
                 np.asarray(
                     self._forward(enc["input_ids"], enc["attention_mask"])

@@ -190,20 +190,26 @@ def biased_walks(
 # ───────────────────────── SGNS ─────────────────────────
 
 
+def _pow2_at_least(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
+
+
 def build_negative_table(
     degrees: np.ndarray, size: int = NEG_TABLE_SIZE, power: float = 0.75
 ) -> np.ndarray:
-    """Unigram^0.75 sampling table (src/node2vec.c:274-303)."""
+    """Unigram^0.75 sampling table (src/node2vec.c:274-303).
+
+    Built by inverse-CDF stratification (size evenly spaced quantiles of
+    the cumulative p^0.75 mass) rather than the reference's repeat-and
+    -truncate: with V > size, per-node `max(count, 1)` repeats truncate
+    to the FIRST `size` nodes — at 1M nodes only ids < ~100k would ever
+    be drawn as negatives, silently skewing every embedding."""
     p = np.maximum(degrees.astype(np.float64), 0) ** power
-    s = p.sum()
-    if s <= 0:
+    if p.sum() <= 0:
         p = np.ones_like(p)
-        s = p.sum()
-    counts = np.maximum((p / s * size).astype(np.int64), 1)
-    table = np.repeat(np.arange(len(degrees), dtype=np.int32), counts)
-    if len(table) >= size:
-        return table[:size]
-    return np.pad(table, (0, size - len(table)), mode="edge")
+    cdf = np.cumsum(p)
+    q = (np.arange(size, dtype=np.float64) + 0.5) / size * cdf[-1]
+    return np.searchsorted(cdf, q, side="right").astype(np.int32)
 
 
 @partial(
@@ -386,11 +392,25 @@ def node2vec_train(
             frac = step_i / total_steps
             lr = max(learning_rate * (1.0 - frac), lr_floor)
             step_i += 1
-            for s in range(0, v_count, walk_batch):
+            # walker batches run at ONE bucketed shape: pow2 of v_count
+            # capped at walk_batch (a raw tail remainder is a novel
+            # [W] shape for biased_walks AND the SGNS step — one
+            # 30-200 s tunnel compile per distinct graph-size
+            # remainder). Short batches are topped up with RANDOM
+            # start nodes: unbiased in expectation, unlike wrapping
+            # (which would systematically oversample the first nodes).
+            wb = min(walk_batch, _pow2_at_least(v_count))
+            for s in range(0, v_count, wb):
                 starts = jnp.arange(
-                    s, min(s + walk_batch, v_count), dtype=jnp.int32
+                    s, min(s + wb, v_count), dtype=jnp.int32
                 )
-                key, kw, kn = jax.random.split(key, 3)
+                key, kw, kn, kp = jax.random.split(key, 4)
+                short = wb - int(starts.shape[0])
+                if short > 0:
+                    starts = jnp.concatenate([
+                        starts,
+                        jax.random.randint(kp, (short,), 0, v_count, jnp.int32),
+                    ])
                 walks = biased_walks(
                     kw, offsets, dstj, cumw, starts, v_count,
                     walk_length, p, q,

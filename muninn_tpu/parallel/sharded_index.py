@@ -56,6 +56,11 @@ class ShardedFlatIndex:
     def insert(self, ids, vectors) -> None:
         ids = np.asarray(ids, np.int64).reshape(-1)
         n = len(ids)
+        if len(np.unique(ids)) != n:
+            # an intra-batch duplicate would leave a ghost row: both
+            # slots valid, _slot_of keeping only the last, so delete()
+            # could never invalidate the first
+            raise ValueError("duplicate ids within the insert batch")
         for i in ids.tolist():
             if i in self._slot_of:
                 raise ValueError(f"duplicate id {i}")

@@ -392,3 +392,19 @@ def test_device_graph_auto_routing_stays_on_device(rng):
     assert abs(float(pr.sum()) - 1.0) < 1e-3
     _ = gd._src                      # materialize mirrors explicitly
     assert gd._use_host("auto", 0.0) is True
+
+
+def test_centrality_on_edgeless_graph():
+    """Edgeless graphs return zero centralities instead of crashing in
+    dedupe_parallel_edges (empty-run broadcast)."""
+    from muninn_tpu.graph import Graph
+
+    g = Graph.from_edges([], [])
+    assert g.betweenness() == {}
+    g2 = Graph.from_edges([0], [0])  # one self-loop, nodes exist
+    g2._src = np.zeros(0, np.int32)  # simulate filtered-empty COO
+    g2._dst = np.zeros(0, np.int32)
+    g2._w = np.zeros(0, np.float32)
+    bc = g2.betweenness()
+    assert all(v == 0.0 for v in bc.values())
+    assert g2.edge_betweenness() == {}

@@ -160,3 +160,22 @@ def test_row_sorted_cumw_is_row_local(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5)
         # row-local: first entry is its own weight, not a running total
         assert cw[lo] <= hw[hs == v].max() + 1e-6
+
+
+def test_negative_table_covers_all_nodes_beyond_size():
+    """V > table size must still sample the whole id range (the old
+    repeat-truncate build kept only ids < size, silently skewing every
+    embedding on 100k+-node graphs)."""
+    from muninn_tpu.models.node2vec import build_negative_table
+
+    v = 5000
+    tab = build_negative_table(np.ones(v), size=1000)
+    assert tab.shape == (1000,)
+    assert tab.min() >= 0 and tab.max() >= v - 10  # tail ids present
+    # roughly uniform coverage for uniform degrees
+    assert len(np.unique(tab // 500)) == 10
+    # degree-proportional bias: heavy node drawn far more often
+    deg = np.ones(100)
+    deg[7] = 1000.0
+    tab2 = build_negative_table(deg, size=1000)
+    assert (tab2 == 7).mean() > 0.2

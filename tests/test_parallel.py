@@ -383,3 +383,14 @@ def test_shard_hnsw_uneven_and_empty_shards(rng):
     assert gd[0, 0] < 1e-6 and gd[0, 1] < 1e-6
     live = {*range(300, 600), 7, 8, 9, -1}
     assert set(ids.ravel().tolist()) <= live
+
+
+def test_sharded_flat_rejects_intra_batch_duplicates(rng):
+    """A duplicate id WITHIN one insert batch would create a ghost row
+    (two valid slots, _slot_of keeping only the last, delete() unable
+    to invalidate the first)."""
+    from muninn_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    idx = ShardedFlatIndex(8, "l2")
+    with pytest.raises(ValueError):
+        idx.insert([5, 5], rng.standard_normal((2, 8)).astype(np.float32))

@@ -141,3 +141,23 @@ def test_closure_depths_match_bruteforce():
         # the min over descendants of (down[v] + hops_rev(v, u))
         want = down[u] if u in down else tot
         assert rows[f"n{u}"][0] == want, (u, rows[f"n{u}"], want)
+
+
+def test_selector_host_and_device_paths_agree(rng):
+    """Selector BFS closures route host/device like every other graph
+    analytic; both paths must return identical (depth, direction)
+    maps — including the seeded multi-source closure."""
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.graph.selector import select
+
+    n = 120
+    src = rng.integers(0, n, 400).tolist()
+    dst = rng.integers(0, n, 400).tolist()
+    g_host = Graph.from_edges(src, dst)
+    g_dev = Graph.from_edges(src, dst)
+    g_dev._use_host = lambda *a, **k: False  # force the device kernels
+
+    for sel in (f"@{src[0]}", f"2+{src[1]}+2", f"+{src[2]}", f"{src[3]}+1"):
+        rows_h = select(g_host, sel)
+        rows_d = select(g_dev, sel)
+        assert rows_h == rows_d, sel
