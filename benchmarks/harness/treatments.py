@@ -305,7 +305,7 @@ def run_graph_scale(params, rng, emit):
     ks, kd = jax.random.split(key)
     src = jax.random.randint(ks, (e,), 0, n, jnp.int32)
     dst = jax.random.randint(kd, (e,), 0, n, jnp.int32)
-    dst.block_until_ready()
+    int(dst[0])  # tiny host fetch: block_until_ready lies here (CLAUDE.md)
 
     g = Graph.from_device_edges(src, dst, num_nodes=n)
     metrics: dict = {"edges": e}

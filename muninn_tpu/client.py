@@ -82,11 +82,19 @@ class EngineClient:
 
     # ── transport ──
 
+    #: read-only endpoints, safe to re-send after a timeout/5xx. A
+    #: mutation retry can re-apply a request the server already ran
+    #: (e.g. a slow insert that committed after the client timed out)
+    #: and then surface a spurious 'duplicate id' failure.
+    _IDEMPOTENT = ("/health", "/stats", "/index/search", "/index/list",
+                   "/graph/query", "/index/tune")
+
     def _request(self, path: str, body: dict | None = None) -> Any:
         url = self.base_url + path
         data = None if body is None else json.dumps(body).encode()
+        retries = self.retries if path.startswith(self._IDEMPOTENT) else 0
         last_exc: Exception | None = None
-        for attempt in range(self.retries + 1):
+        for attempt in range(retries + 1):
             req = urllib.request.Request(
                 url, data=data,
                 headers={"Content-Type": "application/json"},
@@ -104,7 +112,7 @@ class EngineClient:
                 last_exc = MuninnServerError(e.code, msg)
             except (urllib.error.URLError, OSError, TimeoutError) as e:
                 last_exc = MuninnConnectionError(str(e))
-            if attempt < self.retries:
+            if attempt < retries:
                 time.sleep(self.backoff * (2 ** attempt))
         raise last_exc  # type: ignore[misc]
 
@@ -126,10 +134,20 @@ class EngineClient:
             return False
 
     def wait_ready(self, timeout: float = 30.0, interval: float = 0.1) -> None:
-        """Block until the server answers /health (for spawn-then-use)."""
+        """Block until the server answers /health (for spawn-then-use).
+
+        Each probe uses a short per-request timeout and NO internal
+        retries, so the deadline is honored — a hung connect would
+        otherwise pin one ping() for the full request timeout x retry
+        schedule (minutes past the caller's deadline)."""
         deadline = time.monotonic() + timeout
+        probe = EngineClient(
+            self.base_url,
+            timeout=max(min(2.0, timeout), 0.1),
+            retries=0,
+        )
         while time.monotonic() < deadline:
-            if self.ping():
+            if probe.ping():
                 return
             time.sleep(interval)
         raise MuninnConnectionError(
@@ -223,9 +241,15 @@ class RemoteIndex:
         ``ef_search`` applies to hnsw indexes, ``nprobe`` to ivf.
         """
         q = _tolist(queries)
-        single = bool(q) and not isinstance(q[0], (list, tuple))
-        if single:
-            q = [q]
+        single = False
+        if q and not isinstance(q[0], (list, tuple)):
+            if hasattr(q[0], "tolist"):
+                # a python list OF numpy row vectors: a batch, not one
+                # query (and raw ndarrays would fail json serialization)
+                q = [_tolist(row) for row in q]
+            else:
+                single = True
+                q = [q]
         body = {"name": self.name, "queries": q, "k": k}
         if ef_search is not None:
             body["ef_search"] = ef_search

@@ -264,9 +264,14 @@ def csr_apply_delta(src, dst, w, d_src, d_dst, d_w, d_op,
 
 
 def jaro_winkler(a: str, b: str) -> float:
-    """Jaro-Winkler similarity in [0, 1] (string_sim.c:11-96)."""
+    """Jaro-Winkler similarity in [0, 1] (string_sim.c:11-96).
+
+    Non-ASCII strings route to the code-point implementation on every
+    environment: the C++ kernel scans UTF-8 BYTES, so 'Caf\u00e9' would
+    score differently with and without the native lib — around the ER
+    cascade threshold that made entity merges environment-dependent."""
     lib = _load()
-    if lib is not None:
+    if lib is not None and a.isascii() and b.isascii():
         ab, bb = a.encode(), b.encode()
         return float(
             lib.muninn_jaro_winkler(
@@ -277,8 +282,26 @@ def jaro_winkler(a: str, b: str) -> float:
 
 
 def jaro_winkler_batch(pairs_a, pairs_b) -> np.ndarray:
+    """Batch JW; non-ASCII pairs score via the code-point path (see
+    ``jaro_winkler``), ASCII pairs via the native kernel."""
     lib = _load()
     if lib is not None:
+        non_ascii = [
+            i for i, (a, b) in enumerate(zip(pairs_a, pairs_b))
+            if not (a.isascii() and b.isascii())
+        ]
+        if non_ascii:
+            res = np.empty(len(pairs_a), np.float64)
+            na = set(non_ascii)
+            asc_idx = [i for i in range(len(pairs_a)) if i not in na]
+            if asc_idx:
+                res[asc_idx] = jaro_winkler_batch(
+                    [pairs_a[i] for i in asc_idx],
+                    [pairs_b[i] for i in asc_idx],
+                )
+            for i in non_ascii:
+                res[i] = _jw_py(pairs_a[i], pairs_b[i])
+            return res
         buf_a, off_a = _pack_strings(pairs_a)
         buf_b, off_b = _pack_strings(pairs_b)
         out = np.empty(len(pairs_a), np.float64)

@@ -173,6 +173,11 @@ class EngineServer:
         from muninn_tpu.graph import Graph
 
         name = body["name"]
+        if name in self.graphs:
+            # same collision contract as /index/create — a silent
+            # overwrite would serve another client's queries from the
+            # wrong edge set
+            raise ValueError(f"graph {name!r} exists")
         self.graphs[name] = Graph.from_edges(
             body["src"], body["dst"], body.get("weights"),
             timestamps=body.get("timestamps"),
@@ -297,4 +302,5 @@ class EngineServer:
     def stop(self) -> None:
         if self._httpd:
             self._httpd.shutdown()
+            self._httpd.server_close()  # release the listening socket
             self._httpd = None

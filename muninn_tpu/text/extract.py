@@ -173,13 +173,14 @@ def extract_ner_re_batch(model_name: str, texts, *, max_tokens: int = 2048) -> l
         list(texts), system_prompt=NER_RE_PROMPT_UNSUPERVISED,
         max_tokens=max_tokens, grammar=GRAMMAR_NER_RE,
     )
-    return [
-        {
-            "entities": _clean_entities(json_output(r, wrap_key="entities").get("entities")),
-            "relations": _clean_relations(json_output(r, wrap_key="entities").get("relations")),
-        }
-        for r in raws
-    ]
+    outs = []
+    for r in raws:
+        val = json_output(r, wrap_key="entities")  # parse/repair ONCE
+        outs.append({
+            "entities": _clean_entities(val.get("entities")),
+            "relations": _clean_relations(val.get("relations")),
+        })
+    return outs
 
 
 def summarize(model_name: str, text: str, *, max_words: int = 80) -> str:
@@ -217,6 +218,8 @@ def label_groups(
             "Items: " + "; ".join(str(m) for m in sample),
             system_prompt=sp, max_tokens=32,
         )
-        label = raw.strip().strip('"').strip("'").splitlines()[0] if raw.strip() else ""
+        cleaned = raw.strip().strip('"').strip("'")
+        lines = cleaned.splitlines()  # quote-only output strips to ''
+        label = lines[0].strip() if lines else ""
         rows.append((gid, label, len(members)))
     return rows

@@ -141,3 +141,19 @@ def test_jaro_winkler_batch():
     out = native.jaro_winkler_batch(a, b)
     assert out[0] == pytest.approx(0.9611, abs=1e-3)
     assert out[1] == pytest.approx(0.8133, abs=1e-3)
+
+
+def test_jaro_winkler_unicode_consistent_across_backends():
+    """Non-ASCII strings must score identically with and without the
+    native lib (the C++ kernel scans UTF-8 bytes; code points are the
+    contract) — environment-dependent JW flipped ER merges around the
+    cascade threshold."""
+    from muninn_tpu.native import _jw_py, jaro_winkler, jaro_winkler_batch
+
+    pairs = [("Café Corp", "Cafe Corp"), ("Ångström", "Angstrom"),
+             ("naïve", "naive"), ("plain", "plane")]
+    for a, b in pairs:
+        assert jaro_winkler(a, b) == pytest.approx(_jw_py(a, b), abs=1e-12)
+    got = jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+    want = [_jw_py(a, b) for a, b in pairs]
+    np.testing.assert_allclose(got, want, atol=1e-12)

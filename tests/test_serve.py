@@ -247,3 +247,72 @@ def test_engine_server_save_load_roundtrip(rng, tmp_path):
         assert ei.value.status == 400
     finally:
         srv.stop()
+
+
+def test_graph_create_collision_rejected():
+    from muninn_tpu.client import EngineClient, MuninnRequestError
+
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        c = EngineClient(f"http://127.0.0.1:{port}")
+        c.create_graph("gg", src=[0, 1], dst=[1, 2])
+        # a silent overwrite would serve another client's queries from
+        # the wrong edge set (same contract as /index/create)
+        with pytest.raises(MuninnRequestError):
+            c.create_graph("gg", src=[5], dst=[6])
+    finally:
+        srv.stop()
+
+
+def test_client_mutations_do_not_retry(monkeypatch):
+    """Re-sending a timed-out mutation can re-apply a request the
+    server already ran; only idempotent reads retry."""
+    import urllib.request as ur
+
+    from muninn_tpu.client import EngineClient, MuninnConnectionError
+
+    c = EngineClient("http://127.0.0.1:1", timeout=0.05,
+                     retries=3, backoff=0.01)
+    calls = {"n": 0}
+
+    def counting(req, timeout=None):
+        calls["n"] += 1
+        raise OSError("refused")
+
+    monkeypatch.setattr(ur, "urlopen", counting)
+    with pytest.raises(MuninnConnectionError):
+        c._request("/index/insert", {"name": "x"})
+    assert calls["n"] == 1  # no retries for a mutation
+    calls["n"] = 0
+    with pytest.raises(MuninnConnectionError):
+        c._request("/index/search", {"name": "x"})
+    assert calls["n"] == 4  # idempotent read retried
+
+
+def test_remote_search_accepts_list_of_numpy_rows(rng):
+    from muninn_tpu.client import EngineClient
+
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        c = EngineClient(f"http://127.0.0.1:{port}")
+        ix = c.create_index("npq", dim=8, metric="l2", kind="flat")
+        x = np.arange(24, dtype=np.float32).reshape(3, 8)
+        ix.insert([0, 1, 2], x)
+        ids, _ = ix.search([x[0], x[2]], k=1)  # list of ndarray rows
+        assert [row[0] for row in ids] == [0, 2]
+    finally:
+        srv.stop()
+
+
+def test_server_stop_releases_socket():
+    """stop() must server_close() — a leaked listener blocks rebinding
+    the same port in-process."""
+    srv = EngineServer()
+    port = srv.start(port=0)
+    srv.stop()
+    srv2 = EngineServer()
+    p2 = srv2.start(port=port)  # EADDRINUSE if the socket leaked
+    assert p2 == port
+    srv2.stop()

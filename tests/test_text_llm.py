@@ -353,3 +353,24 @@ def test_er_confidence_grammar_compiles():
         assert dfa.accepts(s), s
     for s in ("11", "-1", "yes", "3.5", ""):
         assert not dfa.accepts(s), s
+
+
+def test_label_groups_quote_only_output():
+    """A model answering only quote characters must yield an empty
+    label, not IndexError (kills the whole kg_graphrag pipeline)."""
+    from muninn_tpu.models.registry import registry
+    from muninn_tpu.text import label_groups
+
+    class QuoteModel:
+        from muninn_tpu.models.registry import ModelType
+        model_type = ModelType.CHAT
+
+        def generate(self, *a, **k):
+            return '""'
+
+    registry.add("quote-model", QuoteModel())
+    try:
+        rows = label_groups("quote-model", {"g1": ["a", "b", "c"]})
+        assert rows == [("g1", "", 3)]
+    finally:
+        registry.remove("quote-model")

@@ -201,6 +201,11 @@ class VizServer:
         self._httpd = None
         self._embeddings = dict(embeddings or {})
         self._embed_cache: dict[str, dict] = {}
+        # ThreadingHTTPServer: the page fires /api/graph and /api/stats
+        # concurrently on first load — without a lock both threads run
+        # the minutes-long lazy leiden+betweenness, and two concurrent
+        # device computations can fail the single-client TPU tunnel
+        self._alock = threading.Lock()
 
     def add_embeddings(self, name: str, labels, vectors,
                        categories=None) -> None:
@@ -210,15 +215,16 @@ class VizServer:
     # ── payloads ──
 
     def _ensure_analytics(self):
-        if self._communities is None:
-            self._communities, self._modularity = self.graph.leiden(seed=0)
-        if self._bc is None:
-            if self.graph.num_nodes <= self._max_bc_nodes:
-                self._bc = self.graph.betweenness(normalized=True)
-            else:
-                self._bc = self.graph.betweenness(
-                    normalized=True, sample_sources=64
-                )
+        with self._alock:
+            if self._communities is None:
+                self._communities, self._modularity = self.graph.leiden(seed=0)
+            if self._bc is None:
+                if self.graph.num_nodes <= self._max_bc_nodes:
+                    self._bc = self.graph.betweenness(normalized=True)
+                else:
+                    self._bc = self.graph.betweenness(
+                        normalized=True, sample_sources=64
+                    )
 
     def graph_payload(self, min_degree: int = 0) -> dict:
         self._ensure_analytics()
@@ -251,6 +257,10 @@ class VizServer:
         eigendecomposition (one matmul + eigh — no O(N^2) work)."""
         if name not in self._embeddings:
             raise KeyError(name)
+        with self._alock:
+            return self._embed_payload_locked(name)
+
+    def _embed_payload_locked(self, name: str) -> dict:
         if name not in self._embed_cache:
             import jax.numpy as jnp
             import numpy as np
@@ -351,4 +361,5 @@ class VizServer:
     def stop(self) -> None:
         if self._httpd:
             self._httpd.shutdown()
+            self._httpd.server_close()  # release the listening socket
             self._httpd = None
