@@ -423,18 +423,30 @@ def run_kg_extract(params, rng, emit):
 
     if "harness-chat" not in registry.names():
         load_chat_model("harness-chat")
-    docs = [
-        f"Person{i} Works at Company{i % 20} in City{i % 7}."
-        for i in range(params["n_docs"])
-    ]
+    # lowercase verbs: capitalized connectives would merge adjacent
+    # gold spans into one (the extractor treats consecutive capitalized
+    # words as one entity, like the reference's unsupervised prompt)
+    docs, gold = [], []
+    for i in range(params["n_docs"]):
+        ents = (f"Person{i}", f"Company{i % 20}", f"City{i % 7}")
+        docs.append(f"{ents[0]} works at {ents[1]} in {ents[2]}.")
+        gold.append(set(ents))
     t0 = time.time()
     outs = extract_ner_re_batch("harness-chat", docs)
     s = time.time() - t0
+    # micro entity P/R/F1 vs gold (reference kg_metrics NER role)
+    preds = [{e["name"] for e in o["entities"]} for o in outs]
+    tp = sum(len(p & g) for p, g in zip(preds, gold))
+    np_, ng = sum(map(len, preds)), sum(map(len, gold))
+    prec = tp / np_ if np_ else 0.0
+    rec = tp / ng if ng else 0.0
     emit(
         dict(params),
         {"docs_per_s": len(docs) / s,
-         "entities": sum(len(o["entities"]) for o in outs),
-         "relations": sum(len(o["relations"]) for o in outs)},
+         "entities": np_,
+         "relations": sum(len(o["relations"]) for o in outs),
+         "entity_precision": prec, "entity_recall": rec,
+         "entity_f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0},
         s,
     )
 
@@ -531,7 +543,7 @@ def run_kg_graphrag(params, rng, emit):
     if "harness-chat" not in registry.names():
         load_chat_model("harness-chat")
     docs = [
-        f"Alice{i} Works at Acme{i % 10} in Springfield{i % 4}."
+        f"Alice{i} works at Acme{i % 10} in Springfield{i % 4}."
         for i in range(params["n_docs"])
     ]
     t0 = time.time()

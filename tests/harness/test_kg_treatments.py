@@ -24,9 +24,9 @@ def test_embed_treatment(rng):
 def test_kg_extract_treatment(rng):
     recs = _run("kg_extract", {"n_docs": 40, "backend": "echo"}, rng)
     _, m, _ = recs[0]
-    # the echo backend extracts the PersonN/CompanyN surface forms the
-    # docs embed, so every doc yields at least one entity + relation
-    assert m["entities"] >= 40
+    # the echo backend extracts exactly the gold capitalized spans
+    assert m["entity_f1"] >= 0.95
+    assert m["entity_precision"] >= 0.95 and m["entity_recall"] >= 0.95
     assert m["relations"] >= 40
     assert m["docs_per_s"] > 0
 

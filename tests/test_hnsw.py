@@ -610,3 +610,46 @@ def test_grouped_bounded_append_with_padding(rng):
             got = [(int(s_), float(d_)) for s_, d_ in zip(ai[t], ad[t])
                    if s_ >= 0]
             assert sorted(got) == sorted(want.get(t, [])), (trial, t)
+
+
+def test_hnsw_randomized_churn_differential(rng):
+    """Property test: interleaved insert/delete waves never violate the
+    engine invariants and keep recall against the exact oracle — the
+    long-run insurance for the incremental wiring path."""
+    dim = 16
+    idx = HnswIndex(dim, "l2", m=6, ef_construction=48, wave_size=64,
+                    seed=11)
+    live: dict[int, np.ndarray] = {}
+    next_id = 0
+    for phase in range(6):
+        n_ins = int(rng.integers(40, 120))
+        vecs = rng.standard_normal((n_ins, dim)).astype(np.float32)
+        ids = np.arange(next_id, next_id + n_ins)
+        next_id += n_ins
+        idx.insert(ids, vecs)
+        live.update(zip(ids.tolist(), vecs))
+        if phase >= 1 and len(live) > 80:
+            kill = rng.choice(sorted(live), size=30, replace=False)
+            idx.delete(kill)
+            for i in kill.tolist():
+                del live[i]
+        assert len(idx) == len(live)
+
+        # invariant: no live edge points at a tombstone slot
+        nb = np.asarray(idx.neighbors0)
+        valid = np.asarray(idx.store.valid)
+        rows = nb[np.nonzero(valid)[0]]
+        assert not ((rows >= 0) & ~valid[np.maximum(rows, 0)]).any()
+
+    keys = np.array(sorted(live))
+    mat = np.stack([live[i] for i in keys.tolist()])
+    flat = FlatIndex(dim, "l2", use_pallas=False, capacity=2048)
+    flat.insert(keys, mat)
+    q = mat[rng.choice(len(keys), 25, replace=False)]
+    got, _ = idx.search(q, k=5, ef_search=48)
+    want, _ = flat.search(q, k=5)
+    hits = sum(len(set(a[a >= 0]) & set(b[b >= 0]))
+               for a, b in zip(got, want))
+    assert hits / (25 * 5) >= 0.9
+    # every returned id is live
+    assert set(got[got >= 0].tolist()) <= set(keys.tolist())
