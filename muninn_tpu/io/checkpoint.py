@@ -296,13 +296,22 @@ class DeltaLog:
             return sum(1 for _ in f)
 
     def replay(self):
+        """Yield records in append order. A malformed FINAL line is
+        skipped — that's a torn write from a crash mid-append, and the
+        record it held was never acknowledged. Malformed lines anywhere
+        else are real corruption and raise."""
         if not self.path.exists():
             return
         with open(self.path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    yield json.loads(line)
+            lines = [l.strip() for l in f]
+        lines = [l for l in lines if l]
+        for i, line in enumerate(lines):
+            try:
+                yield json.loads(line)
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    return  # torn tail: the append never completed
+                raise
 
     def clear(self) -> None:
         if self.path.exists():

@@ -388,3 +388,28 @@ def test_flat_checkpoint_preserves_precision_mode(rng, tmp_path):
     ids1, d1 = back.search(x[:8], k=5)
     np.testing.assert_array_equal(ids1, ids0)
     np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-6)
+
+
+def test_delta_log_tolerates_torn_tail(tmp_path):
+    """A crash mid-append leaves a truncated final JSONL line; replay
+    must recover every acknowledged record and skip only the torn one.
+    Corruption ANYWHERE else still raises."""
+    import json
+
+    import pytest
+
+    from muninn_tpu.io.checkpoint import DeltaLog
+
+    log = DeltaLog(tmp_path / "delta.jsonl")
+    log.append("insert", id=1)
+    log.append("insert", id=2)
+    with open(log.path, "a") as f:
+        f.write('{"op": "ins')  # torn write, no newline
+    recs = list(log.replay())
+    assert [r["id"] for r in recs] == [1, 2]
+
+    # mid-file corruption is NOT silently skipped
+    lines = log.path.read_text().splitlines()
+    log.path.write_text("\n".join([lines[0], '{"broken', lines[1]]) + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        list(log.replay())
