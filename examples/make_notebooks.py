@@ -143,5 +143,12 @@ def main(execute: bool = True) -> list[Path]:
 
 
 if __name__ == "__main__":
+    # examples run hash/echo backends at tiny sizes — force CPU so
+    # notebook generation neither grabs the single-client TPU tunnel
+    # nor hangs when the tunnel is down (the axon plugin ignores the
+    # JAX_PLATFORMS env var; config must be set before first device use)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     for p in main(execute="--no-exec" not in sys.argv[1:]):
         print(p)

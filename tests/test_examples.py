@@ -179,3 +179,15 @@ def test_notebooks_execute():
         errs = [o for o in outputs if o["output_type"] == "error"]
         assert not errs, f"{d.name}: {errs and errs[0]['evalue']}"
         assert outputs, f"{d.name} produced no output"
+
+
+def test_serving():
+    from examples.serving.main import main
+
+    r = main()
+    assert r["self_hits"] == 8
+    assert r["reload_ok"]
+    assert abs(r["rank_sum"] - 1.0) < 1e-3
+    assert r["communities"] >= 1
+    assert r["closure_nodes"] >= 4  # ada + descendants + their ancestors
+    assert r["duplicate_rejected"]
