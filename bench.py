@@ -119,6 +119,25 @@ def _probe_backend(timeout_s: int = 300) -> bool:
         return False
 
 
+def _version_info() -> dict:
+    """Package version + git sha: ties each BENCH record to the exact
+    code it measured."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, timeout=10, cwd=__file__.rsplit("/", 1)[0],
+        ).stdout.decode().strip()
+    except Exception:
+        sha = None
+    try:
+        from muninn_tpu import __version__ as ver
+    except Exception:
+        ver = None
+    return {"muninn_tpu": ver, "git": sha}
+
+
 def main():
     if not _probe_backend():
         print(json.dumps({
@@ -513,6 +532,7 @@ def main():
             "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
             "backend": jax.default_backend(),
             "repeats": REPEATS,
+            "version": _version_info(),
             "ranges": {
                 k: [round(lo, 1), round(hi, 1)] for k, (lo, hi) in ranges.items()
             },
