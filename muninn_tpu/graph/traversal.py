@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from muninn_tpu.ops.segments import seg_min, seg_positions
 
-INT_INF = jnp.int32(2**30)
-_F_INF = jnp.float32(jnp.inf)
+INT_INF = np.int32(2**30)
+_F_INF = np.float32(np.inf)
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_depth", "n_passes"))

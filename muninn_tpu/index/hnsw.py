@@ -65,7 +65,7 @@ from muninn_tpu.ops.topk import (
 )
 
 HNSW_MAX_LEVELS = 32  # matches reference cap, src/hnsw_algo.h:14
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)
 
 
 # ───────────────────────── search kernels ─────────────────────────

@@ -56,7 +56,7 @@ from muninn_tpu.ops.pallas_beam import gather_block_dots
 from muninn_tpu.ops.pallas_flat import flat_topk
 from muninn_tpu.ops.topk import masked_topk, sorted_topk_unique
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)
 
 
 def _round_up(n: int, m: int) -> int:

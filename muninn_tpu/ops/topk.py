@@ -14,10 +14,12 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
-INVALID_ID = jnp.int32(-1)
+INF = np.float32(np.inf)
+INVALID_ID = np.int32(-1)
 
 
 @partial(jax.jit, static_argnames=("k",))
