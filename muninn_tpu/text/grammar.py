@@ -258,8 +258,10 @@ class _Parser:
                 allowed[lo] = True
         if neg:
             allowed = ~allowed
-            # multi-byte UTF-8 continuation/lead bytes stay allowed so
-            # negated classes (JSON string content) accept any unicode
+            # high bytes stay flagged here; _build_nfa expands them into
+            # the exact UTF-8 byte automaton so negated classes (JSON
+            # string content) accept precisely the valid encodings of
+            # non-ASCII scalars
         return allowed
 
 
@@ -293,8 +295,48 @@ def _build_nfa(rules: dict[str, tuple]) -> tuple[_Nfa, int, int]:
                 cur = nxt
             return start, cur
         if kind == "class":
+            allowed = node[1]
             start, end = nfa.state(), nfa.state()
-            nfa.edges[start].append((node[1], end))
+            ascii_part = allowed.copy()
+            ascii_part[0x80:] = False
+            if ascii_part.any():
+                nfa.edges[start].append((ascii_part, end))
+            if allowed[0x80:].any():
+                # negated classes admit "any non-ASCII scalar": expand to
+                # the EXACT UTF-8 byte automaton (Unicode Table 3-7). A
+                # single loose any-high-byte edge would accept invalid
+                # sequences — and `CharDFA.complete()`'s BFS (truncation
+                # repair) would then emit overlong encodings like
+                # F0 80 80 80 when a token-budget cut lands mid-scalar.
+                def edge(frm, lo, hi, to):
+                    arr = np.zeros(256, bool)
+                    arr[lo : hi + 1] = True
+                    nfa.edges[frm].append((arr, to))
+
+                c1 = nfa.state()  # 1 continuation byte remaining
+                c2 = nfa.state()  # 2 remaining
+                c3 = nfa.state()  # 3 remaining
+                edge(c1, 0x80, 0xBF, end)
+                edge(c2, 0x80, 0xBF, c1)
+                edge(c3, 0x80, 0xBF, c2)
+                edge(start, 0xC2, 0xDF, c1)           # U+0080..U+07FF
+                e0 = nfa.state()
+                edge(start, 0xE0, 0xE0, e0)
+                edge(e0, 0xA0, 0xBF, c1)              # no overlongs
+                mid3 = np.zeros(256, bool)
+                mid3[0xE1:0xED] = True                # E1..EC
+                mid3[0xEE:0xF0] = True                # EE..EF
+                nfa.edges[start].append((mid3, c2))
+                ed = nfa.state()
+                edge(start, 0xED, 0xED, ed)
+                edge(ed, 0x80, 0x9F, c1)              # no surrogates
+                f0 = nfa.state()
+                edge(start, 0xF0, 0xF0, f0)
+                edge(f0, 0x90, 0xBF, c2)              # no overlongs
+                edge(start, 0xF1, 0xF3, c3)
+                f4 = nfa.state()
+                edge(start, 0xF4, 0xF4, f4)
+                edge(f4, 0x80, 0x8F, c2)              # <= U+10FFFF
             return start, end
         if kind == "seq":
             start, cur = build(node[1][0], stack)

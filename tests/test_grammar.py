@@ -131,6 +131,44 @@ class TestTokenGrammar:
                 s = int(tg.trans[s, t])
         assert done >= 3, "random walks should terminate at acceptance sometimes"
 
+    def test_string_content_is_exact_utf8(self):
+        """Negated classes model UTF-8 exactly: overlong encodings,
+        surrogates, bare continuations, and out-of-range leads are
+        rejected; well-formed scalars of every width are accepted."""
+        dfa = compile_gbnf(GRAMMAR_NER)
+
+        def doc(name_bytes: bytes) -> bytes:
+            return (b'[{"name": "' + name_bytes + b'", "type": "x"}]')
+
+        for good in ["é", "ø", "漢", "🎉", "", "\U0010ffff"]:
+            assert dfa.accepts(doc(good.encode("utf-8"))), good
+        bad = [
+            b"\xf0\x80\x80\x80",  # overlong 4-byte
+            b"\xc0\xaf",          # overlong 2-byte
+            b"\xe0\x80\x80",      # overlong 3-byte
+            b"\xed\xa0\x80",      # surrogate U+D800
+            b"\xf4\x90\x80\x80",  # > U+10FFFF
+            b"\x80",              # bare continuation
+            b"\xc2",              # truncated sequence
+            b"\xf5\x80\x80\x80",  # invalid lead
+        ]
+        for nb in bad:
+            assert not dfa.accepts(doc(nb)), nb
+
+    def test_complete_mid_scalar_cut_yields_valid_utf8(self):
+        """Truncation repair: a token-budget cut inside a multi-byte
+        scalar must complete to VALID UTF-8 (the production repair path
+        in models/chat.py appends ``dfa.complete(prefix)``)."""
+        dfa = compile_gbnf(GRAMMAR_NER)
+        full = '[{"name": "a🎉b", "type": "t"}]'.encode("utf-8")
+        assert dfa.accepts(full)
+        for cut in range(len(full) + 1):
+            prefix = full[:cut]
+            assert dfa.alive(prefix), cut
+            fixed = prefix + dfa.complete(prefix)
+            assert dfa.accepts(fixed), cut
+            json.loads(fixed.decode("utf-8"))  # decodable + parseable
+
 
 # tiny_model_dir fixture lives in conftest.py (shared with the embed
 # and chat real-model tests)
