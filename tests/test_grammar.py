@@ -290,3 +290,58 @@ class TestEchoGrammarContract:
         out = m.generate("summarize: blah blah", grammar=g,
                          system_prompt="summarize")
         assert out == "ok"
+
+
+class TestGrammarJsonOracleFuzz:
+    """Representative of the 1200-doc fuzz that found the UTF-8
+    exactness bug: random documents of each grammar's shape must be
+    accepted; byte mutants the DFA accepts must parse as JSON; every
+    prefix must be alive and complete() to a parseable doc."""
+
+    def _rand_string(self, rng):
+        pool = list("abcXYZ 0129_./-éø漢🎉'&<>[]{}:,")
+        return "".join(str(rng.choice(pool))
+                       for _ in range(int(rng.integers(0, 10))))
+
+    @pytest.mark.parametrize("gname", ["NER", "RE", "NER_RE"])
+    def test_fuzz(self, gname):
+        rng = np.random.default_rng(17)
+        dfa = compile_gbnf({"NER": GRAMMAR_NER, "RE": GRAMMAR_RE,
+                            "NER_RE": GRAMMAR_NER_RE}[gname])
+
+        def doc():
+            ents = [{"name": self._rand_string(rng),
+                     "type": self._rand_string(rng)}
+                    for _ in range(int(rng.integers(0, 3)))]
+            rels = [{"head": self._rand_string(rng),
+                     "relation": self._rand_string(rng),
+                     "tail": self._rand_string(rng)}
+                    for _ in range(int(rng.integers(0, 2)))]
+            if gname == "NER":
+                return json.dumps({"entities": ents}, ensure_ascii=False)
+            if gname == "RE":
+                return json.dumps({"relations": rels}, ensure_ascii=False)
+            return json.dumps({"entities": ents, "relations": rels},
+                              ensure_ascii=False)
+
+        for _ in range(25):
+            b = doc().encode("utf-8")
+            assert dfa.accepts(b)
+            cut = int(rng.integers(0, len(b) + 1))
+            assert dfa.alive(b[:cut])
+            fixed = b[:cut] + dfa.complete(b[:cut])
+            assert dfa.accepts(fixed)
+            json.loads(fixed.decode("utf-8"))
+            for _ in range(4):
+                mb = bytearray(b)
+                op = int(rng.integers(0, 3))
+                pos = int(rng.integers(0, len(mb))) if len(mb) else 0
+                byte = int(rng.integers(1, 128))
+                if op == 0 and len(mb):
+                    mb[pos] = byte
+                elif op == 1:
+                    mb.insert(pos, byte)
+                elif len(mb):
+                    del mb[pos]
+                if dfa.accepts(bytes(mb)):
+                    json.loads(bytes(mb).decode("utf-8"))

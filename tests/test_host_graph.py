@@ -176,3 +176,51 @@ def test_auto_routes_small_to_host(g, monkeypatch):
     g.closeness()
     g.leiden()
     g.shortest_path(_start(g), g.nodes.id_of(1))
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_topology_agreement(seed):
+    """Random graphs of varying density/size (incl. multi-edges and
+    self-loops as generated): host and device backends agree on every
+    analytic. Broad-topology insurance behind the fixed-graph agreement
+    tests above (a 40-graph soak of this property ran clean; this keeps
+    three representatives in CI)."""
+    r = np.random.default_rng(seed)
+    v = int(r.integers(8, 50))
+    e = int(r.integers(v, 5 * v))
+    src = r.integers(0, v, e)
+    dst = r.integers(0, v, e)
+    w = r.uniform(0.1, 5.0, e).astype(np.float32) if seed % 2 else None
+    g = Graph.from_edges([f"n{s}" for s in src], [f"n{d}" for d in dst], w)
+    start = f"n{src[0]}"
+
+    bh = {n: dep for n, dep, _p in g.bfs(start, backend="host")}
+    bd = {n: dep for n, dep, _p in g.bfs(start, backend="device")}
+    assert bh == bd
+
+    ch, cd = (g.connected_components(backend=b) for b in ("host", "device"))
+    def part(m):
+        comp = {}
+        for n, (cid, _sz) in m.items():
+            comp.setdefault(cid, set()).add(n)
+        return sorted(map(frozenset, comp.values()), key=sorted)
+    assert part(ch) == part(cd)
+
+    ph, pd = (g.pagerank(backend=b) for b in ("host", "device"))
+    assert set(ph) == set(pd)
+    assert all(abs(ph[n] - pd[n]) < 1e-3 for n in ph)
+
+    end = f"n{dst[-1]}"
+    sph = g.shortest_path(start, end, backend="host")
+    spd = g.shortest_path(start, end, backend="device")
+    if sph is None or np.isinf(sph[1]):
+        assert spd is None or np.isinf(spd[1])
+    else:
+        assert abs(sph[1] - spd[1]) < 1e-3
+
+    beth, betd = (g.betweenness(backend=b) for b in ("host", "device"))
+    assert all(
+        abs(beth[n] - betd[n]) < 1e-2 * max(1.0, abs(beth[n])) for n in beth
+    )
+    clh, cld = (g.closeness(backend=b) for b in ("host", "device"))
+    assert all(abs(clh[n] - cld[n]) < 1e-3 for n in clh)

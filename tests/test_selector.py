@@ -161,3 +161,93 @@ def test_selector_host_and_device_paths_agree(rng):
         rows_h = select(g_host, sel)
         rows_d = select(g_dev, sel)
         assert rows_h == rows_d, sel
+
+
+def test_selector_random_expressions_match_bruteforce_oracle():
+    import numpy as np
+
+    """Differential fuzz representative: random selectors evaluated
+    against an independent python-set oracle of the documented
+    semantics (docs/graph-select.md operator table). A 60-expression
+    soak of this ran clean; three graphs x four expressions stay in CI."""
+    rng = np.random.default_rng(29)
+
+    def bfs_set(adj, start, depth):
+        out, frontier, d = {start}, {start}, 0
+        while frontier and (depth is None or d < depth):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set())
+            nxt -= out
+            out |= nxt
+            frontier = nxt
+            d += 1
+        return out
+
+    def atom_set(fwd, rev, a):
+        ident, up, down, closure = a
+        if closure:
+            desc = bfs_set(fwd, ident, None)
+            out = set(desc)
+            for n in desc:
+                out |= bfs_set(rev, n, None)
+            return out
+        out = {ident}
+        if up is not None:
+            out |= bfs_set(rev, ident, None if up < 0 else up)
+        if down is not None:
+            out |= bfs_set(fwd, ident, None if down < 0 else down)
+        return out
+
+    def render(a):
+        ident, up, down, closure = a
+        if closure:
+            return "@" + ident
+        s = ident
+        if up is not None:
+            s = ("+" if up < 0 else f"{up}+") + s
+        if down is not None:
+            s = s + ("+" if down < 0 else f"+{down}")
+        return s
+
+    for _graph_i in range(3):
+        v = int(rng.integers(8, 30))
+        e = int(rng.integers(v, 4 * v))
+        src = rng.integers(0, v, e)
+        dst = rng.integers(0, v, e)
+        names = [f"m{i}" for i in range(v)]
+        g = Graph.from_edges([names[i] for i in src], [names[i] for i in dst])
+        present = sorted({names[i] for i in src} | {names[i] for i in dst})
+        fwd, rev = {}, {}
+        for a, b in zip(src, dst):
+            fwd.setdefault(names[a], set()).add(names[b])
+            rev.setdefault(names[b], set()).add(names[a])
+
+        def rand_atom():
+            ident = str(rng.choice(present))
+            if rng.random() < 0.2:
+                return (ident, None, None, True)
+            up = int(rng.choice([-1, 1, 2])) if rng.random() < 0.5 else None
+            down = int(rng.choice([-1, 1, 2])) if rng.random() < 0.5 else None
+            return (ident, up, down, False)
+
+        for _expr_i in range(4):
+            terms = []
+            for _ in range(int(rng.integers(1, 4))):
+                negated = rng.random() < 0.25
+                atoms = [rand_atom()
+                         for _ in range(1 if negated else int(rng.integers(1, 3)))]
+                terms.append((atoms, negated))
+            text = " ".join(
+                ("not " if neg else "") + ",".join(render(a) for a in atoms)
+                for atoms, neg in terms
+            )
+            want = set()
+            allnodes = set(present)
+            for atoms, neg in terms:
+                tset = allnodes.copy()
+                for a in atoms:
+                    tset &= atom_set(fwd, rev, a)
+                want |= (allnodes - tset) if neg else tset
+            got = {r[0] for r in select(g, text)}
+            assert got == want, (text, sorted(got ^ want)[:10])
