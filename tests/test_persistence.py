@@ -413,3 +413,60 @@ def test_delta_log_tolerates_torn_tail(tmp_path):
     log.path.write_text("\n".join([lines[0], '{"broken', lines[1]]) + "\n")
     with pytest.raises(json.JSONDecodeError):
         list(log.replay())
+
+
+def test_checkpoint_corruption_never_silently_corrupts(rng, tmp_path):
+    """Fuzz representative (60-round campaign ran clean): a corrupted
+    checkpoint directory must either load to identical results or
+    raise — never return an index with silently different contents.
+    Guards the format against e.g. a move to CRC-less raw mmap."""
+    import shutil
+
+    from muninn_tpu.index.ivf import IvfIndex
+    from muninn_tpu.io import checkpoint as ck
+
+    dim, n = 16, 700
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(n)
+    q = vecs[:8]
+
+    builds = {
+        "flat": (lambda: FlatIndex(dim, "cosine", use_pallas=False,
+                                   capacity=1024),
+                 ck.save_flat, ck.load_flat),
+        "hnsw": (lambda: HnswIndex(dim, "cosine", m=6, ef_construction=48),
+                 ck.save_hnsw, ck.load_hnsw),
+        "ivf": (lambda: IvfIndex(dim, "cosine", cluster_size=64),
+                ck.save_ivf, ck.load_ivf),
+    }
+    for kind, (mk, save, load) in builds.items():
+        idx = mk()
+        idx.insert(ids, vecs)
+        want, _ = idx.search(q, k=5)
+        ref = tmp_path / f"{kind}_ref"
+        save(idx, ref)
+        assert np.array_equal(want, load(ref).search(q, k=5)[0])
+        files = sorted(p for p in ref.rglob("*") if p.is_file())
+        for r in range(6):
+            work = tmp_path / f"{kind}_w{r}"
+            shutil.copytree(ref, work)
+            victim = work / str(
+                rng.choice([str(f.relative_to(ref)) for f in files]))
+            data = victim.read_bytes()
+            op = r % 3
+            if op == 0:
+                victim.write_bytes(data[: int(rng.integers(0, len(data)))])
+            elif op == 1:
+                b = bytearray(data)
+                for _ in range(4):
+                    b[int(rng.integers(0, len(b)))] ^= int(
+                        rng.integers(1, 256))
+                victim.write_bytes(bytes(b))
+            else:
+                victim.unlink()
+            try:
+                got, _ = load(work).search(q, k=5)
+            except Exception:
+                continue  # clean failure
+            assert np.array_equal(want, got), (
+                f"{kind} r={r}: silent corruption")
