@@ -48,6 +48,7 @@ def json_output(text: str, wrap_key: str = "items") -> dict:
         val = json.loads(text)
     except json.JSONDecodeError:
         # salvage the longest parseable prefix of a truncated array/object
+        val = None  # empty text (e.g. an all-think output) skips the loop
         for end in range(len(text), 0, -1):
             for closer in ("", "]", "}", "]}", '"}]}', '"}]'):
                 try:

@@ -89,6 +89,12 @@ def test_json_output_normalization():
     # truncation salvage
     out = j('{"entities": [{"name": "Bob", "type": "PERSON"}, {"na')
     assert isinstance(out, dict)
+    # empty / think-only output returns the empty envelope (an
+    # all-<think> generation stripped to "" used to UnboundLocalError
+    # out of the salvage loop — found by a 3000-case repair fuzz)
+    assert j("") == {"items": []}
+    assert j("<think>reasoning only") == {"items": []}
+    assert j("   \n") == {"items": []}
 
 
 def test_chat_and_extraction_pipeline():
