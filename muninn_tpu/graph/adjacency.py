@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -63,6 +64,7 @@ class GraphCache:
         self._block_lens: list[int] | None = None
         self._dirty_blocks: set[int] = set()
         self._saved_nodes = 0
+        self._nodes_crc = 0  # running crc32 of nodes.jsonl bytes
         self._saved_dir: Path | None = None
 
     # ── construction ──
@@ -581,6 +583,7 @@ class GraphCache:
             ]
             self._dirty_blocks = set(range(nb))
             self._saved_nodes = 0
+            self._nodes_crc = 0
             (p / "nodes.jsonl").unlink(missing_ok=True)
         bounds = np.concatenate([[0], np.cumsum(self._block_lens)])
         for b in sorted(self._dirty_blocks):
@@ -595,9 +598,15 @@ class GraphCache:
                 f.unlink()
         (p / "arrays.npz").unlink(missing_ok=True)  # pre-block format
         if self._saved_nodes < len(self.nodes):
-            with open(p / "nodes.jsonl", "a") as f:
-                for i in range(self._saved_nodes, len(self.nodes)):
-                    f.write(json.dumps(self.nodes.id_of(i)) + "\n")
+            blob = "".join(
+                json.dumps(self.nodes.id_of(i)) + "\n"
+                for i in range(self._saved_nodes, len(self.nodes))
+            ).encode("utf-8")
+            with open(p / "nodes.jsonl", "ab") as f:
+                f.write(blob)
+            # incremental crc keeps save O(delta); zip CRCs protect the
+            # block files but nodes.jsonl needs its own integrity check
+            self._nodes_crc = zlib.crc32(blob, self._nodes_crc)
             self._saved_nodes = len(self.nodes)
         _write_manifest(
             p, "graph_cache",
@@ -606,6 +615,7 @@ class GraphCache:
                 "weighted": self.weighted,
                 "block_lens": self._block_lens,
                 "num_nodes": len(self.nodes),
+                "nodes_crc32": self._nodes_crc,
             },
         )
         self._dirty_blocks = set()
@@ -634,9 +644,15 @@ class GraphCache:
             gc._w = np.concatenate([z["w"] for z in parts])
             gc._block_lens = list(lens)
         if (p / "nodes.jsonl").exists():
-            with open(p / "nodes.jsonl") as f:
-                for line in f:
-                    gc.nodes.find_or_add(json.loads(line))
+            raw = (p / "nodes.jsonl").read_bytes()
+            want_crc = m.get("nodes_crc32")  # absent in older checkpoints
+            if want_crc is not None and zlib.crc32(raw) != want_crc:
+                raise ValueError(
+                    "nodes.jsonl is corrupt (crc32 mismatch vs manifest)"
+                )
+            gc._nodes_crc = zlib.crc32(raw)
+            for line in raw.decode("utf-8").splitlines():
+                gc.nodes.find_or_add(json.loads(line))
         else:  # pre-block format
             for i in json.loads((p / "nodes.json").read_text()):
                 gc.nodes.find_or_add(i)

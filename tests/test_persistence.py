@@ -470,3 +470,34 @@ def test_checkpoint_corruption_never_silently_corrupts(rng, tmp_path):
                 continue  # clean failure
             assert np.array_equal(want, got), (
                 f"{kind} r={r}: silent corruption")
+
+
+def test_graph_cache_nodes_crc_guards_id_flips(tmp_path):
+    """nodes.jsonl has no zip CRC protecting it (unlike the block
+    files): a flipped byte used to load silently with a WRONG external
+    id. The manifest now carries an incrementally-maintained crc32
+    (save stays O(delta)); a flip raises, incremental saves keep the
+    running crc consistent, and pre-crc checkpoints still load."""
+    import json as _json
+
+    gc = GraphCache.from_edges(["alice", "bob"], ["bob", "carol"])
+    p = tmp_path / "ck"
+    gc.save(p)
+    # incremental append keeps the running crc valid
+    gc.add_edges(["dave"], ["alice"])
+    gc.save(p)
+    gc2 = GraphCache.load(p)
+    assert gc2.nodes.id_of(3) == "dave"
+
+    raw = bytearray((p / "nodes.jsonl").read_bytes())
+    raw[2] ^= 0x08
+    (p / "nodes.jsonl").write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="crc32"):
+        GraphCache.load(p)
+
+    # pre-crc checkpoint (older manifest without the key) still loads
+    (p / "nodes.jsonl").write_bytes(bytes(raw))  # content now "valid" per no-crc
+    m = _json.loads((p / "manifest.json").read_text())
+    del m["nodes_crc32"]
+    (p / "manifest.json").write_text(_json.dumps(m))
+    GraphCache.load(p)  # no crc key -> compat path, no raise
