@@ -409,3 +409,47 @@ def test_tune_rescore_r_proj_mode(rng):
         len(set(a[a >= 0]) & set(b[b >= 0])) / k for a, b in zip(ids, tid)
     ])
     assert recall >= 0.9
+
+
+def test_flat_topk_random_geometry_vs_numpy(rng):
+    """Fuzz representative (40-trial campaign clean): odd B/N/d, k>N,
+    all-invalid and single-valid masks, duplicate rows, both precision
+    modes, odd tile sizes — distances match brute-force numpy and the
+    (inf, -1) padding contract holds."""
+    from muninn_tpu.ops.distance import Metric
+    from muninn_tpu.ops.pallas_flat import flat_topk
+
+    for trial in range(6):
+        b = int(rng.integers(1, 12))
+        n = int(rng.integers(1, 300))
+        d = int(rng.integers(2, 60))
+        k = int(rng.choice([1, 5, n + 3]))
+        metric = [Metric.L2, Metric.COSINE, Metric.INNER_PRODUCT][trial % 3]
+        valid = [None,
+                 rng.random(n) < 0.6,
+                 np.zeros(n, bool)][trial % 3]
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        prec = "highest" if trial % 2 else "default"
+        gd, gi = flat_topk(q, c, k, metric=metric, corpus_valid=valid,
+                           tb=64, tc=512, interpret=True, precision=prec)
+        gd, gi = np.asarray(gd), np.asarray(gi)
+        if metric is Metric.COSINE:
+            qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+            full = 1.0 - qn @ cn.T
+        elif metric is Metric.L2:
+            full = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        else:
+            full = -(q @ c.T)
+        if valid is not None:
+            full = np.where(valid[None, :], full, np.inf)
+        wd = np.sort(full, axis=1)[:, :k]
+        if wd.shape[1] < k:
+            wd = np.pad(wd, ((0, 0), (0, k - wd.shape[1])),
+                        constant_values=np.inf)
+        tol = 2e-3 if prec == "highest" else 3e-2
+        finite = np.isfinite(wd)
+        assert np.all(np.isinf(gd) == ~finite)
+        assert np.allclose(gd[finite], wd[finite], atol=tol, rtol=tol)
+        assert np.all((gi >= 0) == finite)

@@ -653,3 +653,48 @@ def test_hnsw_randomized_churn_differential(rng):
     assert hits / (25 * 5) >= 0.9
     # every returned id is live
     assert set(got[got >= 0].tolist()) <= set(keys.tolist())
+
+
+def test_hnsw_full_lifecycle_edges(rng):
+    """Lifecycle fuzz representative (8-trial campaign clean): odd-wave
+    capacity growth, repeated entry-point deletion, delete-EVERYTHING,
+    then reinsert of the SAME ids with different vectors (+ a zero
+    vector) — searches stay oracle-exact at every phase."""
+    dim, total = 8, 150
+    idx = HnswIndex(dim, "l2", m=4, ef_construction=32, capacity=64,
+                    seed=7, wave_size=32)
+    vecs = rng.standard_normal((total, dim)).astype(np.float32)
+    pos = 0
+    while pos < total:
+        step = int(rng.integers(1, 37))
+        idx.insert(np.arange(pos, min(pos + step, total)),
+                   vecs[pos:pos + step])
+        pos += step
+    assert len(idx) == total
+
+    probe = vecs[0:1]
+    killed = []
+    for _ in range(10):
+        top = int(np.asarray(idx.search(probe, k=1)[0])[0, 0])
+        idx.delete(np.array([top]))
+        killed.append(top)
+    got, _ = idx.search(probe, k=10)
+    assert not (set(np.asarray(got).ravel().tolist()) & set(killed))
+
+    idx.delete(np.array(sorted(set(range(total)) - set(killed))))
+    assert len(idx) == 0
+    assert (np.asarray(idx.search(probe, k=5)[0]) == -1).all()
+
+    v2 = rng.standard_normal((20, dim)).astype(np.float32)
+    v2[3] = 0.0
+    idx.insert(np.arange(20), v2)
+    flat = FlatIndex(dim, "l2", use_pallas=False, capacity=64)
+    flat.insert(np.arange(20), v2)
+    q = v2 + 0.01 * rng.standard_normal((20, dim)).astype(np.float32)
+    got2 = np.asarray(idx.search(q, k=3)[0])
+    want2 = np.asarray(flat.search(q, k=3)[0])
+    hits = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(got2, want2))
+    assert hits / 60 >= 0.95
+    assert int(np.asarray(idx.search(np.zeros((1, dim), np.float32),
+                                     k=1)[0])[0, 0]) == 3
