@@ -25,7 +25,13 @@ FORMAT_VERSION = 1
 
 def _write_manifest(path: Path, kind: str, meta: dict) -> None:
     manifest = {"format_version": FORMAT_VERSION, "kind": kind, **meta}
-    (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    # atomic swap: a crash mid-write must not tear the one file every
+    # load gates on (a torn manifest bricks an otherwise-recoverable
+    # checkpoint; part-written data files are caught by zip CRCs /
+    # nodes_crc32 / block-length checks instead)
+    tmp = path / "manifest.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=2))
+    os.replace(tmp, path / "manifest.json")
 
 
 def _read_manifest(path: Path, kind: str) -> dict:
