@@ -26,6 +26,57 @@ PALETTE = ["#4269d0", "#efb118", "#ff725c", "#6cc5b0", "#3ca951",
            "#ff8ab7", "#a463f2", "#97bbf5"]
 
 
+
+# The reference's published graph query times on erdos-renyi avg-deg-5
+# graphs, ms (/root/reference/benchmarks/charts/graph_query_time_*.json;
+# "muninn" = the sqlite-muninn engine itself, "graphqlite" = the faster
+# comparator it benchmarks against). Overlaid dashed on our charts so
+# every page carries the head-to-head.
+REF_GRAPH_ER5 = {
+    "pagerank_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000, 50000],
+                             [0.291, 3.407, 10.374, 221.624, 892.153, 79301.14]),
+        "reference graphqlite": ([100, 500, 1000, 5000, 10000, 50000],
+                                 [0.528, 1.275, 2.134, 8.169, 16.129, 169.6]),
+    },
+    "bfs_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000, 50000],
+                             [0.411, 1.885, 3.756, 19.83, 40.766, 857.576]),
+        "reference graphqlite": ([100, 500, 1000, 5000, 10000, 50000],
+                                 [0.251, 0.582, 1.003, 4.353, 8.471, 45.711]),
+    },
+    "components_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000, 50000],
+                             [0.264, 3.259, 12.383, 216.774, 877.759, 35990.114]),
+        "reference graphqlite": ([100, 500, 1000, 5000, 10000, 50000],
+                                 [3.014, 1.077, 1.944, 7.097, 14.018, 179.518]),
+    },
+    "shortest_path_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000, 50000],
+                             [0.175, 0.859, 2.091, 11.102, 23.385, 447.507]),
+        "reference graphqlite": ([100, 500, 1000, 5000, 10000, 50000],
+                                 [0.297, 0.573, 1.0, 4.288, 8.668, 69.471]),
+    },
+    "betweenness_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000],
+                             [0.919, 13.493, 54.7, 1781.276, 5861.902]),
+    },
+    "leiden_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000],
+                             [0.323, 1.814, 40.173, 299.056, 1124.409]),
+    },
+}
+
+
+def _ref_traces(metric: str, suffix: str = "") -> list:
+    out = []
+    for name, (x, y) in REF_GRAPH_ER5.get(metric, {}).items():
+        out.append({"name": f"{name} {metric}{suffix}".strip(),
+                    "x": list(x), "y": list(y),
+                    "line": {"dash": "dot"}})
+    return out
+
+
 def load_records(paths) -> list[dict]:
     """Load JSONL records; one record per (treatment, permutation) —
     the LATEST (by ts) wins, so re-runs supersede stale points instead
@@ -221,8 +272,11 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             s = _series(tr, [], "n", metric)
             for _, (x, y) in s.items():
                 traces.append({"name": metric, "x": x, "y": y})
+        for m_ in ("bfs_ms", "components_ms", "shortest_path_ms"):
+            traces += _ref_traces(m_)
         charts["graph_traversal"] = _fig(
-            "Graph traversal times", "N nodes", "ms", traces,
+            "Graph traversal times (dashed: reference published, ER-5)",
+            "N nodes", "ms", traces,
             log_x=True, log_y=True,
         )
 
@@ -233,8 +287,10 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             s = _series(ct, [], "n", metric)
             for _, (x, y) in s.items():
                 traces.append({"name": metric, "x": x, "y": y})
+        traces += _ref_traces("pagerank_ms") + _ref_traces("betweenness_ms")
         charts["graph_centrality"] = _fig(
-            "Centrality times", "N nodes", "ms", traces,
+            "Centrality times (dashed: reference published, ER-5)",
+            "N nodes", "ms", traces,
             log_x=True, log_y=True,
         )
 
@@ -245,8 +301,9 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
         traces = [{"name": "leiden_ms", "x": x, "y": y} for _, (x, y) in s.items()]
         traces += [{"name": "modularity", "x": x, "y": y, "yaxis": "y2"}
                    for _, (x, y) in q.items()]
-        fig = _fig("Leiden time + modularity", "N nodes", "ms", traces,
-                   log_x=True)
+        traces += _ref_traces("leiden_ms")
+        fig = _fig("Leiden time + modularity (dashed: reference published)",
+                   "N nodes", "ms", traces, log_x=True)
         fig["layout"]["yaxis2"] = {
             "title": {"text": "modularity"}, "overlaying": "y", "side": "right",
         }
