@@ -336,6 +336,48 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
     return charts
 
 
+
+def _head_to_head(by_treatment) -> list[str]:
+    """Index-page summary table: our measured time at every point the
+    reference published one (ER-5 curves; reference's own 'muninn'
+    engine), with the speedup factor."""
+    metric_of = {
+        "pagerank_ms": ("graph_centrality", "pagerank_ms"),
+        "bfs_ms": ("graph_traversal", "bfs_ms"),
+        "components_ms": ("graph_traversal", "components_ms"),
+        "shortest_path_ms": ("graph_traversal", "shortest_path_ms"),
+        "betweenness_ms": ("graph_centrality", "betweenness_ms"),
+        "leiden_ms": ("graph_community", "leiden_ms"),
+    }
+    lines = ["## Head-to-head vs the reference's published numbers", "",
+             "Reference = sqlite-muninn's own engine on erdos-renyi",
+             "avg-deg-5 graphs (its committed charts). Ours = this repo's",
+             "measured rows at the same N (host fast path). Machines",
+             "differ: reference numbers are from its author's",
+             "darwin-arm64; ours from this repo's linux-x86_64 vCPU —",
+             "sub-ms cells are within cross-machine noise.", "",
+             "| op | N | reference ms | ours ms | speedup |",
+             "|---|---|---|---|---|"]
+    n_rows = 0
+    for metric, (treatment, mkey) in metric_of.items():
+        ref = REF_GRAPH_ER5.get(metric, {}).get("reference muninn")
+        if ref is None:
+            continue
+        ours = {}
+        for r in by_treatment.get(treatment, []):
+            n = r["permutation"].get("n")
+            v = r["metrics"].get(mkey)
+            if n is not None and v is not None:
+                ours[n] = v  # latest wins (records pre-deduped upstream)
+        for n, rv in zip(*ref):
+            if n in ours and ours[n] > 0:
+                lines.append(
+                    f"| {mkey[:-3]} | {n} | {rv:.4g} | {ours[n]:.4g} | "
+                    f"{rv / ours[n]:.1f}x |")
+                n_rows += 1
+    return lines if n_rows else []
+
+
 def render_docs(recs: list[dict], charts: dict[str, dict],
                 docs_dir: Path) -> list[Path]:
     """One markdown page per treatment: record table + chart links."""
@@ -346,6 +388,9 @@ def render_docs(recs: list[dict], charts: dict[str, dict],
     written = []
     index_lines = ["# Benchmarks", "",
                    "Generated by `python -m benchmarks.harness analyse`.", ""]
+    h2h = _head_to_head(by_treatment)
+    if h2h:
+        index_lines += h2h + [""]
     for name, rows in sorted(by_treatment.items()):
         perm_keys = sorted({k for r in rows for k in r["permutation"]})
         met_keys = sorted({k for r in rows for k in r["metrics"]})
@@ -358,6 +403,15 @@ def render_docs(recs: list[dict], charts: dict[str, dict],
         header = perm_keys + met_keys + ["wall_s", "platform"]
         lines.append("| " + " | ".join(header) + " |")
         lines.append("|" + "---|" * len(header))
+
+        def _permkey(r):
+            return tuple(
+                (v if isinstance(v, (int, float)) else str(v))
+                if (v := r["permutation"].get(k)) is not None else -1
+                for k in perm_keys
+            )
+
+        rows = sorted(rows, key=_permkey)
         for r in rows:
             cells = [str(r["permutation"].get(k, "")) for k in perm_keys]
             cells += [

@@ -216,6 +216,24 @@ def _sized_grid(extra):
     return grid
 
 
+
+def _timed_median(fn, budget_s: float = 0.6, max_reps: int = 5) -> float:
+    """Median-of-repeats wall time for an op. One cold run always
+    counts; fast ops repeat (warm) until ~budget_s or max_reps — the
+    reference's published sub-ms graph numbers are warm medians, so
+    one-shot cold timing at tiny N measures allocator/cache noise, not
+    the engine."""
+    times = []
+    while len(times) < max_reps:
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+        if sum(times) >= budget_s and times:
+            break
+    times.sort()
+    return times[len(times) // 2]
+
+
 @treatment("graph_traversal", _sized_grid(lambda n: {"avg_deg": 5}))
 def run_traversal(params, rng, emit):
     from muninn_tpu.graph import Graph
@@ -224,9 +242,10 @@ def run_traversal(params, rng, emit):
     src, dst = _er_graph(rng, n, params["avg_deg"])
     g = Graph.from_edges(src.tolist(), dst.tolist())
     t0 = time.time(); g.host_csr("forward"); build_s = time.time() - t0
-    t0 = time.time(); rows = g.bfs(int(src[0])); bfs_s = time.time() - t0
-    t0 = time.time(); _, _ = g.shortest_path(int(src[0]), int(dst[-1])); sp_s = time.time() - t0
-    t0 = time.time(); g.connected_components(); cc_s = time.time() - t0
+    rows = g.bfs(int(src[0]))
+    bfs_s = _timed_median(lambda: g.bfs(int(src[0])))
+    sp_s = _timed_median(lambda: g.shortest_path(int(src[0]), int(dst[-1])))
+    cc_s = _timed_median(g.connected_components)
     emit(
         dict(params),
         {"csr_build_ms": build_s * 1e3, "bfs_ms": bfs_s * 1e3,
@@ -246,9 +265,10 @@ def run_centrality(params, rng, emit):
     n = params["n"]
     src, dst = _er_graph(rng, n, params["avg_deg"])
     g = Graph.from_edges(src.tolist(), dst.tolist())
-    t0 = time.time(); g.pagerank(); pr_s = time.time() - t0
-    t0 = time.time(); g.degree(); dg_s = time.time() - t0
-    t0 = time.time(); g.betweenness(sample_sources=params["bc_sources"]); bc_s = time.time() - t0
+    pr_s = _timed_median(g.pagerank)
+    dg_s = _timed_median(g.degree)
+    bc_s = _timed_median(
+        lambda: g.betweenness(sample_sources=params["bc_sources"]))
     emit(
         dict(params),
         {"pagerank_ms": pr_s * 1e3, "degree_ms": dg_s * 1e3,
@@ -264,7 +284,8 @@ def run_community(params, rng, emit):
     n = params["n"]
     src, dst = _er_graph(rng, n, params["avg_deg"])
     g = Graph.from_edges(src.tolist(), dst.tolist())
-    t0 = time.time(); labels, q = g.leiden(seed=0); s = time.time() - t0
+    labels, q = g.leiden(seed=0)
+    s = _timed_median(lambda: g.leiden(seed=0))
     emit(
         dict(params),
         {"leiden_ms": s * 1e3, "modularity": q,

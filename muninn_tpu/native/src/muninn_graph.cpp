@@ -212,48 +212,60 @@ void muninn_graph_brandes(const int32_t* src, const int32_t* dst,
     std::fill(node_cb, node_cb + v, 0.0);
     if (want_edge) std::fill(edge_cb, edge_cb + e, 0.0);
     std::vector<double> dist;
+    std::vector<int32_t> idist(static_cast<size_t>(v));
     std::vector<double> sigma(static_cast<size_t>(v));
     std::vector<double> delta(static_cast<size_t>(v));
-    std::vector<int32_t> order(static_cast<size_t>(v));
+    std::vector<int32_t> order;
+    order.reserve(static_cast<size_t>(v));
     for (int32_t si = 0; si < n_sources; si++) {
         int32_t s = sources[si];
+        order.clear();
         if (weighted) {
             dijkstra(c, v, s, dist);
+            // nodes reachable, ordered by distance ascending
+            for (int32_t u = 0; u < v; u++)
+                if (std::isfinite(dist[u])) order.push_back(u);
+            std::sort(order.begin(), order.end(),
+                      [&](int32_t a, int32_t b) { return dist[a] < dist[b]; });
         } else {
-            // BFS distances (all weights 1)
-            dist.assign(static_cast<size_t>(v),
-                        std::numeric_limits<double>::infinity());
-            dist[s] = 0.0;
-            std::vector<int32_t> q{s};
+            // BFS with int32 distances (-1 = unreached); the queue IS
+            // the distance-ascending order — no sort, no double math
+            std::fill(idist.begin(), idist.end(), -1);
+            idist[s] = 0;
+            order.push_back(s);
             size_t head = 0;
-            while (head < q.size()) {
-                int32_t u = q[head++];
+            while (head < order.size()) {
+                int32_t u = order[head++];
                 for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
                     int32_t t = c.dst[p];
-                    if (!std::isfinite(dist[t])) {
-                        dist[t] = dist[u] + 1.0;
-                        q.push_back(t);
+                    if (idist[t] < 0) {
+                        idist[t] = idist[u] + 1;
+                        order.push_back(t);
                     }
                 }
             }
         }
-        // nodes reachable, ordered by distance ascending
-        order.clear();
-        for (int32_t u = 0; u < v; u++)
-            if (std::isfinite(dist[u])) order.push_back(u);
-        std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-            return dist[a] < dist[b];
-        });
         // sigma: forward sweep
         std::fill(sigma.begin(), sigma.end(), 0.0);
         sigma[s] = 1.0;
-        for (int32_t u : order) {
-            if (sigma[u] == 0.0) continue;
-            for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
-                int32_t t = c.dst[p];
-                if (c.w[p] > 0.0f && std::isfinite(dist[t]) &&
-                    tight(dist[u], c.w[p], dist[t]))
-                    sigma[t] += sigma[u];
+        if (weighted) {
+            for (int32_t u : order) {
+                if (sigma[u] == 0.0) continue;
+                for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+                    int32_t t = c.dst[p];
+                    if (c.w[p] > 0.0f && std::isfinite(dist[t]) &&
+                        tight(dist[u], c.w[p], dist[t]))
+                        sigma[t] += sigma[u];
+                }
+            }
+        } else {
+            for (int32_t u : order) {
+                if (sigma[u] == 0.0) continue;
+                int32_t dn = idist[u] + 1;
+                for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+                    int32_t t = c.dst[p];
+                    if (c.w[p] > 0.0f && idist[t] == dn) sigma[t] += sigma[u];
+                }
             }
         }
         // delta: backward accumulation over out-edges, nodes in reverse
@@ -263,10 +275,14 @@ void muninn_graph_brandes(const int32_t* src, const int32_t* dst,
         for (auto it = order.rbegin(); it != order.rend(); ++it) {
             int32_t u = *it;
             if (sigma[u] == 0.0) continue;
+            int32_t dn = weighted ? 0 : idist[u] + 1;
             for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
                 int32_t t = c.dst[p];
-                if (c.w[p] > 0.0f && std::isfinite(dist[t]) &&
-                    tight(dist[u], c.w[p], dist[t]) && sigma[t] > 0.0) {
+                bool on_sp = weighted
+                    ? (c.w[p] > 0.0f && std::isfinite(dist[t]) &&
+                       tight(dist[u], c.w[p], dist[t]))
+                    : (c.w[p] > 0.0f && idist[t] == dn);
+                if (on_sp && sigma[t] > 0.0) {
                     double contrib = sigma[u] / sigma[t] * (1.0 + delta[t]);
                     delta[u] += contrib;
                     if (want_edge) edge_cb[c.eid[p]] += contrib;
@@ -289,32 +305,39 @@ void muninn_graph_closeness(const int32_t* src, const int32_t* dst,
                             float* out) {
     Csr c = build_csr(src, dst, w, e, v);
     std::vector<double> dist;
+    std::vector<int32_t> idist(static_cast<size_t>(v));
+    std::vector<int32_t> q;
+    q.reserve(static_cast<size_t>(v));
     for (int32_t s = 0; s < v; s++) {
+        double sd = 0.0;
+        int64_t r = 0;
         if (weighted) {
             dijkstra(c, v, s, dist);
+            for (int32_t u = 0; u < v; u++) {
+                if (u == s || !std::isfinite(dist[u])) continue;
+                sd += dist[u];
+                r++;
+            }
         } else {
-            dist.assign(static_cast<size_t>(v),
-                        std::numeric_limits<double>::infinity());
-            dist[s] = 0.0;
-            std::vector<int32_t> q{s};
+            // int32-distance BFS: the queue is exactly the reachable
+            // set, so the sum skips the O(V) scan too
+            std::fill(idist.begin(), idist.end(), -1);
+            idist[s] = 0;
+            q.clear();
+            q.push_back(s);
             size_t head = 0;
             while (head < q.size()) {
                 int32_t u = q[head++];
                 for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
                     int32_t t = c.dst[p];
-                    if (!std::isfinite(dist[t])) {
-                        dist[t] = dist[u] + 1.0;
+                    if (idist[t] < 0) {
+                        idist[t] = idist[u] + 1;
                         q.push_back(t);
                     }
                 }
             }
-        }
-        double sd = 0.0;
-        int64_t r = 0;
-        for (int32_t u = 0; u < v; u++) {
-            if (u == s || !std::isfinite(dist[u])) continue;
-            sd += dist[u];
-            r++;
+            for (size_t i = 1; i < q.size(); i++) sd += idist[q[i]];
+            r = static_cast<int64_t>(q.size()) - 1;
         }
         double cval = sd > 0.0 ? static_cast<double>(r) / sd : 0.0;
         if (normalized && v > 1) cval *= static_cast<double>(r) / (v - 1);
