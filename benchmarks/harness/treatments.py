@@ -315,10 +315,26 @@ def run_graph_scale(params, rng, emit):
     one host download its array result costs). Ops run in
     cheapest-first order and emit partials, so a device OOM on the
     largest op still records the rest."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from muninn_tpu.graph import Graph
+
+    # Refuse the silent CPU fallback: when the axon plugin fails to
+    # initialize (tunnel down), JAX falls back to backend='cpu' and this
+    # treatment would record host timings as device rows. Fail loudly
+    # instead (MUNINN_GRAPH_SCALE_ALLOW_CPU=1 opts into CPU for tests).
+    if jax.default_backend() == "cpu" and not os.environ.get(
+        "MUNINN_GRAPH_SCALE_ALLOW_CPU"
+    ):
+        raise RuntimeError(
+            "graph_scale is a device-regime treatment but JAX resolved "
+            "backend='cpu' (axon init failure?). Refusing to record CPU "
+            "timings as device rows; set MUNINN_GRAPH_SCALE_ALLOW_CPU=1 "
+            "to override."
+        )
 
     n = params["n"]
     e = n * params["avg_deg"]
@@ -362,7 +378,15 @@ def run_graph_scale(params, rng, emit):
         total += pr_s + cc_s
     except Exception as exc:  # partial results still emit
         metrics["error"] = f"{type(exc).__name__}: {exc}"
-    emit({**params, "backend": "device"}, metrics, total)
+    # Stamp the REAL resolved backend, not an aspirational "device":
+    # under MUNINN_GRAPH_SCALE_ALLOW_CPU the rows must say "cpu" so
+    # they can never be mistaken for device measurements.
+    backend = jax.default_backend()
+    emit(
+        {**params, "backend": "device" if backend != "cpu" else "cpu"},
+        metrics,
+        total,
+    )
 
 
 @treatment("graph_vt", _sized_grid(lambda n: {"avg_deg": 5}))

@@ -81,7 +81,7 @@ def gather_rows(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(m // rb,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (rb, blk, 128), lambda i, ids: (i, 0, 0)
             ),

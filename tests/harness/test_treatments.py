@@ -82,13 +82,26 @@ def test_kg_resolve_quality(rng):
     assert m["entities_per_s"] > 0
 
 
-def test_graph_scale_treatment(rng):
+def test_graph_scale_refuses_cpu_fallback(rng, monkeypatch):
+    """graph_scale must fail loudly when JAX resolved backend='cpu'
+    (the axon-plugin-down fallback) instead of recording host timings
+    as device rows — a real 1M-node 'device' row was once recorded on
+    CPU this way."""
+    monkeypatch.delenv("MUNINN_GRAPH_SCALE_ALLOW_CPU", raising=False)
+    with pytest.raises(RuntimeError, match="cpu"):
+        _run("graph_scale", {"n": 1500, "avg_deg": 6}, rng)
+
+
+def test_graph_scale_treatment(rng, monkeypatch):
     """Device-resident scale treatment: device edge gen + device-sort
     CSR + array-mode analytics, tiny size on the CPU backend."""
+    monkeypatch.setenv("MUNINN_GRAPH_SCALE_ALLOW_CPU", "1")
     recs = _run("graph_scale", {"n": 1500, "avg_deg": 6}, rng)
     assert len(recs) == 1
     p, m, w = recs[0]
-    assert p["backend"] == "device"
+    # honest stamp: on the CPU test backend the row must say "cpu" so
+    # override runs can never masquerade as device measurements
+    assert p["backend"] == "cpu"
     assert m["edges"] == 9000 and "error" not in m
     assert m["pagerank_sum"] == pytest.approx(1.0, abs=1e-3)
     assert m["bfs_reached"] > 1000  # ER at deg 6: giant component
