@@ -17,6 +17,31 @@ from typing import Callable
 import numpy as np
 
 
+def _jax_backend() -> str:
+    """The RESOLVED jax backend, without ever initializing one.
+
+    Rows must say which backend actually ran them (a tunnel outage
+    silently resolves backend='cpu' and host timings would masquerade
+    as device rows). But host-only treatments never touch jax, and
+    *initializing* the backend just to stamp a record would hang on a
+    dead tunnel — so peek at jax's already-built backend table and
+    report "none" when nothing was initialized.
+    """
+    import sys
+
+    mod = sys.modules.get("jax")
+    if mod is None:
+        return "none"
+    try:
+        from jax._src import xla_bridge  # private: backend init table
+
+        if xla_bridge._backends:
+            return str(mod.default_backend())
+    except Exception:
+        pass
+    return "none"
+
+
 @dataclass
 class Record:
     treatment: str
@@ -27,6 +52,7 @@ class Record:
     platform: str = field(
         default_factory=lambda: f"{platform.system()}-{platform.machine()}".lower()
     )
+    backend: str = field(default_factory=_jax_backend)
     ts: float = field(default_factory=time.time)
 
 

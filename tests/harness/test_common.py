@@ -79,7 +79,30 @@ def test_emit_for_prints_appends_and_collects(tmp_path, capsys):
     assert rec["peak_rss_mb"] > 0 and rec["ts"] > 0
     assert "-" in rec["platform"]  # system-machine, lowercased
     assert rec["platform"] == rec["platform"].lower()
+    # honest backend stamp: conftest forces the cpu backend, and jax is
+    # live by the time tests run — rows must say which backend ran them
+    assert rec["backend"] == "cpu"
     assert [r.permutation for r in collected] == [{"n": 5}, {"n": 6}]
+
+
+def test_backend_stamp_never_initializes_jax():
+    """Stamping a record must not trigger backend init (a dead-tunnel
+    init hangs host-only treatments): with jax absent from sys.modules
+    the stamp is 'none'."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '.');"
+         "from benchmarks.harness.core import _jax_backend;"
+         "print(_jax_backend());"
+         "from jax._src import xla_bridge;"
+         "assert not xla_bridge._backends, 'stamp initialized a backend'"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "none"
 
 
 def test_emit_for_without_sinks(capsys):
