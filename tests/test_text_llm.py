@@ -4,6 +4,7 @@ reference's MUNINN_TESTING dummy-injection strategy,
 src/llama_common.c:321-348, test/test_llama_chat.c)."""
 
 import json
+import zlib
 
 import numpy as np
 import pytest
@@ -402,7 +403,9 @@ def test_er_guards_and_f1_on_planted_variants():
         for i, nm in enumerate(names):
             s = f"^{nm.lower()}$"
             for j in range(len(s) - 2):
-                out[i, hash(s[j:j + 3]) % dim] += 1.0
+                # stable across processes: builtin hash() is salted by
+                # PYTHONHASHSEED and made this test flaky run-to-run
+                out[i, zlib.crc32(s[j:j + 3].encode()) % dim] += 1.0
         out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
         return out
 
