@@ -301,8 +301,12 @@ def _beam_search_level0(
             # instead of E*R0 — the beam's largest non-DMA cost
             # (DEVELOPMENT.md "Beam DMA economics")
             pen = jnp.where(in_beam | (nbrs < 0), 3.0e38, 0.0)
+            # dead picks ride as -1: the kernel skips their block copy
+            # entirely (copy issue is the beam's floor, and converged
+            # queries' picks are all dead while the batch while_loop
+            # drains its stragglers)
             md, ml = gather_block_topm(
-                qf, jnp.maximum(pick_i, 0), packed,
+                qf, jnp.where(do, pick_i, -1), packed,
                 pen, metric=metric, m=topm, interpret=interpret,
             )
             sel = jnp.take_along_axis(
@@ -357,8 +361,9 @@ def _beam_search_level0(
         if packed is not None and fused:
             # fused DMA gather + dots: blocks never round-trip HBM as a
             # [B, E*R0, d] intermediate (ops/pallas_beam.py)
+            # dead picks ride as -1: the kernel skips their block copy
             dots, cn2 = gather_block_dots(
-                qf, jnp.maximum(pick_i, 0), packed, interpret=interpret
+                qf, jnp.where(do, pick_i, -1), packed, interpret=interpret
             )
             if pscales is not None:
                 # int8 blocks: per-neighbor dequant in the epilogue

@@ -44,7 +44,7 @@ def _sublanes(dtype) -> int:
 
 
 def _beam_dots_kernel(
-    ids_ref,     # [B*E] int32 (scalar prefetch): rows of `packed` to score
+    ids_ref,     # [B*E] int32 (scalar prefetch): rows of `packed`, -1 = dead
     q_ref,       # [TB, d] f32 (VMEM, blocked by query tile)
     packed_ref,  # [cap, R0, d] bf16/f32 (HBM)
     dots_ref,    # [TB, E, R0] f32 out
@@ -65,24 +65,49 @@ def _beam_dots_kernel(
             sems.at[p % nbuf],
         )
 
+    def start_if_live(p):
+        # Dead picks (id -1: converged/stalled queries, invalid beam
+        # slots) never issue their copy — copy ISSUE is the beam's
+        # measured floor (~260 ns each, DEVELOPMENT.md "Beam DMA
+        # economics"), and a batch's while_loop runs to its slowest
+        # query, so late iterations are mostly dead picks.
+        @pl.when(ids_ref[base + p] >= 0)
+        def _():
+            dma(p).start()
+
     total = tb * e
     for p in range(min(nbuf, total)):
-        dma(p).start()
+        start_if_live(p)
 
     def body(p, carry):
-        dma(p).wait()
         t = p // e
         ei = p % e
-        blk = buf_ref[p % nbuf].astype(jnp.float32)           # [R0, d]
-        qrow = q_ref[pl.ds(t, 1), :]                          # [1, d]
-        dots = jnp.sum(blk * qrow, axis=1)                    # [R0]
-        cn2 = jnp.sum(blk * blk, axis=1)                      # [R0]
-        dots_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = dots[None, None, :]
-        cn2_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = cn2[None, None, :]
+        live = ids_ref[base + p] >= 0
+
+        @pl.when(live)
+        def _():
+            dma(p).wait()
+            blk = buf_ref[p % nbuf].astype(jnp.float32)       # [R0, d]
+            qrow = q_ref[pl.ds(t, 1), :]                      # [1, d]
+            dots = jnp.sum(blk * qrow, axis=1)                # [R0]
+            cn2 = jnp.sum(blk * blk, axis=1)                  # [R0]
+            dots_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = dots[None, None, :]
+            cn2_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = cn2[None, None, :]
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            # deterministic defaults (callers mask dead lanes, but the
+            # out block is uninitialized VMEM — never leak garbage)
+            dots_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = jnp.zeros(
+                (1, 1, dots_ref.shape[2]), jnp.float32
+            )
+            cn2_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = jnp.zeros(
+                (1, 1, cn2_ref.shape[2]), jnp.float32
+            )
 
         @pl.when(p + nbuf < total)
         def _():
-            dma(p + nbuf).start()
+            start_if_live(p + nbuf)
 
         return carry
 
@@ -92,7 +117,7 @@ def _beam_dots_kernel(
 @partial(jax.jit, static_argnames=("tb", "interpret", "nbuf"))
 def gather_block_dots(
     queries: jax.Array,   # [B, d] f32
-    idx: jax.Array,       # [B, E] int32, in-range (clamp at the call site)
+    idx: jax.Array,       # [B, E] int32, in-range; -1 = dead pick (skipped)
     packed: jax.Array,    # [cap, R0, d] bf16/f32
     tb: int = 256,
     interpret: bool = False,
@@ -128,7 +153,7 @@ def gather_block_dots(
     q = queries.astype(jnp.float32)
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0)))
-        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)), constant_values=-1)
     bp = q.shape[0]
 
     def call(qc, idsc):
@@ -172,7 +197,7 @@ def gather_block_dots(
         extra = (-bp) % bc
         if extra:
             q = jnp.pad(q, ((0, extra), (0, 0)))
-            idx = jnp.pad(idx, ((0, extra), (0, 0)))
+            idx = jnp.pad(idx, ((0, extra), (0, 0)), constant_values=-1)
         nch = q.shape[0] // bc
         dots, cn2 = jax.lax.map(
             lambda xs: call(xs[0], xs[1]),
@@ -212,54 +237,75 @@ def _beam_topm_kernel(
             sems.at[p % nbuf],
         )
 
+    def start_if_live(p):
+        # dead picks (id -1) never issue their copy — see
+        # _beam_dots_kernel
+        @pl.when(ids_ref[base + p] >= 0)
+        def _():
+            dma(p).start()
+
     total = tb * e
     for p in range(min(nbuf, total)):
-        dma(p).start()
+        start_if_live(p)
 
     def body(p, carry):
-        dma(p).wait()
         t = p // e
         ei = p % e
-        blk = buf_ref[p % nbuf].astype(jnp.float32)           # [R0, d]
-        qrow = q_ref[pl.ds(t, 1), :]                          # [1, d]
-        dots = jnp.sum(blk * qrow[0][None, :], axis=1)[None, :]  # [1, R0]
-        if mode == 2:
-            dist = -dots
-        else:
-            cn2 = jnp.sum(blk * blk, axis=1)[None, :]         # [1, R0]
-            qn2 = qn_ref[pl.ds(t, 1), :]                      # [1, 1]
-            if mode == 0:
-                dist = jnp.maximum(qn2 + cn2 - 2.0 * dots, 0.0)
+        live = ids_ref[base + p] >= 0
+
+        @pl.when(live)
+        def _():
+            dma(p).wait()
+            blk = buf_ref[p % nbuf].astype(jnp.float32)       # [R0, d]
+            qrow = q_ref[pl.ds(t, 1), :]                      # [1, d]
+            dots = jnp.sum(blk * qrow[0][None, :], axis=1)[None, :]  # [1, R0]
+            if mode == 2:
+                dist = -dots
             else:
-                denom = jnp.sqrt(qn2) * jnp.sqrt(cn2)
-                sim = jnp.where(
-                    denom < 1e-30, 0.0, dots / jnp.maximum(denom, 1e-30)
+                cn2 = jnp.sum(blk * blk, axis=1)[None, :]     # [1, R0]
+                qn2 = qn_ref[pl.ds(t, 1), :]                  # [1, 1]
+                if mode == 0:
+                    dist = jnp.maximum(qn2 + cn2 - 2.0 * dots, 0.0)
+                else:
+                    denom = jnp.sqrt(qn2) * jnp.sqrt(cn2)
+                    sim = jnp.where(
+                        denom < 1e-30, 0.0, dots / jnp.maximum(denom, 1e-30)
+                    )
+                    dist = 1.0 - sim
+            dist = dist + pen_ref[pl.ds(t, 1), pl.ds(ei, 1), :].reshape(1, -1)
+            # iterative top-m: m unrolled (min, argmin, mask) rounds on
+            # the [1, R0] row — VPU work, negligible next to the DMA
+            r0 = dist.shape[1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, r0), 1)
+            ds, ls = [], []
+            for _ in range(m):
+                mn = jnp.min(dist, axis=1, keepdims=True)              # [1,1]
+                loc = jnp.min(
+                    jnp.where(dist == mn, iota, r0), axis=1, keepdims=True
                 )
-                dist = 1.0 - sim
-        dist = dist + pen_ref[pl.ds(t, 1), pl.ds(ei, 1), :].reshape(1, -1)
-        # iterative top-m: m unrolled (min, argmin, mask) rounds on the
-        # [1, R0] row — VPU work, negligible next to the block DMA
-        r0 = dist.shape[1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, r0), 1)
-        ds, ls = [], []
-        for _ in range(m):
-            mn = jnp.min(dist, axis=1, keepdims=True)                  # [1,1]
-            loc = jnp.min(
-                jnp.where(dist == mn, iota, r0), axis=1, keepdims=True
+                ds.append(mn)
+                ls.append(loc)
+                dist = jnp.where(iota == loc, _BIG, dist)
+            od_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = (
+                jnp.concatenate(ds, axis=1).reshape(1, 1, m)
             )
-            ds.append(mn)
-            ls.append(loc)
-            dist = jnp.where(iota == loc, _BIG, dist)
-        od_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = (
-            jnp.concatenate(ds, axis=1).reshape(1, 1, m)
-        )
-        ol_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = (
-            jnp.concatenate(ls, axis=1).astype(jnp.int32).reshape(1, 1, m)
-        )
+            ol_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = (
+                jnp.concatenate(ls, axis=1).astype(jnp.int32).reshape(1, 1, m)
+            )
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            # masked-out padding (dist >= _BIG/2) at a valid local index
+            od_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = jnp.full(
+                (1, 1, m), _BIG, jnp.float32
+            )
+            ol_ref[pl.ds(t, 1), pl.ds(ei, 1), :] = jnp.zeros(
+                (1, 1, m), jnp.int32
+            )
 
         @pl.when(p + nbuf < total)
         def _():
-            dma(p + nbuf).start()
+            start_if_live(p + nbuf)
 
         return carry
 
@@ -269,7 +315,7 @@ def _beam_topm_kernel(
 @partial(jax.jit, static_argnames=("metric", "m", "tb", "interpret", "nbuf"))
 def gather_block_topm(
     queries: jax.Array,   # [B, d] f32
-    idx: jax.Array,       # [B, E] int32, in-range (clamp at the call site)
+    idx: jax.Array,       # [B, E] int32, in-range; -1 = dead pick (skipped)
     packed: jax.Array,    # [cap, R0, d] bf16/f32
     penalty: jax.Array,   # [B, E*R0] f32 additive (+BIG = drop candidate)
     metric: Metric = Metric.COSINE,
@@ -318,7 +364,7 @@ def gather_block_topm(
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0)))
         qn2 = jnp.pad(qn2, ((0, pad), (0, 0)))
-        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)), constant_values=-1)
         pen = jnp.pad(pen, ((0, pad), (0, 0), (0, 0)))
     bp = q.shape[0]
 
@@ -360,7 +406,7 @@ def gather_block_topm(
         if extra:
             q = jnp.pad(q, ((0, extra), (0, 0)))
             qn2 = jnp.pad(qn2, ((0, extra), (0, 0)))
-            idx = jnp.pad(idx, ((0, extra), (0, 0)))
+            idx = jnp.pad(idx, ((0, extra), (0, 0)), constant_values=-1)
             pen = jnp.pad(pen, ((0, extra), (0, 0), (0, 0)))
         nch = q.shape[0] // bc
         od, ol = jax.lax.map(

@@ -455,6 +455,59 @@ def test_topm_kernel_matches_reference_math(rng):
         assert (ml[uniq] == order[uniq]).mean() > 0.99
 
 
+def test_beam_kernels_skip_dead_picks(rng):
+    """id -1 marks a dead pick (converged query / invalid slot): the
+    kernel must not copy its block, live lanes must be unchanged, and
+    dead lanes must carry deterministic defaults (dots/cn2 = 0;
+    topm dist = +BIG at local index 0) — never uninitialized VMEM."""
+    import jax.numpy as jnp
+    from muninn_tpu.ops.pallas_beam import gather_block_dots, gather_block_topm
+    from muninn_tpu.ops.distance import Metric
+
+    n, d, r0, e, b = 128, 128, 8, 4, 16
+    x = rng.standard_normal((n, r0, d)).astype(np.float32)
+    idx = rng.integers(0, n, (b, e)).astype(np.int32)
+    dead = rng.random((b, e)) < 0.4
+    dead[0] = True            # a fully-dead query
+    dead[1] = False           # a fully-live query
+    idx_dead = np.where(dead, -1, idx).astype(np.int32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+
+    dots_all, cn2_all = gather_block_dots(
+        jnp.asarray(q), jnp.asarray(idx), jnp.asarray(x), interpret=True
+    )
+    dots_sk, cn2_sk = gather_block_dots(
+        jnp.asarray(q), jnp.asarray(idx_dead), jnp.asarray(x), interpret=True
+    )
+    lanes = np.repeat(dead, r0, axis=1)                       # [b, e*r0]
+    np.testing.assert_allclose(
+        np.asarray(dots_sk)[~lanes], np.asarray(dots_all)[~lanes],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cn2_sk)[~lanes], np.asarray(cn2_all)[~lanes], rtol=1e-6
+    )
+    assert (np.asarray(dots_sk)[lanes] == 0.0).all()
+    assert (np.asarray(cn2_sk)[lanes] == 0.0).all()
+
+    m = 3
+    pen = np.zeros((b, e * r0), np.float32)
+    md_all, ml_all = gather_block_topm(
+        jnp.asarray(q), jnp.asarray(idx), jnp.asarray(x), jnp.asarray(pen),
+        metric=Metric.L2, m=m, interpret=True,
+    )
+    md_sk, ml_sk = gather_block_topm(
+        jnp.asarray(q), jnp.asarray(idx_dead), jnp.asarray(x),
+        jnp.asarray(pen), metric=Metric.L2, m=m, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(md_sk)[~dead], np.asarray(md_all)[~dead], rtol=1e-6
+    )
+    assert (np.asarray(ml_sk)[~dead] == np.asarray(ml_all)[~dead]).all()
+    assert (np.asarray(md_sk)[dead] >= 1.0e38).all()
+    assert (np.asarray(ml_sk)[dead] == 0).all()
+
+
 def test_beam_topm_full_width_matches_dots_path(rng):
     """topm == R0 keeps every candidate — the beam must be identical
     to the fused dots path (same candidates, same merge)."""
