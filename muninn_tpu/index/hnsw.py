@@ -50,6 +50,7 @@ from muninn_tpu.ops.pallas_beam import (
     gather_block_dots,
     gather_block_topm,
 )
+from muninn_tpu.ops.pallas_beam_loop import beam_loop, pack_wide
 from muninn_tpu.ops.pallas_flat import flat_topk
 from muninn_tpu.ops.distance import (
     Metric,
@@ -472,6 +473,60 @@ def _search_topk_fused(
     return sorted_topk_unique(d, beam_i, k)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "ef", "expand", "r", "interpret",
+                     "patience", "max_iters", "pick_xfer"),
+)
+def _search_topk_whole(
+    q: jax.Array,            # [B, d] f32
+    pool: jax.Array,         # [Mp] promoted slots, -1 pad
+    pv: jax.Array,           # [Mp, d] pooled vectors (f32)
+    vectors: jax.Array,      # [cap, d] f32 store
+    v16: jax.Array,          # [cap, d] bf16 shadow (entry scoring)
+    packedw: jax.Array,      # [cap, R0, d+128] packed-with-ids blocks
+    valid: jax.Array,        # [cap] bool
+    metric: Metric,
+    k: int,
+    ef: int,
+    expand: int,
+    r: int,
+    interpret: bool = False,
+    patience: int = 0,
+    max_iters: int = 0,
+    pick_xfer: str = "dma",
+) -> tuple[jax.Array, jax.Array]:
+    """Whole-beam query path: Pallas-kernel routing, then the ENTIRE
+    beam loop in one Pallas program (``ops/pallas_beam_loop``), then
+    soft-delete filtering + exact f32 rescore + top-k. Same contract as
+    ``_search_topk_fused`` with the per-iteration XLA glue removed."""
+    _, sel = flat_topk(
+        q, pv, r, metric=metric, precision="default",
+        corpus_valid=pool >= 0, interpret=interpret,
+    )
+    entries = jnp.where(sel >= 0, pool[jnp.maximum(sel, 0)], -1)
+    e_d = gathered_distances(
+        q, v16[jnp.maximum(entries, 0)].astype(jnp.float32), metric
+    )
+    e_d = jnp.where(entries >= 0, e_d, _INF)
+    b = q.shape[0]
+    init_d = jnp.full((b, ef), jnp.inf).at[:, : entries.shape[1]].set(e_d)
+    init_i = (
+        jnp.full((b, ef), -1, jnp.int32).at[:, : entries.shape[1]].set(entries)
+    )
+    beam_d, beam_i = beam_loop(
+        q, init_d, init_i, packedw, metric=metric, ef=ef, expand=expand,
+        patience=patience, max_iters=max_iters, interpret=interpret,
+        pick_xfer=pick_xfer,
+    )
+    ok = (beam_i >= 0) & valid[jnp.maximum(beam_i, 0)]
+    beam_i = jnp.where(ok, beam_i, -1)
+    cv = vectors[jnp.maximum(beam_i, 0)]
+    d = gathered_distances(q, cv, metric)
+    d = jnp.where(ok, d, jnp.inf)
+    return sorted_topk_unique(d, beam_i, k)
+
+
 # ───────────────────────── index class ─────────────────────────
 
 
@@ -588,6 +643,20 @@ class HnswIndex:
         # downstream dedup/merge runs over E*topm candidates instead
         # of E*R0. Capped at R0; topm == R0 is exact vs the dots path.
         self.beam_topm = 0
+        # whole-beam Pallas loop (ops/pallas_beam_loop): the ENTIRE
+        # level-0 beam loop in one kernel — beam state in VMEM, ids
+        # packed alongside the vector blocks so one DMA carries both.
+        # False (default until measured) | True (TPU only) | "force"
+        # (also on CPU interpret — tests). Requires bf16 guidance,
+        # d % 128 == 0 and m0 % 16 == 0; falls back to the fused path
+        # otherwise.
+        self.beam_whole: bool | str = False
+        # pick-transfer mechanism for the whole-beam kernel ("dma" =
+        # one VMEM->SMEM copy per iteration, "scalar" = per-element
+        # reduce stores — the documented-safe fallback)
+        self.beam_pick_xfer = "dma"
+        self._packedw: jax.Array | None = None
+        self._sdw_cache: tuple | None = None
         # beam-iteration budget (0 = auto = ceil(ef/expand)+1; -1 =
         # run to convergence): a while_loop runs until the SLOWEST
         # query in the batch converges, but a query expands at most
@@ -727,16 +796,50 @@ class HnswIndex:
             v16, scales = self._vecs8()
         else:
             scales = None
-        packed = self._maybe_packed()
-        pscales = self._packed_scales
         if self.beam_max_iters == 0:
             mi = -(-ef // max(self.expand, 1)) + 1   # auto: ~ef expansions
         elif self.beam_max_iters < 0:
             mi = 0                                   # converge
         else:
             mi = self.beam_max_iters
-        nbrs0 = self.neighbors0
         sd = self.search_degree
+
+        # whole-beam kernel path: the full beam loop in one Pallas
+        # program (ops/pallas_beam_loop). Constraints: bf16 guidance,
+        # lane/sublane-aligned blocks, and (for now) no search_degree
+        # slicing with unaligned widths — falls back to the fused path.
+        # Checked BEFORE _maybe_packed() so taking this path never
+        # materializes the (GB-scale) fused packed table as well.
+        if (
+            self.beam_whole
+            and self.search_quant != "int8"
+            and (self.beam_whole == "force" or not interp)
+            and self.dim % 128 == 0
+            and self.m0 % 16 == 0
+            and not (sd and sd < self.m0 and sd % 16 != 0)
+        ):
+            packedw = self._maybe_packed_wide(
+                force=self.beam_whole == "force"
+            )
+            if packedw is not None and sd and sd < self.m0:
+                # cached slice (same invariants as _sd_cache below)
+                cw = self._sdw_cache
+                if not (cw is not None and cw[0] == sd and cw[1] is packedw):
+                    self._sdw_cache = cw = (sd, packedw, packedw[:, :sd])
+                packedw = cw[2]
+            if packedw is not None:
+                def one_whole(qc):
+                    return _search_topk_whole(
+                        qc, pool, pv, self.store.vectors, v16, packedw,
+                        self.store.valid, self.metric, k, ef,
+                        self.expand, r, interp, self.beam_patience,
+                        max(mi, 0), self.beam_pick_xfer,
+                    )
+                return self._run_chunked(q, one_whole)
+
+        packed = self._maybe_packed()
+        pscales = self._packed_scales
+        nbrs0 = self.neighbors0
         if sd and sd < self.m0:
             # cache the sliced tables: the slices are invariant until
             # the knob or the source arrays change, and re-slicing the
@@ -780,6 +883,9 @@ class HnswIndex:
                 if fused and pscales is None else 0,
             )
 
+        return self._run_chunked(q, one)
+
+    def _run_chunked(self, q: jax.Array, one):
         b = q.shape[0]
         cap = self.store.capacity
         chunk = int(max(1024, min(8192, (1 << 29) // max(cap, 1))))
@@ -879,6 +985,7 @@ class HnswIndex:
         self._pool_vecs_cache = None
         self._packed = None
         self._packed_scales = None
+        self._packedw = None
         self._packed_auto = False  # don't repack every churn wave
 
     def pack_neighbors(self) -> None:
@@ -916,6 +1023,24 @@ class HnswIndex:
             self._packed_scales = None
         self._packed_quant = self.search_quant
         return self._packed
+
+    def _maybe_packed_wide(self, force: bool = False):
+        """Packed-with-ids table for the whole-beam kernel
+        (``pack_wide``): +128 bf16 lanes per neighbor row over
+        ``_maybe_packed`` — bytes are near-free on the transaction-bound
+        beam, and the id lanes remove the separate neighbors0 gather."""
+        if self._packedw is not None:
+            return self._packedw
+        if self._packed is None and not (self._packed_auto or force):
+            return None
+        cap = self.store.capacity
+        bytes_needed = cap * self.m0 * (self.dim + 128) * 2
+        if bytes_needed > self.pack_budget_bytes:
+            return None
+        if jax.default_backend() != "tpu" and not force:
+            return None
+        self._packedw = pack_wide(self._vecs16(), self.neighbors0)
+        return self._packedw
 
     def _routing_pool(self) -> jax.Array | None:
         """Device array of promoted (level >= 1) slots, -1-padded to a
