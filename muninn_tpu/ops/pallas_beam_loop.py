@@ -355,7 +355,7 @@ def beam_loop(
     if max_iters <= 0:
         max_iters = 2 * (ef // e + 1) + patience // e + 8
 
-    tb = min(tb, max(8, b))
+    tb = -(-min(tb, max(8, b)) // 8) * 8  # f32 sublane-aligned tile
     # VMEM: nbuf wide blocks + the persistent beam/candidate scratch +
     # double-buffered q/init/out blocks + merge temporaries (~3 widths)
     def est(t):

@@ -183,6 +183,63 @@ def test_whole_path_end_to_end_recall(built_index):
     assert np.all(np.isfinite(d_w[ok]))
 
 
+def test_beam_loop_exact_equality_on_grid_vectors():
+    """Bounded representative of tools/soak/beam_loop.py: integer-grid
+    vectors make every dot/sqnorm exact in f32, so the whole-beam
+    kernel must match the XLA fused beam EXACTLY (ids bit-equal)."""
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        d, r0 = 128, 16
+        cap = int(rng.integers(96, 400))
+        b = int(rng.integers(1, 40))
+        ef = int(rng.integers(4, 25))
+        expand = int(rng.integers(1, 7))
+        patience = int(rng.integers(1, 16))
+        mi = int(rng.integers(1, 8))
+        metric = [Metric.L2, Metric.COSINE, Metric.INNER_PRODUCT][trial]
+        xfer = ["dma", "scalar"][trial % 2]
+        r_ent = int(rng.integers(1, min(6, ef) + 1))
+
+        def grid(shape):
+            v = rng.integers(-4, 5, shape).astype(np.float32) / 4.0
+            v[np.abs(v).sum(axis=-1) == 0, 0] = 1.0
+            return v
+
+        vecs = grid((cap, d))
+        v16 = jnp.asarray(vecs, jnp.bfloat16)
+        nbrs = jnp.asarray(
+            rng.integers(-1, cap, (cap, r0)).astype(np.int32)
+        )
+        q = jnp.asarray(grid((b, d)))
+        entries = rng.integers(0, cap, (b, r_ent)).astype(np.int32)
+        entries[rng.random((b, r_ent)) < 0.1] = -1
+        entries = jnp.asarray(entries)
+
+        packed = v16[jnp.maximum(nbrs, 0)]
+        xd, xi = _beam_search_level0(
+            q, entries, v16, nbrs, metric, ef, expand,
+            max_iters=mi, patience=patience, packed=packed,
+            fused=True, interpret=True,
+        )
+        e_d = gathered_distances(
+            q, v16[jnp.maximum(entries, 0)].astype(jnp.float32), metric
+        )
+        e_d = jnp.where(entries >= 0, e_d, jnp.inf)
+        init_d = jnp.full((b, ef), jnp.inf).at[:, :r_ent].set(e_d)
+        init_i = jnp.full((b, ef), -1, jnp.int32).at[:, :r_ent].set(entries)
+        wd, wi = beam_loop(
+            q, init_d, init_i, pack_wide(v16, nbrs), metric=metric,
+            ef=ef, expand=expand, patience=patience, max_iters=mi,
+            interpret=True, pick_xfer=xfer,
+        )
+        np.testing.assert_array_equal(np.asarray(xi), np.asarray(wi))
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(xd), posinf=1e38),
+            np.nan_to_num(np.asarray(wd), posinf=1e38),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
 def test_whole_path_respects_deletes(built_index):
     idx, q, _ = built_index
     # soft-delete a swath and make sure the whole path never returns it
