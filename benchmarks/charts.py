@@ -65,6 +65,27 @@ REF_GRAPH_ER5 = {
         "reference muninn": ([100, 500, 1000, 5000, 10000],
                              [0.323, 1.814, 40.173, 299.056, 1124.409]),
     },
+    "dfs_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000, 50000],
+                             [0.381, 2.088, 4.245, 15.184, 26.813, 461.175]),
+        "reference graphqlite": ([100, 500, 1000, 5000, 10000, 50000],
+                                 [0.329, 0.623, 0.986, 4.313, 8.75, 72.95]),
+    },
+    "closeness_ms": {
+        "reference muninn": ([100, 500, 1000, 5000, 10000],
+                             [0.608, 12.299, 50.044, 1242.526, 5210.201]),
+    },
+}
+
+# The reference's graph_vt shadow-table persistence numbers (ER-5;
+# /root/reference/benchmarks/charts/graph_vt_{trigger,rebuild,disk}.json
+# — its "CSR incremental" strategy, the closest analogue of
+# GraphCache's delta + incremental path).
+REF_GRAPH_VT = {
+    "trigger_ms": ([500, 1000, 5000, 10000], [0.47, 1.463, 3.881, 6.128]),
+    "rebuild_ms": ([500, 1000, 5000, 10000], [1.596, 1.373, 7.821, 18.292]),
+    "disk_bytes": ([500, 1000, 5000, 10000],
+                   [98304.0, 188416.0, 1486848.0, 2932736.0]),
 }
 
 
@@ -267,12 +288,12 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
     tr = by_treatment.get("graph_traversal", [])
     if tr:
         traces = []
-        for metric in ("csr_build_ms", "bfs_ms", "components_ms",
+        for metric in ("csr_build_ms", "bfs_ms", "dfs_ms", "components_ms",
                        "shortest_path_ms"):
             s = _series(tr, [], "n", metric)
             for _, (x, y) in s.items():
                 traces.append({"name": metric, "x": x, "y": y})
-        for m_ in ("bfs_ms", "components_ms", "shortest_path_ms"):
+        for m_ in ("bfs_ms", "dfs_ms", "components_ms", "shortest_path_ms"):
             traces += _ref_traces(m_)
         charts["graph_traversal"] = _fig(
             "Graph traversal times (dashed: reference published, ER-5)",
@@ -283,11 +304,13 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
     ct = by_treatment.get("graph_centrality", [])
     if ct:
         traces = []
-        for metric in ("pagerank_ms", "betweenness_ms", "degree_ms"):
+        for metric in ("pagerank_ms", "betweenness_ms", "degree_ms",
+                       "closeness_ms"):
             s = _series(ct, [], "n", metric)
             for _, (x, y) in s.items():
                 traces.append({"name": metric, "x": x, "y": y})
-        traces += _ref_traces("pagerank_ms") + _ref_traces("betweenness_ms")
+        traces += (_ref_traces("pagerank_ms") + _ref_traces("betweenness_ms")
+                   + _ref_traces("closeness_ms"))
         charts["graph_centrality"] = _fig(
             "Centrality times (dashed: reference published, ER-5)",
             "N nodes", "ms", traces,
@@ -325,13 +348,33 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
     gv = by_treatment.get("graph_vt", [])
     if gv:
         traces = []
-        for metric in ("full_build_ms", "incremental_ms"):
+        for metric in ("full_build_ms", "incremental_ms", "trigger_ms",
+                       "rebuild_ms", "save_ms"):
             s = _series(gv, [], "n", metric)
             for _, (x, y) in s.items():
                 traces.append({"name": metric, "x": x, "y": y})
+        for m_ in ("trigger_ms", "rebuild_ms"):
+            if m_ in REF_GRAPH_VT:
+                rx, ry = REF_GRAPH_VT[m_]
+                traces.append({
+                    "name": f"reference muninn {m_} (CSR incremental)",
+                    "x": list(rx), "y": list(ry), "line": {"dash": "dot"},
+                })
         charts["graph_vt_incremental"] = _fig(
-            "CSR cache: full rebuild vs incremental delta", "N nodes",
-            "ms", traces, log_x=True, log_y=True,
+            "CSR cache: build / delta append (trigger role) / incremental"
+            " vs full rebuild / save (dashed: reference published)",
+            "N nodes", "ms", traces, log_x=True, log_y=True,
+        )
+        s = _series(gv, [], "n", "disk_bytes")
+        traces = [{"name": "disk_bytes (GraphCache.save)", "x": x, "y": y}
+                  for _, (x, y) in s.items()]
+        rx, ry = REF_GRAPH_VT["disk_bytes"]
+        traces.append({"name": "reference muninn disk_bytes (CSR)",
+                       "x": list(rx), "y": list(ry),
+                       "line": {"dash": "dot"}})
+        charts["graph_vt_disk"] = _fig(
+            "CSR cache persisted size (dashed: reference published)",
+            "N nodes", "bytes", traces, log_x=True, log_y=True,
         )
     return charts
 
@@ -348,6 +391,8 @@ def _head_to_head(by_treatment) -> list[str]:
         "shortest_path_ms": ("graph_traversal", "shortest_path_ms"),
         "betweenness_ms": ("graph_centrality", "betweenness_ms"),
         "leiden_ms": ("graph_community", "leiden_ms"),
+        "dfs_ms": ("graph_traversal", "dfs_ms"),
+        "closeness_ms": ("graph_centrality", "closeness_ms"),
     }
     lines = ["## Head-to-head vs the reference's published numbers", "",
              "Reference = sqlite-muninn's own engine on erdos-renyi",
@@ -405,11 +450,16 @@ def render_docs(recs: list[dict], charts: dict[str, dict],
         lines.append("|" + "---|" * len(header))
 
         def _permkey(r):
-            return tuple(
-                (v if isinstance(v, (int, float)) else str(v))
-                if (v := r["permutation"].get(k)) is not None else -1
-                for k in perm_keys
-            )
+            # type-ranked tuples: a key can be numeric in one row and a
+            # string (or absent) in another — raw mixing breaks sorted()
+            def cell(k):
+                v = r["permutation"].get(k)
+                if v is None:
+                    return (0, 0.0, "")
+                if isinstance(v, (int, float)):
+                    return (1, float(v), "")
+                return (2, 0.0, str(v))
+            return tuple(cell(k) for k in perm_keys)
 
         rows = sorted(rows, key=_permkey)
         for r in rows:

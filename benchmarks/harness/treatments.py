@@ -244,14 +244,16 @@ def run_traversal(params, rng, emit):
     t0 = time.time(); g.host_csr("forward"); build_s = time.time() - t0
     rows = g.bfs(int(src[0]))
     bfs_s = _timed_median(lambda: g.bfs(int(src[0])))
+    dfs_s = _timed_median(lambda: g.dfs(int(src[0])))
     sp_s = _timed_median(lambda: g.shortest_path(int(src[0]), int(dst[-1])))
     cc_s = _timed_median(g.connected_components)
     emit(
         dict(params),
         {"csr_build_ms": build_s * 1e3, "bfs_ms": bfs_s * 1e3,
+         "dfs_ms": dfs_s * 1e3,
          "shortest_path_ms": sp_s * 1e3, "components_ms": cc_s * 1e3,
          "bfs_reached": len(rows)},
-        build_s + bfs_s + sp_s + cc_s,
+        build_s + bfs_s + dfs_s + sp_s + cc_s,
     )
 
 
@@ -269,11 +271,15 @@ def run_centrality(params, rng, emit):
     dg_s = _timed_median(g.degree)
     bc_s = _timed_median(
         lambda: g.betweenness(sample_sources=params["bc_sources"]))
+    # all-source closeness only inside the reference's published
+    # envelope (its own chart stops at 10k; ours is O(V*E) per call)
+    cl_s = _timed_median(g.closeness) if n <= 10_000 else None
     emit(
         dict(params),
         {"pagerank_ms": pr_s * 1e3, "degree_ms": dg_s * 1e3,
-         "betweenness_ms": bc_s * 1e3},
-        pr_s + dg_s + bc_s,
+         "betweenness_ms": bc_s * 1e3,
+         "closeness_ms": cl_s * 1e3 if cl_s is not None else None},
+        pr_s + dg_s + bc_s + (cl_s or 0.0),
     )
 
 
@@ -395,17 +401,41 @@ def run_graph_vt(params, rng, emit):
     treatment over CSR strategies)."""
     from muninn_tpu.graph.adjacency import GraphCache
 
+    import shutil
+    import tempfile
+
     n = params["n"]
     src, dst = _er_graph(rng, n, params["avg_deg"])
     t0 = time.time()
     gc = GraphCache.from_edges(src.tolist(), dst.tolist())
     full_s = time.time() - t0
+    # trigger-role overhead: the delta append alone (the reference's
+    # graph_vt_trigger chart measures its AFTER-INSERT trigger cost)
+    t0 = time.time()
     gc.add_edges(src[:10].tolist(), dst[:10].tolist())
+    trig_s = time.time() - t0
     t0 = time.time(); gc.graph(); inc_s = time.time() - t0
+    # explicit full rebuild after a small delta (graph_vt_rebuild's
+    # full-rebuild series)
+    gc.add_edges(src[10:20].tolist(), dst[10:20].tolist())
+    t0 = time.time(); gc.rebuild(); reb_s = time.time() - t0
+    # persisted size + save time (graph_vt_disk's CSR series role)
+    tmp = tempfile.mkdtemp(prefix="muninn_gvt_")
+    try:
+        t0 = time.time(); gc.save(tmp); save_s = time.time() - t0
+        disk = sum(
+            p.stat().st_size
+            for p in __import__("pathlib").Path(tmp).rglob("*")
+            if p.is_file()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     emit(
         {**params, "edges": len(src)},
-        {"full_build_ms": full_s * 1e3, "incremental_ms": inc_s * 1e3},
-        full_s + inc_s,
+        {"full_build_ms": full_s * 1e3, "incremental_ms": inc_s * 1e3,
+         "trigger_ms": trig_s * 1e3, "rebuild_ms": reb_s * 1e3,
+         "save_ms": save_s * 1e3, "disk_bytes": disk},
+        full_s + inc_s + trig_s + reb_s + save_s,
     )
 
 

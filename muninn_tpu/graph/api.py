@@ -110,18 +110,23 @@ class Graph(core.Graph):
 
     def dfs(self, start, max_depth: int | None = None, direction: str = "forward"):
         """Depth-first traversal order (node, depth, parent). DFS is an
-        inherently sequential enumeration — always host."""
+        inherently sequential enumeration — always host (C++ kernel
+        when available, python fallback otherwise; identical order)."""
         s = self.node_index(start)
         md = max_depth if max_depth is not None else self.num_nodes
         off, _, dd, _ = self.host_csr(direction)
-        rows = trv.dfs_host(off, dd, s, md)
+        res = native.graph_dfs(off, dd, s, md)
+        if res is None:
+            rows = trv.dfs_host(off, dd, s, md)
+            order = [r[0] for r in rows]
+            depth = [r[1] for r in rows]
+            parent = [r[2] for r in rows]
+        else:
+            order, depth, parent = (a.tolist() for a in res)
+        id_of = self.nodes.id_of
         return [
-            (
-                self.nodes.id_of(v),
-                d,
-                self.nodes.id_of(p) if p >= 0 else None,
-            )
-            for v, d, p in rows
+            (id_of(v), d, id_of(p) if p >= 0 else None)
+            for v, d, p in zip(order, depth, parent)
         ]
 
     def shortest_path(

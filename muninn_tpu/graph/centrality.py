@@ -333,10 +333,11 @@ def closeness(
     that edges point *toward* the measured node (reverse direction) for
     the standard definition on directed graphs."""
     n = num_nodes
-    if use_host(
-        backend,
-        routing.COST_CLOSENESS_SRC_EDGE * n * max(len(src), 1),
-    ):
+    per_src_edge = (
+        routing.COST_CLOSENESS_SRC_EDGE if weighted_alg
+        else routing.COST_CLOSENESS_SRC_EDGE_UNWEIGHTED
+    )
+    if use_host(backend, per_src_edge * n * max(len(src), 1)):
         return native.graph_closeness(
             src, dst, w, n, weighted=weighted_alg, normalized=normalized
         )

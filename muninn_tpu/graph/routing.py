@@ -33,6 +33,13 @@ COST_SSSP_EDGE = 40e-9          # Dijkstra's log factor over BFS
 COST_PAGERANK_EDGE_ITER = 16e-9
 COST_BRANDES_SRC_EDGE = 95e-9
 COST_CLOSENESS_SRC_EDGE = 95e-9
+# unweighted closeness runs the int32-BFS specialization with no
+# sigma/predecessor bookkeeping — measured ~1.6 ns/(source x edge)
+# at 5k nodes (0.80 s for 5k sources x 100k both-edges); 4 ns keeps
+# 2.5x headroom. Using the weighted constant here routed 10k-node
+# all-source closeness to the device for no reason (95 s estimate vs
+# ~4 s actual).
+COST_CLOSENESS_SRC_EDGE_UNWEIGHTED = 4e-9
 COST_LEIDEN_EDGE = 2e-6
 
 

@@ -402,6 +402,32 @@ def graph_bfs(offsets, dst, start: int, max_depth: int):
     return depth, parent
 
 
+def graph_dfs(offsets, dst, start: int, max_depth: int):
+    """Preorder DFS over a forward CSR -> (order, depth, parent) int32
+    arrays of the reached rows, lowest-index neighbor first (same
+    enumeration as traversal.dfs_host). None if native is unavailable —
+    the caller keeps the python fallback (DFS has no device path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = _i32(offsets)
+    dst = _i32(dst)
+    v = len(offsets) - 1
+    order = np.empty(v, np.int32)
+    depth = np.empty(v, np.int32)
+    parent = np.empty(v, np.int32)
+    n = ctypes.c_int32(0)
+    lib.muninn_graph_dfs(
+        offsets.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        ctypes.c_int32(v), ctypes.c_int32(start),
+        ctypes.c_int32(min(max_depth, 2**30)),
+        order.ctypes.data_as(_I32P), depth.ctypes.data_as(_I32P),
+        parent.ctypes.data_as(_I32P), ctypes.byref(n),
+    )
+    k = int(n.value)
+    return order[:k], depth[:k], parent[:k]
+
+
 def graph_components(src, dst, num_nodes: int):
     """Union-find components; labels = min node index per component
     (what min-label propagation converges to). None if unavailable."""

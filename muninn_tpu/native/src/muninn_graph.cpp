@@ -119,6 +119,39 @@ void muninn_graph_bfs(const int32_t* offsets, const int32_t* dst, int32_t v,
     }
 }
 
+// ───────────────────────── DFS ─────────────────────────
+
+// Preorder DFS over a forward CSR; lowest-index neighbor visited first
+// (the reference TVF's enumeration contract, graph_tvf.c:230-416 —
+// same order as traversal.dfs_host). Fills parallel (order, depth,
+// parent) arrays of capacity v; *n_out = rows written.
+void muninn_graph_dfs(const int32_t* offsets, const int32_t* dst, int32_t v,
+                      int32_t start, int32_t max_depth, int32_t* order,
+                      int32_t* depth, int32_t* parent, int32_t* n_out) {
+    std::vector<uint8_t> visited(static_cast<size_t>(v), 0);
+    struct Frame { int32_t node, depth, parent; };
+    std::vector<Frame> stack;
+    stack.push_back({start, 0, -1});
+    int32_t n = 0;
+    while (!stack.empty()) {
+        Frame f = stack.back();
+        stack.pop_back();
+        if (visited[f.node]) continue;
+        visited[f.node] = 1;
+        order[n] = f.node;
+        depth[n] = f.depth;
+        parent[n] = f.parent;
+        n++;
+        if (f.depth >= max_depth) continue;
+        // push reversed so the lowest-index neighbor pops first
+        for (int32_t p = offsets[f.node + 1] - 1; p >= offsets[f.node]; p--) {
+            int32_t t = dst[p];
+            if (!visited[t]) stack.push_back({t, f.depth + 1, f.node});
+        }
+    }
+    *n_out = n;
+}
+
 // ───────────────────────── components ─────────────────────────
 
 // Union-find with path halving (the reference's structure,

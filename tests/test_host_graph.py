@@ -178,6 +178,52 @@ def test_auto_routes_small_to_host(g, monkeypatch):
     g.shortest_path(_start(g), g.nodes.id_of(1))
 
 
+def test_reference_envelope_routes_host(monkeypatch):
+    """Every analytic at the reference's LARGEST published point (10k
+    nodes, ER-5) must route to the host engine: the device path hangs
+    when the TPU tunnel is down and is 100-1000x slower at this scale
+    regardless. Regression for the unweighted-closeness cost constant
+    (the weighted 95 ns/src-edge estimate routed 10k all-source
+    closeness to the device: 95 s estimated vs ~4 s actual)."""
+    from muninn_tpu.graph import Graph
+    import muninn_tpu.graph.routing as routing
+
+    rng = np.random.default_rng(5)
+    n, e = 10_000, 50_000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+
+    decisions = []
+    orig = routing.use_host
+
+    def spy(backend, host_seconds):
+        r = orig(backend, host_seconds)
+        decisions.append((backend, host_seconds, r))
+        return r
+
+    monkeypatch.setattr(routing, "use_host", spy)
+    # the modules import `use_host` by name — patch those bindings too
+    import muninn_tpu.graph.api as api
+    import muninn_tpu.graph.centrality as ctr
+    import muninn_tpu.graph.community as cmty
+    for mod in (api, ctr, cmty):
+        if hasattr(mod, "use_host"):
+            monkeypatch.setattr(mod, "use_host", spy)
+
+    s = int(src[0])
+    g.bfs(s)
+    g.pagerank()
+    g.connected_components()
+    g.shortest_path(s, int(dst[-1]))
+    g.betweenness(sample_sources=64)
+    g.closeness()           # unweighted int32-BFS specialization
+    g.leiden(seed=0)
+    assert decisions, "routing spy never consulted"
+    routed_device = [d for d in decisions if d[0] == "auto" and not d[2]]
+    assert not routed_device, routed_device
+
+
 @pytest.mark.parametrize("seed", [101, 202, 303])
 def test_randomized_topology_agreement(seed):
     """Random graphs of varying density/size (incl. multi-edges and
