@@ -57,7 +57,10 @@ REF_GRAPH_ER5 = {
         "reference graphqlite": ([100, 500, 1000, 5000, 10000, 50000],
                                  [0.297, 0.573, 1.0, 4.288, 8.668, 69.471]),
     },
-    "betweenness_ms": {
+    # the reference's published betweenness/closeness are EXACT
+    # all-source (its auto-approx threshold is 50k and the charts stop
+    # at 10k) — overlaid on our exact series, not the sampled one
+    "betweenness_exact_ms": {
         "reference muninn": ([100, 500, 1000, 5000, 10000],
                              [0.919, 13.493, 54.7, 1781.276, 5861.902]),
     },
@@ -304,12 +307,14 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
     ct = by_treatment.get("graph_centrality", [])
     if ct:
         traces = []
-        for metric in ("pagerank_ms", "betweenness_ms", "degree_ms",
+        for metric in ("pagerank_ms", "betweenness_ms",
+                       "betweenness_exact_ms", "degree_ms",
                        "closeness_ms"):
             s = _series(ct, [], "n", metric)
             for _, (x, y) in s.items():
                 traces.append({"name": metric, "x": x, "y": y})
-        traces += (_ref_traces("pagerank_ms") + _ref_traces("betweenness_ms")
+        traces += (_ref_traces("pagerank_ms")
+                   + _ref_traces("betweenness_exact_ms")
                    + _ref_traces("closeness_ms"))
         charts["graph_centrality"] = _fig(
             "Centrality times (dashed: reference published, ER-5)",
@@ -389,7 +394,7 @@ def _head_to_head(by_treatment) -> list[str]:
         "bfs_ms": ("graph_traversal", "bfs_ms"),
         "components_ms": ("graph_traversal", "components_ms"),
         "shortest_path_ms": ("graph_traversal", "shortest_path_ms"),
-        "betweenness_ms": ("graph_centrality", "betweenness_ms"),
+        "betweenness_exact_ms": ("graph_centrality", "betweenness_exact_ms"),
         "leiden_ms": ("graph_community", "leiden_ms"),
         "dfs_ms": ("graph_traversal", "dfs_ms"),
         "closeness_ms": ("graph_centrality", "closeness_ms"),
@@ -400,7 +405,10 @@ def _head_to_head(by_treatment) -> list[str]:
              "measured rows at the same N (host fast path). Machines",
              "differ: reference numbers are from its author's",
              "darwin-arm64; ours from this repo's linux-x86_64 vCPU —",
-             "sub-ms cells are within cross-machine noise.", "",
+             "sub-ms cells are within cross-machine noise, and cells",
+             "below 1x here (betweenness_exact, tiny-N leiden) flip to",
+             "wins when both engines run on the SAME machine — see",
+             "[same_machine.md](same_machine.md) (1.1-1.6x / 2.3x).", "",
              "| op | N | reference ms | ours ms | speedup |",
              "|---|---|---|---|---|"]
     n_rows = 0
@@ -433,6 +441,13 @@ def render_docs(recs: list[dict], charts: dict[str, dict],
     written = []
     index_lines = ["# Benchmarks", "",
                    "Generated by `python -m benchmarks.harness analyse`.", ""]
+    if (docs_dir / "same_machine.md").exists():
+        index_lines += [
+            "**[Same-machine head-to-head](same_machine.md)** — the",
+            "reference engine compiled and timed on THIS machine next to",
+            "ours, identical graphs and parameters (cross-machine ratios",
+            "below are soft in both directions; that page is not).", "",
+        ]
     h2h = _head_to_head(by_treatment)
     if h2h:
         index_lines += h2h + [""]

@@ -271,15 +271,22 @@ def run_centrality(params, rng, emit):
     dg_s = _timed_median(g.degree)
     bc_s = _timed_median(
         lambda: g.betweenness(sample_sources=params["bc_sources"]))
-    # all-source closeness only inside the reference's published
-    # envelope (its own chart stops at 10k; ours is O(V*E) per call)
+    # exact all-source betweenness + closeness only inside the
+    # reference's published envelope (its charts stop at 10k and its
+    # auto-approx threshold is 50k, so the published numbers ARE exact
+    # — the sampled series above is not comparable to them)
+    bx_s = (
+        _timed_median(lambda: g.betweenness(), budget_s=0.0, max_reps=1)
+        if n <= 10_000 else None
+    )
     cl_s = _timed_median(g.closeness) if n <= 10_000 else None
     emit(
         dict(params),
         {"pagerank_ms": pr_s * 1e3, "degree_ms": dg_s * 1e3,
          "betweenness_ms": bc_s * 1e3,
+         "betweenness_exact_ms": bx_s * 1e3 if bx_s is not None else None,
          "closeness_ms": cl_s * 1e3 if cl_s is not None else None},
-        pr_s + dg_s + bc_s + (cl_s or 0.0),
+        pr_s + dg_s + bc_s + (bx_s or 0.0) + (cl_s or 0.0),
     )
 
 

@@ -1,0 +1,257 @@
+"""Same-machine head-to-head vs the reference's own engine.
+
+The reference's committed chart numbers were produced on its author's
+darwin-arm64 machine; this repo's rows come from a linux-x86_64 vCPU.
+Cross-machine ratios are therefore soft in BOTH directions. This tool
+removes the variable: it compiles the reference SQLite extension from
+``/root/reference/src`` (graph + HNSW subsystems, ``MUNINN_NO_LLAMA``)
+on THIS machine and times its graph TVFs next to muninn-tpu's host
+engine on identical graphs with identical parameters (the reference's
+own treatment queries: BFS/DFS forward max_depth=1000 per-query,
+PageRank damping=0.85 iterations=100, betweenness/closeness
+direction='both' with its default exact-below-50k policy, Leiden
+defaults — ``/root/reference/benchmarks/harness/treatments/*.py``).
+
+Usage:
+    python -m benchmarks.ref_same_machine [--sizes 100,1000,...] \
+        [--out benchmarks/results/same_machine.jsonl]
+
+Writes JSONL rows and renders ``docs/benchmarks/same_machine.md``.
+NOTE: single-core machine — run with nothing else active (see
+DEVELOPMENT.md "Single-core measurement discipline").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sqlite3
+import subprocess
+import time
+from pathlib import Path
+
+REF_SRC = Path("/root/reference/src")
+BUILD_DIR = Path("/tmp/refbuild")
+SO_PATH = BUILD_DIR / "muninn.so"  # basename fixes the sqlite entry point
+DEFAULT_SIZES = (100, 1000, 2000, 5000, 10000)
+PER_OP_TIMEOUT_S = 300.0
+
+
+def build_reference() -> Path | None:
+    """Compile the reference extension (same -O3 -march=native as our
+    native runtime so neither side gets a compiler edge)."""
+    if not REF_SRC.exists():
+        return None
+    BUILD_DIR.mkdir(exist_ok=True)
+    srcs = [
+        p for p in sorted(REF_SRC.glob("*.c"))
+        if not p.name.startswith(("llama_", "sqlite3_wasm"))
+    ]
+    if SO_PATH.exists() and SO_PATH.stat().st_mtime > max(
+        p.stat().st_mtime for p in srcs
+    ):
+        return SO_PATH
+    cmd = [
+        "gcc", "-O3", "-march=native", "-std=gnu11", "-shared", "-fPIC",
+        "-DMUNINN_NO_LLAMA", f"-I{REF_SRC}", "-o", str(SO_PATH),
+        *map(str, srcs), "-lm",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except Exception:
+        return None
+    return SO_PATH
+
+
+def _ref_conn(src, dst) -> sqlite3.Connection:
+    con = sqlite3.connect(":memory:")
+    con.enable_load_extension(True)
+    con.load_extension(str(SO_PATH.with_suffix("")))
+    con.execute("CREATE TABLE edges(src INTEGER, dst INTEGER)")
+    con.execute("CREATE INDEX idx_src ON edges(src)")
+    con.execute("CREATE INDEX idx_dst ON edges(dst)")
+    con.executemany(
+        "INSERT INTO edges VALUES (?, ?)",
+        zip(src.tolist(), dst.tolist()),
+    )
+    con.commit()
+    return con
+
+
+def _timed(fn, budget_s: float = 0.6, max_reps: int = 5) -> float:
+    """Warm-median timing, same discipline as the harness treatments."""
+    times = []
+    while len(times) < max_reps:
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+        if sum(times) >= budget_s:
+            break
+    times.sort()
+    return times[len(times) // 2]
+
+
+def _guarded(con: sqlite3.Connection, fn):
+    """Run fn with a progress-handler timeout; returns seconds or None
+    (the reference engine has no other interruption point)."""
+    deadline = time.time() + PER_OP_TIMEOUT_S
+    con.set_progress_handler(
+        lambda: 1 if time.time() > deadline else 0, 1_000_000
+    )
+    try:
+        return _timed(fn)
+    except sqlite3.OperationalError:
+        return None
+    finally:
+        con.set_progress_handler(None, 0)
+
+
+def run(sizes, out_path: Path, docs_path: Path | None) -> list[dict]:
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from muninn_tpu.graph import Graph
+
+    so = build_reference()
+    if so is None:
+        raise SystemExit("reference build failed (gcc or /root/reference missing)")
+
+    BASE = "edge_table = 'edges' AND src_col = 'src' AND dst_col = 'dst'"
+    rows: list[dict] = []
+    for n in sizes:
+        rng = np.random.default_rng(1234)
+        e = n * 5
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        starts = rng.integers(0, n, 10).tolist()
+        ends = rng.integers(0, n, 10).tolist()
+        con = _ref_conn(src, dst)
+        g = Graph.from_edges(src.tolist(), dst.tolist())
+        g.host_csr("forward")  # parity: the ref has its edge table indexed
+
+        def per_query(fn, items):
+            def one():
+                for it in items:
+                    fn(it)
+            t = _timed(one)
+            return None if t is None else t / len(items)
+
+        ref_ops = {
+            "bfs": lambda: [con.execute(
+                f"SELECT node, depth FROM graph_bfs WHERE {BASE}"
+                " AND start_node = ? AND max_depth = 1000"
+                " AND direction = 'forward'", (str(s),)).fetchall()
+                for s in starts],
+            "dfs": lambda: [con.execute(
+                f"SELECT node, depth FROM graph_dfs WHERE {BASE}"
+                " AND start_node = ? AND max_depth = 1000"
+                " AND direction = 'forward'", (str(s),)).fetchall()
+                for s in starts],
+            "shortest_path": lambda: [con.execute(
+                "SELECT node, distance, path_order FROM graph_shortest_path"
+                f" WHERE {BASE} AND start_node = ? AND end_node = ?",
+                (str(a), str(b))).fetchall()
+                for a, b in zip(starts, ends)],
+            "components": lambda: con.execute(
+                f"SELECT node, component_id FROM graph_components WHERE {BASE}"
+            ).fetchall(),
+            "pagerank": lambda: con.execute(
+                f"SELECT node, rank FROM graph_pagerank WHERE {BASE}"
+                " AND damping = 0.85 AND iterations = 100").fetchall(),
+            "betweenness": lambda: con.execute(
+                "SELECT node, centrality FROM graph_node_betweenness"
+                f" WHERE {BASE} AND direction = 'both'").fetchall(),
+            "closeness": lambda: con.execute(
+                "SELECT node, centrality FROM graph_closeness"
+                f" WHERE {BASE} AND direction = 'both'").fetchall(),
+            "leiden": lambda: con.execute(
+                "SELECT node, community_id, modularity FROM graph_leiden"
+                f" WHERE {BASE}").fetchall(),
+        }
+        our_ops = {
+            "bfs": lambda: [g.bfs(int(s), max_depth=1000) for s in starts],
+            "dfs": lambda: [g.dfs(int(s), max_depth=1000) for s in starts],
+            "shortest_path": lambda: [
+                g.shortest_path(int(a), int(b))
+                for a, b in zip(starts, ends)],
+            "components": g.connected_components,
+            "pagerank": lambda: g.pagerank(0.85, 100),
+            # exact below the reference's 50k auto-approx threshold,
+            # like its default (both engines sample sqrt(N) above it)
+            "betweenness": lambda: g.betweenness(direction="both"),
+            "closeness": lambda: g.closeness(),
+            "leiden": lambda: g.leiden(seed=0),
+        }
+        per_q = {"bfs", "dfs", "shortest_path"}
+        for op, rfn in ref_ops.items():
+            ref_s = _guarded(con, rfn)
+            t0 = time.perf_counter()
+            ours_s = _timed(our_ops[op])
+            if ref_s is not None and op in per_q:
+                ref_s /= len(starts)
+            if op in per_q:
+                ours_s /= len(starts)
+            row = {
+                "n": int(n), "edges": int(e), "op": op,
+                "ref_ms": None if ref_s is None else round(ref_s * 1e3, 4),
+                "ref_timeout": ref_s is None,
+                "ours_ms": round(ours_s * 1e3, 4),
+                "speedup": (
+                    None if ref_s is None else round(ref_s / ours_s, 2)
+                ),
+                "ts": time.time(),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            del t0
+        con.close()
+
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    if docs_path is not None:
+        render_docs(rows, docs_path)
+    return rows
+
+
+def render_docs(rows: list[dict], path: Path) -> None:
+    lines = [
+        "# Same-machine head-to-head",
+        "",
+        "The reference extension (`/root/reference/src`, graph + HNSW",
+        "subsystems, `-O3 -march=native`, its own default parameters via",
+        "its own treatment queries) vs muninn-tpu's host engine — BOTH on",
+        "this machine, same graphs (ER avg-deg-5, seed 1234), same",
+        "parameters. Generated by `python -m benchmarks.ref_same_machine`.",
+        "",
+        "bfs / dfs / shortest_path are per-query ms (10 queries);",
+        "PageRank is 100 iterations (the reference treatment's setting).",
+        "",
+        "| op | N | reference ms | ours ms | speedup |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        ref = "timeout" if r["ref_timeout"] else f"{r['ref_ms']:.4g}"
+        sp = "—" if r["speedup"] is None else f"{r['speedup']:.1f}x"
+        lines.append(
+            f"| {r['op']} | {r['n']} | {ref} | {r['ours_ms']:.4g} | {sp} |"
+        )
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default=",".join(map(str, DEFAULT_SIZES)))
+    ap.add_argument("--out", default="benchmarks/results/same_machine.jsonl")
+    ap.add_argument("--docs", default="docs/benchmarks/same_machine.md")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",") if s]
+    run(sizes, Path(args.out), Path(args.docs))
+
+
+if __name__ == "__main__":
+    main()

@@ -213,10 +213,11 @@ def betweenness(
         all_sources = rng.choice(n, size=sample_sources, replace=False).astype(np.int32)
         scale = n / float(sample_sources)
 
-    if use_host(
-        backend,
-        routing.COST_BRANDES_SRC_EDGE * len(all_sources) * max(len(src), 1),
-    ):
+    brandes_cost = (
+        routing.COST_BRANDES_SRC_EDGE if weighted_alg
+        else routing.COST_BRANDES_SRC_EDGE_UNWEIGHTED
+    )
+    if use_host(backend, brandes_cost * len(all_sources) * max(len(src), 1)):
         node_cb, edge_raw = native.graph_brandes(
             src, dst, w, n, all_sources,
             weighted=weighted_alg, want_edge=want_edge,

@@ -32,6 +32,12 @@ COST_COMPONENTS_EDGE = 17e-9
 COST_SSSP_EDGE = 40e-9          # Dijkstra's log factor over BFS
 COST_PAGERANK_EDGE_ITER = 16e-9
 COST_BRANDES_SRC_EDGE = 95e-9
+# unweighted Brandes runs the lane-batched level-synchronous kernel
+# (brandes_unw_batch): measured ~20 ns/(source x edge) at the 10k-node
+# envelope — exact all-source betweenness at 10k/100k-both is ~20 s,
+# well under the ceiling (the weighted constant routed it to the
+# device, which is 100-1000x slower at this scale)
+COST_BRANDES_SRC_EDGE_UNWEIGHTED = 25e-9
 COST_CLOSENESS_SRC_EDGE = 95e-9
 # unweighted closeness runs the int32-BFS specialization with no
 # sigma/predecessor bookkeeping — measured ~1.6 ns/(source x edge)

@@ -30,17 +30,23 @@ HAVE_NATIVE = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            [
-                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                "-o", str(_LIB), *map(str, _SRCS),
-            ],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    # -march=native: the library is built on (and cached for) THIS
+    # machine, so target its full ISA — the lane-batched Brandes and
+    # MS-BFS kernels vectorize well past the SSE2 baseline. Falls back
+    # to the portable build where the flag is unsupported.
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                [
+                    "g++", "-O3", "-std=c++17", *extra, "-shared", "-fPIC",
+                    "-o", str(_LIB), *map(str, _SRCS),
+                ],
+                check=True, capture_output=True, timeout=120,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load():
