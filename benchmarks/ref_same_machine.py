@@ -187,7 +187,6 @@ def run(sizes, out_path: Path, docs_path: Path | None) -> list[dict]:
         per_q = {"bfs", "dfs", "shortest_path"}
         for op, rfn in ref_ops.items():
             ref_s = _guarded(con, rfn)
-            t0 = time.perf_counter()
             ours_s = _timed(our_ops[op])
             if ref_s is not None and op in per_q:
                 ref_s /= len(starts)
@@ -205,8 +204,8 @@ def run(sizes, out_path: Path, docs_path: Path | None) -> list[dict]:
             }
             rows.append(row)
             print(json.dumps(row), flush=True)
-            del t0
         con.close()
+        rows += _vt_section(n, src, dst)
 
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "a") as f:
@@ -214,6 +213,118 @@ def run(sizes, out_path: Path, docs_path: Path | None) -> list[dict]:
             f.write(json.dumps(r) + "\n")
     if docs_path is not None:
         render_docs(rows, docs_path)
+    return rows
+
+
+def _vt_section(n: int, src, dst) -> list[dict]:
+    """Adjacency-cache head-to-head: the reference's graph_adjacency
+    vtab (shadow tables + AFTER-INSERT triggers, file-backed for disk
+    measurement) vs GraphCache (block files + delta log). Same delta
+    sizes as the reference's graph_vt treatment (max(10, E/100))."""
+    import shutil
+    import tempfile
+    import os
+
+    from muninn_tpu.graph.adjacency import GraphCache
+
+    e = len(src)
+    n_delta = max(10, e // 100)
+    rng2 = __import__("numpy").random.default_rng(99)
+    dsrc = rng2.integers(0, n, n_delta)
+    ddst = rng2.integers(0, n, n_delta)
+    rows: list[dict] = []
+
+    def row(op, ref_s, ours_s, unit="ms"):
+        scale = 1e3 if unit == "ms" else 1.0
+        r = {
+            "n": int(n), "edges": int(e), "op": op,
+            "ref_ms": None if ref_s is None else round(ref_s * scale, 4),
+            "ref_timeout": ref_s is None,
+            "ours_ms": round(ours_s * scale, 4),
+            "speedup": None if ref_s is None or ours_s == 0
+            else round(ref_s / ours_s, 2),
+            "ts": time.time(),
+        }
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    tmp = tempfile.mkdtemp(prefix="muninn_sm_")
+    try:
+        db = os.path.join(tmp, "ref.db")
+        con = sqlite3.connect(db)
+        con.enable_load_extension(True)
+        con.load_extension(str(SO_PATH.with_suffix("")))
+        con.execute("CREATE TABLE edges(src INTEGER, dst INTEGER, weight REAL)")
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?, 1.0)",
+            zip(src.tolist(), dst.tolist()),
+        )
+        con.commit()
+        con.execute("VACUUM")
+        base_bytes = os.path.getsize(db)
+        t0 = time.perf_counter()
+        con.execute(
+            "CREATE VIRTUAL TABLE g USING graph_adjacency("
+            "edge_table='edges', src_col='src', dst_col='dst',"
+            " weight_col='weight')"
+        )
+        list(con.execute("SELECT count(*) FROM g"))  # force build
+        ref_build = time.perf_counter() - t0
+        # trigger overhead: the delta INSERT with triggers installed
+        t0 = time.perf_counter()
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?, 1.0)",
+            zip(dsrc.tolist(), ddst.tolist()),
+        )
+        con.commit()
+        ref_trig = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con.execute("INSERT INTO g(g) VALUES('incremental_rebuild')")
+        con.commit()
+        ref_inc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con.execute("INSERT INTO g(g) VALUES('rebuild')")
+        con.commit()
+        ref_reb = time.perf_counter() - t0
+        con.execute("VACUUM")
+        con.commit()
+        ref_disk = os.path.getsize(db) - base_bytes
+        con.close()
+
+        # Graph construction and rebuilds are LAZY here (device CSR /
+        # host mirrors build on first use) — force the host CSRs the
+        # reference's shadow tables hold so both sides do real work
+        def _force(graph):
+            graph.host_csr("forward")
+            graph.host_csr("reverse")
+
+        t0 = time.perf_counter()
+        gc = GraphCache.from_edges(src.tolist(), dst.tolist())
+        _force(gc.graph())
+        our_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        gc.add_edges(dsrc.tolist(), ddst.tolist())
+        our_trig = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _force(gc.graph())
+        our_inc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        gc.rebuild()
+        _force(gc.graph())
+        our_reb = time.perf_counter() - t0
+        sdir = os.path.join(tmp, "ours")
+        gc.save(sdir)
+        our_disk = sum(
+            p.stat().st_size for p in Path(sdir).rglob("*") if p.is_file()
+        )
+        row("vt_build", ref_build, our_build)
+        row("vt_trigger", ref_trig, our_trig)
+        row("vt_incremental", ref_inc, our_inc)
+        row("vt_rebuild", ref_reb, our_reb)
+        row("vt_disk_bytes", float(max(ref_disk, 0)), float(our_disk),
+            unit="bytes")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return rows
 
 
@@ -229,6 +340,9 @@ def render_docs(rows: list[dict], path: Path) -> None:
         "",
         "bfs / dfs / shortest_path are per-query ms (10 queries);",
         "PageRank is 100 iterations (the reference treatment's setting).",
+        "vt_* rows are the adjacency-cache surface (reference",
+        "graph_adjacency vtab with real triggers vs GraphCache);",
+        "vt_disk_bytes values are bytes, not ms.",
         "",
         "| op | N | reference ms | ours ms | speedup |",
         "|---|---|---|---|---|",
