@@ -222,6 +222,23 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             [{"name": g, "x": x, "y": y} for g, (x, y) in sb.items()],
             log_x=True, log_y=True,
         )
+        # persisted index bytes vs the reference's db_size chart
+        # (db_size_models_ag_news.json, MiniLM-384 muninn-hnsw series)
+        sd = _series(base, ["engine", "dim"], "n", "db_bytes")
+        if sd:
+            traces = [{"name": g, "x": x, "y": y}
+                      for g, (x, y) in sd.items()]
+            traces.append({
+                "name": "reference muninn-hnsw MiniLM-384 (sqlite db)",
+                "x": [100, 500, 1000, 5000, 10000, 50000, 100000],
+                "y": [391617.6, 1938432.0, 4150298.3, 7963794.3,
+                      15545958.4, 29234322.3, 331563008.0],
+                "line": {"dash": "dot"},
+            })
+            charts["vss_db_size"] = _fig(
+                "Persisted index size (dashed: reference published)",
+                "N vectors", "bytes", traces, log_x=True, log_y=True,
+            )
         # recall-QPS operating curves (hnsw ef sweep + ivf nprobe sweep,
         # one trace per N)
         sweep = [r for r in vss if r["permutation"].get("engine") == "hnsw"

@@ -123,12 +123,30 @@ def run_vss(params, rng, emit):
     ids, _ = idx.search(q, k=k, **base_kw)  # warm + recall ids
     query_s = time.time() - t0
     qps = _queued_qps(idx, q, k, **base_kw)
+    # persisted index size (the reference's db_size chart role):
+    # checkpoint bytes on disk for the same corpus
+    import shutil
+    import tempfile
+    from muninn_tpu.io import checkpoint as ckpt
+    saver = {"flat": ckpt.save_flat, "quantized": ckpt.save_quantized,
+             "ivf": ckpt.save_ivf, "hnsw": ckpt.save_hnsw}[engine]
+    tmp = tempfile.mkdtemp(prefix="muninn_vss_db_")
+    try:
+        saver(idx, tmp)
+        db_bytes = sum(
+            p.stat().st_size
+            for p in __import__("pathlib").Path(tmp).rglob("*")
+            if p.is_file()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     emit(
         dict(params),
         {"build_s": build_s, "build_vec_per_s": n / build_s,
          "build_warm_s": build_warm_s,
          "build_warm_vec_per_s": n / build_warm_s,
-         "query_qps": qps, "recall_at_k": _recall(ids)},
+         "query_qps": qps, "recall_at_k": _recall(ids),
+         "db_bytes": db_bytes},
         build_s + build_warm_s + query_s,
     )
     if engine == "hnsw":

@@ -175,6 +175,55 @@ def load_flat(path: str | os.PathLike):
 # ───────────────────────── IVF ─────────────────────────
 
 
+def save_quantized(index, path: str | os.PathLike) -> None:
+    """Persist a QuantizedFlatIndex: the int8 codes + per-row scales
+    are the source of truth (the f32 originals are never stored —
+    ``src/hnsw_vtab.c:149-180``'s shadow-table role at 1/4 the bytes)."""
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    store = index.store
+    ids = np.full(store.capacity, -1, np.int64)
+    for ext_id, slot in store._slot_of.items():
+        ids[slot] = ext_id
+    np.savez(
+        p / "arrays.npz",
+        codes=np.asarray(store.vectors),
+        scales=np.asarray(store.scales),
+        valid=np.asarray(store.valid),
+        ids=ids,
+    )
+    _write_manifest(
+        p, "quantized",
+        {
+            "dim": index.dim,
+            "metric": index.metric.value,
+            "high_watermark": store.high_watermark,
+            "count": len(store),
+        },
+    )
+
+
+def load_quantized(path: str | os.PathLike):
+    from muninn_tpu.index.flat import QuantizedFlatIndex
+
+    p = Path(path)
+    m = _read_manifest(p, "quantized")
+    z = np.load(p / "arrays.npz")
+    idx = QuantizedFlatIndex(
+        m["dim"], m["metric"], capacity=z["codes"].shape[0]
+    )
+    st = idx.store
+    st.vectors = jnp.asarray(z["codes"], jnp.int8)
+    st.scales = jnp.asarray(z["scales"], jnp.float32)
+    st.valid = jnp.asarray(z["valid"])
+    ids = z["ids"]
+    st._id_of = ids.copy()
+    st._slot_of = {int(i): int(s) for s, i in enumerate(ids) if i >= 0}
+    st._count = m["count"]
+    st._high = m["high_watermark"]
+    return idx
+
+
 def save_ivf(index, path: str | os.PathLike) -> None:
     """Serialize an IvfIndex (store + centroids + packed bf16 cluster
     blocks + membership + pending region) to a directory. Blocks are

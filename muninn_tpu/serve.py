@@ -131,12 +131,16 @@ class EngineServer:
         from muninn_tpu.index.ivf import IvfIndex
         from muninn_tpu.io import checkpoint as ck
 
+        from muninn_tpu.index.flat import QuantizedFlatIndex
+
         idx = self.indexes[body["name"]]
         path = body["path"]
         if isinstance(idx, HnswIndex):
             ck.save_hnsw(idx, path)
         elif isinstance(idx, IvfIndex):
             ck.save_ivf(idx, path)
+        elif isinstance(idx, QuantizedFlatIndex):
+            ck.save_quantized(idx, path)
         elif isinstance(idx, FlatIndex):
             ck.save_flat(idx, path)
         else:
@@ -162,7 +166,7 @@ class EngineServer:
         except OSError as e:
             raise ValueError(f"no checkpoint at {path!r}: {e}")
         loaders = {"hnsw": ck.load_hnsw, "flat": ck.load_flat,
-                   "ivf": ck.load_ivf}
+                   "ivf": ck.load_ivf, "quantized": ck.load_quantized}
         if kind not in loaders:
             raise ValueError(f"unknown checkpoint kind {kind!r}")
         idx = loaders[kind](path)

@@ -48,6 +48,27 @@ def test_flat_save_load_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(got_ids, want_ids)
 
 
+def test_quantized_save_load_roundtrip(rng, tmp_path):
+    from muninn_tpu.index.flat import QuantizedFlatIndex
+    from muninn_tpu.io.checkpoint import load_quantized, save_quantized
+
+    idx = QuantizedFlatIndex(16, "cosine")
+    idx.insert(np.arange(60), rng.standard_normal((60, 16)).astype(np.float32))
+    idx.delete([5, 7])
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    want_ids, want_d = idx.search(q, k=3)
+    save_quantized(idx, tmp_path / "qk")
+    idx2 = load_quantized(tmp_path / "qk")
+    got_ids, got_d = idx2.search(q, k=3)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-6)
+    # churn after load keeps working (store maps restored)
+    idx2.insert([200], rng.standard_normal((1, 16)).astype(np.float32))
+    idx2.delete([0])
+    ids3, _ = idx2.search(q, k=3)
+    assert 0 not in set(ids3.reshape(-1).tolist())
+
+
 def test_kind_mismatch_raises(rng, tmp_path):
     idx = FlatIndex(8, "l2", use_pallas=False)
     idx.insert([1], np.zeros((1, 8), np.float32))
