@@ -257,6 +257,85 @@ def test_pagerank_weighted(rng):
         assert got[f"n{k}"] == pytest.approx(v, abs=3e-4)
 
 
+def test_graphcache_churn_differential_representative(rng, tmp_path):
+    """Bounded representative of tools/soak/gc_churn.py (300-trial
+    campaign ran clean): random interleavings of inserts / deletes /
+    lazy reads / explicit rebuilds vs an in-order list oracle with the
+    reference's sequential replay semantics (delete removes the FIRST
+    live matching occurrence, ``src/graph_csr.c:219-247``); COO storage
+    order must match the replay exactly through incremental patches,
+    and block-granular save/load must round-trip mid-churn."""
+    from muninn_tpu.graph.adjacency import GraphCache
+
+    for seed in (3, 11):
+        trng = np.random.default_rng(seed)
+        weighted = bool(seed % 2)
+        edges = []
+        gc = GraphCache(weighted=weighted)
+        gc.BLOCK_EDGES = 64
+        s0 = trng.integers(0, 50, 120).tolist()
+        d0 = trng.integers(0, 50, 120).tolist()
+        w0 = (
+            trng.uniform(0.5, 2.0, 120).astype(np.float32)
+            if weighted else np.ones(120, np.float32)
+        )
+        gc.add_edges(s0, d0, w0 if weighted else None)
+        edges += [
+            (a, b, float(w)) for a, b, w in zip(s0, d0, w0.tolist())
+        ]
+        gc.graph()
+        for phase in range(4):
+            if trng.random() < 0.7:
+                gc.graph().csr("forward")
+            if trng.random() < 0.5:
+                gc.graph().csr("reverse")
+            ins_n = int(trng.integers(2, 12))
+            si = trng.integers(0, 58, ins_n).tolist()  # some new nodes
+            di = trng.integers(0, 58, ins_n).tolist()
+            wi = (
+                trng.uniform(0.5, 2.0, ins_n).astype(np.float32)
+                if weighted else np.ones(ins_n, np.float32)
+            )
+            gc.add_edges(si, di, wi if weighted else None)
+            edges += [
+                (a, b, float(w)) for a, b, w in zip(si, di, wi.tolist())
+            ]
+            kill = [
+                edges[int(trng.integers(0, len(edges)))][:2]
+                for _ in range(int(trng.integers(1, 10)))
+            ] + [(99, 98)]  # plus one nonexistent (no-op)
+            gc.remove_edges([k[0] for k in kill], [k[1] for k in kill])
+            for s, d in kill:
+                for i, e in enumerate(edges):
+                    if e[0] == s and e[1] == d:
+                        del edges[i]
+                        break
+            mode = trng.random()
+            if mode < 0.4:
+                gc.incremental_rebuild()
+            elif mode < 0.6:
+                gc.rebuild()
+            gc.graph()  # lazy path otherwise
+            ids = gc.nodes.ids
+            got = [
+                (ids[s], ids[d], float(w))
+                for s, d, w in zip(
+                    gc._src.tolist(), gc._dst.tolist(), gc._w.tolist()
+                )
+            ]
+            assert got == edges, f"seed={seed} phase={phase}"
+        gc.save(tmp_path / f"churn{seed}")
+        gc2 = GraphCache.load(tmp_path / f"churn{seed}")
+        ids2 = gc2.nodes.ids
+        got2 = [
+            (ids2[s], ids2[d], float(w))
+            for s, d, w in zip(
+                gc2._src.tolist(), gc2._dst.tolist(), gc2._w.tolist()
+            )
+        ]
+        assert got2 == edges, f"seed={seed} reload"
+
+
 def test_incremental_patch_bit_identical_to_rebuild(rng):
     """Device arrays after an incremental patch must EXACTLY equal the
     arrays a full rebuild would produce (order included) — the host
