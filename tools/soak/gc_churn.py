@@ -15,7 +15,11 @@ fixed unit test can't reach in one shot:
 - parallel duplicate edges + repeated deletes,
 - device-CSR patch vs from-scratch build bit-identity,
 - block-granular save()/load() with tiny BLOCK_EDGES so multi-block
-  dirty tracking runs, repeated saves to the same directory.
+  dirty tracking runs, repeated saves to the same directory,
+- crash recovery: DeltaLog-attached trials drop the live instance
+  mid-churn and recover from last save + log replay (the reference's
+  shadow-table redo role, ``src/graph_adjacency.c``), then keep
+  churning on the RECOVERED instance.
 """
 import sys
 import tempfile
@@ -127,6 +131,7 @@ def check_degrees(gc, edges, tag):
 def run_trial(trial: int, rng: np.random.Generator) -> None:
     weighted = bool(rng.integers(0, 2))
     use_str_ids = bool(rng.integers(0, 2))
+    with_log = bool(rng.integers(0, 2))
     n0 = int(rng.integers(0, 120))
     n_pool = n0 + 40
 
@@ -134,7 +139,10 @@ def run_trial(trial: int, rng: np.random.Generator) -> None:
         return f"n{i}" if use_str_ids else int(i)
 
     edges: list[tuple] = []
-    gc = GraphCache(weighted=weighted)
+    log_path = (
+        tempfile.mktemp(prefix="gc_churn_log_") if with_log else None
+    )
+    gc = GraphCache(weighted=weighted, log_path=log_path)
     gc.BLOCK_EDGES = 64  # tiny blocks: multi-block save paths run
     if n0:
         s0 = rng.integers(0, n0, n0 * 2)
@@ -241,10 +249,21 @@ def run_trial(trial: int, rng: np.random.Generator) -> None:
             gc.save(save_dir)
             gc2 = GraphCache.load(save_dir)
             check_equal(gc2, edges, tag + " [reload]")
+        elif with_log and save_dir is not None and rng.random() < 0.4:
+            # CRASH: drop the live instance; recover = last save + log
+            # replay (save() clears the log, so the log holds exactly
+            # the mutations since), then keep churning on the
+            # recovered instance
+            del gc
+            gc = GraphCache.load(save_dir, log_path=log_path)
+            check_equal(gc, edges, tag + " [crash-recover]")
+            gc.BLOCK_EDGES = 64
     if save_dir is not None:
         import shutil
 
         shutil.rmtree(save_dir, ignore_errors=True)
+    if log_path is not None:
+        Path(log_path).unlink(missing_ok=True)
 
 
 def main():
