@@ -139,7 +139,23 @@ def _version_info() -> dict:
 
 
 def main():
-    if not _probe_backend():
+    # the tunnel flaps (multi-hour outage observed in round 3); this is
+    # the round's one shot at hardware numbers, so retry the probe a
+    # few times before giving up (~20 min worst case: 3 x 300 s probe
+    # + 2 x 120 s sleeps)
+    import os
+
+    tries = int(os.environ.get("MUNINN_BENCH_PROBE_TRIES", "3"))
+    ok = False
+    for i in range(tries):
+        ok = _probe_backend()
+        if ok:
+            break
+        if i + 1 < tries:
+            print(f"backend probe {i + 1}/{tries} failed; retrying "
+                  "in 120 s", file=sys.stderr)
+            time.sleep(120)
+    if not ok:
         print(json.dumps({
             "metric": "backend_unreachable",
             "value": 0.0,
