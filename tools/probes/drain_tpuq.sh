@@ -3,8 +3,10 @@
 # Single TPU client rule: nothing else may touch the tunnel while this runs.
 cd /root/repo || exit 1
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
-unset JAX_PLATFORMS
-unset PYTHONPATH
+# The axon plugin NEEDS these two (learned live: unsetting them kills
+# plugin discovery -> silent CPU fallback on every probe):
+export JAX_PLATFORMS=axon
+export PYTHONPATH=/root/.axon_site
 
 log() { echo "$(date '+%F %T') $*" >> /tmp/tpuq/drain.log; }
 
