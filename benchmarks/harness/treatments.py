@@ -386,27 +386,32 @@ def run_graph_scale(params, rng, emit):
     metrics["csr_build_s"] = build_s
     metrics["csr_build_medge_per_s"] = 2 * e / build_s / 1e6
     total = build_s
+    # A TPU worker fault kills every op after it in this process, so
+    # the op most likely to fault at the largest sizes (BFS's seg_min
+    # over [E] faulted the worker at 100M edges) runs LAST — pagerank
+    # and components record their rows first.
     try:
-        t0 = time.time()
-        depth, _ = g.bfs(0, as_array=True, backend="device")
-        bfs_s = time.time() - t0
-        metrics["bfs_s"] = bfs_s
-        metrics["bfs_reached"] = int((depth < 2**30).sum())
-        total += bfs_s
-
         t0 = time.time()
         rank = g.pagerank(iterations=20, backend="device", as_array=True)
         pr_s = time.time() - t0
         metrics["pagerank20_s"] = pr_s
         metrics["pagerank_medge_iter_per_s"] = 20 * e / pr_s / 1e6
         metrics["pagerank_sum"] = float(rank.sum())  # ~1.0 sanity
+        total += pr_s
 
         t0 = time.time()
         labels = g.connected_components(backend="device", as_array=True)
         cc_s = time.time() - t0
         metrics["components_s"] = cc_s
         metrics["n_components"] = int(labels.max()) + 1
-        total += pr_s + cc_s
+        total += cc_s
+
+        t0 = time.time()
+        depth, _ = g.bfs(0, as_array=True, backend="device")
+        bfs_s = time.time() - t0
+        metrics["bfs_s"] = bfs_s
+        metrics["bfs_reached"] = int((depth < 2**30).sum())
+        total += bfs_s
     except Exception as exc:  # partial results still emit
         metrics["error"] = f"{type(exc).__name__}: {exc}"
     # Stamp the REAL resolved backend, not an aspirational "device":
