@@ -384,9 +384,15 @@ def node2vec_train(
     syn0 = (jax.random.uniform(k_init, (v_count, dim)) - 0.5) * scale
     syn1 = jnp.zeros((v_count, dim), jnp.float32)
 
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("MUNINN_DEBUG_TIMING"))
+    _t0 = _time.time()
     lr_floor = learning_rate * 1e-4
     total_steps = max(epochs * num_walks, 1)
     step_i = 0
+    _batch_i = 0
     for _ in range(epochs):
         for _ in range(num_walks):
             frac = step_i / total_steps
@@ -426,6 +432,17 @@ def node2vec_train(
                     syn0, syn1, walks, neg_table, kn,
                     jnp.float32(lr), window, neg_samples, chunk,
                 )
+                _batch_i += 1
+                if _dbg and _batch_i % 8 == 0:
+                    # tiny host fetch = real sync (block_until_ready
+                    # lies through the tunnel; see DEVELOPMENT.md)
+                    float(syn0[0, 0])
+                    print(
+                        f"[node2vec] batch {_batch_i} "
+                        f"(pass {step_i}/{total_steps}) "
+                        f"{_time.time() - _t0:.1f}s",
+                        flush=True,
+                    )
 
     emb = np.asarray(syn0)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)

@@ -10,15 +10,20 @@ assert jax.default_backend() == "tpu", jax.default_backend()
 import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from functools import partial
-from muninn_tpu.graph.core import Graph
+from muninn_tpu.graph import Graph  # the public api.Graph (has bfs/…)
 from muninn_tpu.ops import segments as S
 from muninn_tpu.graph import traversal as T
 
 V, E = 1_000_000, 10_000_000
 rng = np.random.default_rng(3)
-src = rng.integers(0, V, E).astype(np.int64)
-dst = rng.integers(0, V, E).astype(np.int64)
-g = Graph.from_edges(src, dst)
+# Edges MUST be device-generated: a host COO at this size is a 160 MB
+# upload through the ~2 MB/s tunnel (~80 min) — the exact trap
+# graph_scale's docstring warns about.
+ks, kd = jax.random.split(jax.random.PRNGKey(3))
+dsrc = jax.random.randint(ks, (E,), 0, V, jnp.int32)
+ddst = jax.random.randint(kd, (E,), 0, V, jnp.int32)
+int(ddst[0])
+g = Graph.from_device_edges(dsrc, ddst, num_nodes=V)
 print("graph built", flush=True)
 
 def drain(x):
