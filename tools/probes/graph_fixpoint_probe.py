@@ -45,11 +45,15 @@ def timeit(label, fn, inner=1, reps=3):
     return vals[1]
 
 # full fixpoints through the device path (force device backend)
+# as_array=True: the index-aligned arrays are the device-scale result
+# shape; the 1M-row list path is measured elsewhere (and the earlier
+# 1159 s bfs e2e here was the host-edge COO upload, since removed)
 t0 = time.time()
-rows = g.bfs(0, backend="device")
-print(f"bfs device e2e {time.time()-t0:.2f}s rows={len(rows)}", flush=True)
+depth, _ = g.bfs(0, backend="device", as_array=True)
+print(f"bfs device e2e {time.time()-t0:.2f}s "
+      f"reached={int((np.asarray(depth) < 2**30).sum())}", flush=True)
 t0 = time.time()
-comp = g.connected_components(backend="device")
+comp = g.connected_components(backend="device", as_array=True)
 print(f"components device e2e {time.time()-t0:.2f}s", flush=True)
 
 # isolate: the pull CSR for forward traversal is the REVERSE csr
