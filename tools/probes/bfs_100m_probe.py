@@ -18,8 +18,10 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 op = sys.argv[sys.argv.index("--op") + 1] if "--op" in sys.argv else "bfs_bisect"
-N, DEG = 10_000_000, 10
+N = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 10_000_000
+DEG = 10
 E = N * DEG
+print(f"op={op} N={N} E={E}", flush=True)
 
 from muninn_tpu.graph import Graph
 
