@@ -398,7 +398,7 @@ class GraphCache:
         iw_[: len(pis)] = piw
 
         off, ss, dd, ww, _ = csr_patch_positions(
-            c.offsets, c.src, c.dst, c.weights,
+            c.offsets, c.s(), c.dst, c.w(),
             jnp.asarray(dpos), jnp.asarray(dsrc),
             jnp.asarray(is_), jnp.asarray(id_), jnp.asarray(iw_),
             num_nodes=v,

@@ -88,6 +88,7 @@ class Graph(core.Graph):
             depth, parent = trv.bfs_pull(
                 c.offsets, c.dst, jnp.int32(s), self.num_nodes, md,
                 n_passes=n_passes_for(c.max_deg),
+                edge_chunk=trv.edge_chunk_for(c.capacity),
             )
             depth = np.asarray(depth)
             parent = np.asarray(parent)
@@ -148,7 +149,10 @@ class Graph(core.Graph):
             dist, parent = native.graph_sssp(hs, hd, w, self.num_nodes, s)
         else:
             c = self.csr(_OPP[direction])  # pull CSR
-            w = c.weights if weighted else jnp.ones_like(c.weights)
+            w = (
+                c.w() if weighted
+                else jnp.ones((c.capacity,), jnp.float32)
+            )
             dist, parent = trv.sssp_with_parents_pull(
                 c.offsets, c.dst, w, jnp.int32(s), self.num_nodes,
                 n_passes=n_passes_for(c.max_deg),
@@ -175,11 +179,19 @@ class Graph(core.Graph):
                 self._src, self._dst, self.num_nodes
             )
         else:
-            c = self.csr("both")  # undirected: own segments = neighborhoods
+            # undirected neighborhood min over the fwd+rev CSR pair —
+            # identical fixpoint to the merged 'both' CSR at half its
+            # resident memory (the 2x-capacity merge alone crosses the
+            # worker's peak-HBM ceiling at 100M edges)
+            cf = self.csr("forward")
+            cr = self.csr("reverse")
             comp = np.asarray(
-                trv.connected_components_pull(
-                    c.offsets, c.dst, self.num_nodes,
-                    n_passes=n_passes_for(c.max_deg),
+                trv.connected_components_2csr(
+                    cf.offsets, cf.dst, cr.offsets, cr.dst,
+                    self.num_nodes,
+                    n_passes_f=n_passes_for(cf.max_deg),
+                    n_passes_r=n_passes_for(cr.max_deg),
+                    edge_chunk=trv.edge_chunk_for(cf.capacity),
                 )
             )
         _, inv = np.unique(comp, return_inverse=True)
@@ -231,7 +243,7 @@ class Graph(core.Graph):
             # 100M-edge scale the device path exists for.
             from muninn_tpu.ops.segments import seg_sum
 
-            deg_j = seg_sum(c.weights, c.offsets)
+            deg_j = seg_sum(c.w(), c.offsets)
         else:
             deg_j = c.degrees().astype(jnp.float32)
         # the pull iterates over TARGET-sorted edges (the opposite
@@ -239,10 +251,14 @@ class Graph(core.Graph):
         # window sums — ~3x the XLA scatter-add SpMV at 10M edges
         opposite = {"forward": "reverse", "reverse": "forward", "both": "both"}
         cr = self.csr(opposite[direction])
+        # unweighted: never touches the weights arg (a lean device CSR
+        # has none; materializing a ones vector is 537 MB at 100M edges)
+        w_arg = cr.w() if weighted else jnp.zeros((1,), jnp.float32)
         rank = np.asarray(
             pagerank_sorted(
-                cr.offsets, cr.dst, cr.weights, deg_j, self.num_nodes,
+                cr.offsets, cr.dst, w_arg, deg_j, self.num_nodes,
                 damping, iterations, weighted,
+                edge_chunk=trv.edge_chunk_for(cr.capacity),
             )
         )
         if as_array:

@@ -133,12 +133,20 @@ class DeviceCsr:
     consumers can take the padded arrays as-is at one compiled shape
     per bucket. Host-side consumers must slice via ``host_coo()``.
     ``e_valid`` is the live edge count (== ``offsets[num_nodes]``).
+
+    ``src`` and ``weights`` may be **None** on device-scale builds
+    (``Graph.from_device_edges``): ``src`` is redundant with
+    ``offsets`` (reconstructable by a searchsorted) and an unweighted
+    graph's ones-vector is 537 MB of dead HBM at 100M edges — against
+    the axon worker's ~3 GB peak ceiling. Consumers that genuinely
+    need the arrays call :meth:`s` / :meth:`w`, which materialize
+    (and cache) on demand; the pull fixpoints never do.
     """
 
-    offsets: jnp.ndarray  # int32 [V+1]
-    src: jnp.ndarray      # int32 [E_cap] (sorted; pads = V at the end)
-    dst: jnp.ndarray      # int32 [E_cap] (pads = V)
-    weights: jnp.ndarray  # float32 [E_cap] (pads = 0)
+    offsets: jnp.ndarray          # int32 [V+1]
+    src: jnp.ndarray | None       # int32 [E_cap] (sorted; pads = V) or None
+    dst: jnp.ndarray | None       # int32 [E_cap] (pads = V)
+    weights: jnp.ndarray | None   # float32 [E_cap] (pads = 0) or None
     e_valid: int
     #: host-known max segment length (upper bound OK) — sets the STATIC
     #: pass count of the shift-doubling segment reductions
@@ -154,10 +162,28 @@ class DeviceCsr:
 
     @property
     def capacity(self) -> int:
-        return self.src.shape[0]
+        return self.dst.shape[0]
 
     def degrees(self) -> jnp.ndarray:
         return self.offsets[1:] - self.offsets[:-1]
+
+    def s(self) -> jnp.ndarray:
+        """The sorted key array, materializing from ``offsets`` when a
+        lean device build dropped it (pads land at exactly V because
+        ``offsets[-1] == e_valid``)."""
+        if self.src is None:
+            self.src = _src_from_offsets(self.offsets, self.capacity)
+        return self.src
+
+    def w(self) -> jnp.ndarray:
+        """Edge weights, materializing the implicit ones (pads 0) for
+        an unweighted lean build."""
+        if self.weights is None:
+            pos = jnp.arange(self.capacity, dtype=jnp.int32)
+            self.weights = jnp.where(pos < self.e_valid, 1.0, 0.0).astype(
+                jnp.float32
+            )
+        return self.weights
 
     def host_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Valid edges as host numpy arrays (pads sliced off) — host
@@ -165,10 +191,29 @@ class DeviceCsr:
         of bounds on the V-valued pads."""
         e = self.e_valid
         return (
-            np.asarray(self.src[:e]),
+            np.asarray(self.s()[:e]),
             np.asarray(self.dst[:e]),
-            np.asarray(self.weights[:e]),
+            np.asarray(self.w()[:e]),
         )
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _src_from_offsets(offsets: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Reconstruct the sorted key array from CSR offsets, in chunked
+    slices so peak temporaries stay bounded at 100M-edge capacities."""
+    chunk = min(capacity, 2**24)
+
+    def body(k, out):
+        cstart = k * chunk
+        pos = cstart + jnp.arange(chunk, dtype=jnp.int32)
+        s = (jnp.searchsorted(offsets, pos, side="right") - 1).astype(
+            jnp.int32
+        )
+        return jax.lax.dynamic_update_slice(out, s, (cstart,))
+
+    return jax.lax.fori_loop(
+        0, capacity // chunk, body, jnp.zeros((capacity,), jnp.int32)
+    )
 
 
 def build_csr_arrays(
@@ -465,15 +510,17 @@ class Graph:
         """CSR by device stable sort over the device COO — same edge
         order as the host counting sort (``native.csr_build``): grouped
         by key node, input order preserved within a group, pads last.
-        ``flip=1`` builds the reverse direction (sort by dst)."""
+        ``flip=1`` builds the reverse direction (sort by dst).
+
+        LEAN build: the sorted key array is dropped (``offsets`` encode
+        it; ``DeviceCsr.s()`` reconstructs on demand) and an unweighted
+        graph carries ``weights=None`` — at 100M edges each avoided
+        [E_cap] array is 537 MB of the worker's ~3 GB peak budget."""
         js, jd, jw = self._dev_coo
-        if jw is None:
-            jw = jnp.ones(js.shape, jnp.float32)
-            jw = jnp.where(js < self.num_nodes, jw, 0.0)
         s, d = (jd, js) if flip else (js, jd)
-        off, ss, dd, ww = _device_sort_csr(s, d, jw, self.num_nodes)
+        off, _, dd, ww = _device_sort_csr(s, d, jw, self.num_nodes)
         max_deg = int(jnp.max(off[1:] - off[:-1]))
-        return DeviceCsr(off, ss, dd, ww, self._e_dev, max(max_deg, 1))
+        return DeviceCsr(off, None, dd, ww, self._e_dev, max(max_deg, 1))
 
     def host_coo(self, direction: str = "forward"):
         """(src, dst, w) numpy COO in the requested direction with NO
@@ -515,13 +562,15 @@ class Graph:
 def _device_sort_csr(s, d, w, num_nodes: int):
     """Sort a padded device COO by ``s`` (stable) and derive offsets.
     Pads carry ``s == num_nodes`` so they sort to the tail; offsets stop
-    at the first pad. One compiled program per (capacity, num_nodes)."""
+    at the first pad. One compiled program per (capacity, num_nodes).
+    ``w=None`` (unweighted lean build) skips the weight permutation and
+    returns ``None`` weights."""
     order = jnp.argsort(s, stable=True).astype(jnp.int32)
     ss = s[order]
     off = jnp.searchsorted(
         ss, jnp.arange(num_nodes + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return off, ss, d[order], w[order]
+    return off, ss, d[order], (None if w is None else w[order])
 
 
 def _to_device_csr(
@@ -620,7 +669,9 @@ def _merge_sorted_pair(
     a_src, a_dst, a_w, b_src, b_dst, b_w
 ):
     """Stable two-way merge of two src-sorted padded COO sets (a's
-    entries precede b's on equal src; pads sort last in both)."""
+    entries precede b's on equal src; pads sort last in both).
+    ``a_w``/``b_w`` may both be ``None`` (unweighted lean CSRs) — the
+    merged weights are then ``None`` too."""
     ca, cb = a_src.shape[0], b_src.shape[0]
     ia = jnp.arange(ca, dtype=jnp.int32)
     ib = jnp.arange(cb, dtype=jnp.int32)
@@ -629,7 +680,12 @@ def _merge_sorted_pair(
     n = ca + cb
     src = jnp.zeros((n,), jnp.int32).at[ta].set(a_src).at[tb].set(b_src)
     dst = jnp.zeros((n,), jnp.int32).at[ta].set(a_dst).at[tb].set(b_dst)
-    w = jnp.zeros((n,), jnp.float32).at[ta].set(a_w).at[tb].set(b_w)
+    w = (
+        None if a_w is None and b_w is None
+        else jnp.zeros((n,), jnp.float32)
+        .at[ta].set(a_w if a_w is not None else jnp.ones((ca,), jnp.float32))
+        .at[tb].set(b_w if b_w is not None else jnp.ones((cb,), jnp.float32))
+    )
     return src, dst, w
 
 
@@ -638,7 +694,7 @@ def merge_both_device(fwd: DeviceCsr, rev: DeviceCsr) -> DeviceCsr:
     device merge — matches the host build's stable order (forward
     orientations before reverse copies on equal src)."""
     src, dst, w = _merge_sorted_pair(
-        fwd.src, fwd.dst, fwd.weights, rev.src, rev.dst, rev.weights
+        fwd.s(), fwd.dst, fwd.weights, rev.s(), rev.dst, rev.weights
     )
     return DeviceCsr(
         fwd.offsets + rev.offsets, src, dst, w, fwd.e_valid + rev.e_valid,

@@ -43,7 +43,10 @@ def pagerank_device(
 
 
 @partial(
-    jax.jit, static_argnames=("num_nodes", "iterations", "weighted", "ch")
+    jax.jit,
+    static_argnames=(
+        "num_nodes", "iterations", "weighted", "ch", "edge_chunk"
+    ),
 )
 def pagerank_sorted(
     roff: jax.Array,        # [V+1] int32 offsets of the TARGET-sorted CSR
@@ -55,6 +58,7 @@ def pagerank_sorted(
     iterations: int = 20,
     weighted: bool = False,
     ch: int = 1024,
+    edge_chunk: int = 0,
 ) -> jax.Array:
     """PageRank pull over a target-sorted CSR with NO scatter.
 
@@ -65,14 +69,61 @@ def pagerank_sorted(
     bandwidth-bound. The chunked two-level prefix keeps f32 error at
     ~eps*log(chunks) absolute (the single-level cumsum over 10M values
     would lose ~1e-6 of a rank vector summing to 1.0).
+
+    ``edge_chunk`` > 0 processes edges in static [chunk] slices
+    (``ops.segments.seg_sum_chunked``): only the loop-invariant
+    ``share`` vector is kept at [E_pad]; per-iteration temporaries
+    stay O(chunk). Unweighted callers may pass a dummy ``w`` (it is
+    never read) — at the 100M-edge scale a materialized ones vector
+    is 537 MB of the worker's ~3 GB peak-HBM budget.
     """
     n = num_nodes
     e_pad = tgt_src.shape[0]
-    ch = min(ch, e_pad)  # both pow2 (capacity buckets), so ch | e_pad
-    m = e_pad // ch
     rank = jnp.full((n,), 1.0 / n, jnp.float32)
     dangling = out_degree <= 0.0
     safe_deg = jnp.maximum(out_degree, 1e-30)
+    chunked = bool(edge_chunk) and edge_chunk < e_pad
+
+    if chunked:
+        from muninn_tpu.ops.segments import seg_sum_chunked
+
+        def share_body(k, share):
+            cstart = k * edge_chunk
+            ts = jax.lax.dynamic_slice(tgt_src, (cstart,), (edge_chunk,))
+            valid_c = ts < n
+            s_c = jnp.minimum(ts, n - 1)
+            w_c = (
+                jax.lax.dynamic_slice(w, (cstart,), (edge_chunk,))
+                if weighted else 1.0
+            )
+            sc = jnp.where(valid_c, w_c / safe_deg[s_c], 0.0)
+            return jax.lax.dynamic_update_slice(share, sc, (cstart,))
+
+        share = jax.lax.fori_loop(
+            0, e_pad // edge_chunk, share_body,
+            jnp.zeros((e_pad,), jnp.float32),
+        )
+
+        def body(_, rank):
+            def vals_fn(cstart):
+                s_c = jnp.minimum(
+                    jax.lax.dynamic_slice(tgt_src, (cstart,), (edge_chunk,)),
+                    n - 1,
+                )
+                return rank[s_c] * jax.lax.dynamic_slice(
+                    share, (cstart,), (edge_chunk,)
+                )
+
+            pulled = seg_sum_chunked(vals_fn, roff, e_pad, edge_chunk, ch)
+            dangling_mass = jnp.sum(jnp.where(dangling, rank, 0.0))
+            return (1.0 - damping) / n + damping * (
+                pulled + dangling_mass / n
+            )
+
+        return jax.lax.fori_loop(0, iterations, body, rank)
+
+    ch = min(ch, e_pad)  # both pow2 (capacity buckets), so ch | e_pad
+    m = e_pad // ch
     valid = tgt_src < n                                        # pads = V
     s_idx = jnp.minimum(tgt_src, n - 1)
     share = jnp.where(

@@ -28,13 +28,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from muninn_tpu.ops.segments import seg_min, seg_positions
+from muninn_tpu.ops.segments import (
+    seg_min,
+    seg_positions,
+    seg_positions_chunked,
+    seg_reduce_chunked,
+)
 
 INT_INF = np.int32(2**30)
 _F_INF = np.float32(np.inf)
 
+#: edge capacities above this use the chunked segment forms (bounded
+#: per-iteration temporaries — the axon worker dies past ~3 GB peak;
+#: 2**25 = the largest capacity the one-shot forms have survived at)
+EDGE_CHUNK_ABOVE = 2**25
+EDGE_CHUNK = 2**24
 
-@partial(jax.jit, static_argnames=("num_nodes", "max_depth", "n_passes"))
+
+def edge_chunk_for(capacity: int) -> int:
+    """Static ``edge_chunk`` for a padded edge capacity: 0 (one-shot
+    kernels) below the measured safe ceiling, 16M slices above it."""
+    return EDGE_CHUNK if capacity > EDGE_CHUNK_ABOVE else 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_nodes", "max_depth", "n_passes", "edge_chunk"),
+)
 def bfs_pull(
     roff: jax.Array,        # [V+1] pull-CSR offsets
     esrc: jax.Array,        # [E_pad] in-edge source endpoints (pads = V)
@@ -42,6 +62,7 @@ def bfs_pull(
     num_nodes: int,
     max_depth: int,
     n_passes: int = 24,     # >= log2(max in-degree); see segments.n_passes_for
+    edge_chunk: int = 0,    # >0: chunked edge passes (100M-edge regime)
 ) -> tuple[jax.Array, jax.Array]:
     """Single-source BFS. Returns (depth int32[V] — INT_INF if
     unreached, parent int32[V] — -1 for root/unreached).
@@ -51,10 +72,14 @@ def bfs_pull(
     dependent; determinism here is a feature, not a parity break).
     """
     e_pad = esrc.shape[0]
-    spos = seg_positions(roff, e_pad)
+    chunked = bool(edge_chunk) and edge_chunk < e_pad
+    spos = (
+        seg_positions_chunked(roff, e_pad, edge_chunk, n_passes)
+        if chunked else seg_positions(roff, e_pad)
+    )
     depth = jnp.full((num_nodes,), INT_INF, jnp.int32).at[start].set(0)
     parent = jnp.full((num_nodes,), -1, jnp.int32)
-    es = jnp.minimum(esrc, num_nodes - 1)
+    es = None if chunked else jnp.minimum(esrc, num_nodes - 1)
 
     def cond(state):
         depth, parent, d, changed = state
@@ -62,9 +87,22 @@ def bfs_pull(
 
     def body(state):
         depth, parent, d, _ = state
-        active = depth[es] == d                                # [E_pad]
-        cand = jnp.where(active, es, INT_INF)
-        best_pred = seg_min(cand, spos, roff, INT_INF, n_passes)  # [V]
+        if chunked:
+            def vals_fn(cstart):
+                es_c = jnp.minimum(
+                    jax.lax.dynamic_slice(esrc, (cstart,), (edge_chunk,)),
+                    num_nodes - 1,
+                )
+                return jnp.where(depth[es_c] == d, es_c, INT_INF)
+
+            best_pred = seg_reduce_chunked(
+                vals_fn, spos, roff, INT_INF, n_passes, edge_chunk,
+                jnp.minimum, jnp.int32,
+            )
+        else:
+            active = depth[es] == d                            # [E_pad]
+            cand = jnp.where(active, es, INT_INF)
+            best_pred = seg_min(cand, spos, roff, INT_INF, n_passes)
         reach = (best_pred < INT_INF) & (depth >= INT_INF)
         depth = jnp.where(reach, d + 1, depth)
         parent = jnp.where(reach, best_pred.astype(jnp.int32), parent)
@@ -181,6 +219,84 @@ def connected_components_pull(
         nbr = jnp.where(dst < num_nodes, comp[ds], INT_INF)
         nbr_min = seg_min(nbr, spos, offsets, INT_INF, n_passes)
         new = jnp.minimum(comp, nbr_min.astype(jnp.int32))
+        # pointer jumping: follow labels two hops
+        new = jnp.minimum(new, new[new])
+        new = jnp.minimum(new, new[new])
+        return new, jnp.any(new < comp)
+
+    comp, _ = jax.lax.while_loop(cond, body, (comp, jnp.bool_(True)))
+    return comp
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_nodes", "n_passes_f", "n_passes_r", "edge_chunk"),
+)
+def connected_components_2csr(
+    foff: jax.Array,        # [V+1] forward CSR offsets
+    fdst: jax.Array,        # [E_pad] out-neighbors (pads = V)
+    roff: jax.Array,        # [V+1] reverse CSR offsets
+    rdst: jax.Array,        # [E_pad] in-neighbors (pads = V)
+    num_nodes: int,
+    n_passes_f: int = 24,
+    n_passes_r: int = 24,
+    edge_chunk: int = 0,
+) -> jax.Array:
+    """:func:`connected_components_pull` over the fwd+rev CSR pair
+    instead of the merged 'both' CSR: each node's undirected
+    neighborhood minimum is ``min(out-segment min, in-segment min)``
+    — identical fixpoint, HALF the resident edge memory (the merged
+    CSR is 2x-capacity and its build allocates 3 more [2E] arrays;
+    at 100M edges that alone crosses the worker's peak-HBM ceiling).
+    ``edge_chunk`` > 0 additionally bounds per-iteration temporaries
+    to O(chunk) via the chunked segment forms."""
+    comp = jnp.arange(num_nodes, dtype=jnp.int32)
+
+    def nbr_min_fns():
+        out = []
+        for off, dst, n_passes in (
+            (foff, fdst, n_passes_f), (roff, rdst, n_passes_r)
+        ):
+            e_pad = dst.shape[0]
+            chunked = bool(edge_chunk) and edge_chunk < e_pad
+            spos = (
+                seg_positions_chunked(off, e_pad, edge_chunk, n_passes)
+                if chunked else seg_positions(off, e_pad)
+            )
+            if chunked:
+                def fn(comp, off=off, dst=dst, spos=spos, n_passes=n_passes):
+                    def vals_fn(cstart):
+                        d_c = jax.lax.dynamic_slice(
+                            dst, (cstart,), (edge_chunk,)
+                        )
+                        return jnp.where(
+                            d_c < num_nodes,
+                            comp[jnp.minimum(d_c, num_nodes - 1)],
+                            INT_INF,
+                        )
+                    return seg_reduce_chunked(
+                        vals_fn, spos, off, INT_INF, n_passes,
+                        edge_chunk, jnp.minimum, jnp.int32,
+                    )
+            else:
+                ds = jnp.minimum(dst, num_nodes - 1)
+                def fn(comp, off=off, dst=dst, ds=ds, spos=spos,
+                       n_passes=n_passes):
+                    nbr = jnp.where(dst < num_nodes, comp[ds], INT_INF)
+                    return seg_min(nbr, spos, off, INT_INF, n_passes)
+            out.append(fn)
+        return out
+
+    fwd_min, rev_min = nbr_min_fns()
+
+    def cond(state):
+        comp, changed = state
+        return changed
+
+    def body(state):
+        comp, _ = state
+        new = jnp.minimum(comp, fwd_min(comp).astype(jnp.int32))
+        new = jnp.minimum(new, rev_min(comp).astype(jnp.int32))
         # pointer jumping: follow labels two hops
         new = jnp.minimum(new, new[new])
         new = jnp.minimum(new, new[new])

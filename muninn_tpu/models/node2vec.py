@@ -372,23 +372,35 @@ def node2vec_train(
     # previous host lexsort/cumsum round-trip re-uploaded [E] arrays —
     # minutes at 100M edges through the tunnel — and its GLOBAL f32
     # cumsum lost weight resolution past 2^24 total weight)
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("MUNINN_DEBUG_TIMING"))
+    _t0 = _time.time()
+
+    def _stage(name, arr):
+        # tiny host fetch = real sync (block_until_ready lies through
+        # the tunnel; see DEVELOPMENT.md)
+        if _dbg:
+            float(jnp.asarray(arr).reshape(-1)[0].astype(jnp.float32))
+            print(
+                f"[node2vec] {name} {_time.time() - _t0:.1f}s", flush=True
+            )
+
     offsets = c.offsets
-    dstj, cumw = _row_sorted_cumw(c.src, c.dst, c.weights)
+    dstj, cumw = _row_sorted_cumw(c.s(), c.dst, c.w())
+    _stage("cumw", cumw)
 
     degrees = np.asarray(c.degrees())
     neg_table = jnp.asarray(build_negative_table(degrees))
+    _stage("neg_table", neg_table)
 
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
     scale = 1.0 / dim
     syn0 = (jax.random.uniform(k_init, (v_count, dim)) - 0.5) * scale
     syn1 = jnp.zeros((v_count, dim), jnp.float32)
-
-    import os as _os
-    import time as _time
-
-    _dbg = bool(_os.environ.get("MUNINN_DEBUG_TIMING"))
-    _t0 = _time.time()
+    _stage("init", syn0)
     lr_floor = learning_rate * 1e-4
     total_steps = max(epochs * num_walks, 1)
     step_i = 0
@@ -421,6 +433,8 @@ def node2vec_train(
                     kw, offsets, dstj, cumw, starts, v_count,
                     walk_length, p, q,
                 )
+                if _dbg and _batch_i == 0:
+                    _stage("walks[0]", walks)
                 # one fused dispatch per walk batch; scan chunks inside
                 chunk = min(sgns_chunk, walks.shape[0])
                 pad = (-walks.shape[0]) % chunk
@@ -433,15 +447,14 @@ def node2vec_train(
                     jnp.float32(lr), window, neg_samples, chunk,
                 )
                 _batch_i += 1
-                if _dbg and _batch_i % 8 == 0:
-                    # tiny host fetch = real sync (block_until_ready
-                    # lies through the tunnel; see DEVELOPMENT.md)
-                    float(syn0[0, 0])
-                    print(
-                        f"[node2vec] batch {_batch_i} "
-                        f"(pass {step_i}/{total_steps}) "
-                        f"{_time.time() - _t0:.1f}s",
-                        flush=True,
+                if _dbg and (
+                    _batch_i & (_batch_i - 1) == 0 or _batch_i % 8 == 0
+                ):
+                    # syncs at 1,2,4 then every 8: a slow batch shows
+                    # up in minutes, not at the job timeout
+                    _stage(
+                        f"batch {_batch_i} (pass {step_i}/{total_steps})",
+                        syn0,
                     )
 
     emb = np.asarray(syn0)

@@ -128,3 +128,132 @@ def seg_max(vals: jax.Array, seg_pos: jax.Array, offsets: jax.Array,
     return _seg_shift_reduce(
         vals, seg_pos, offsets, jnp.maximum, identity, n_passes
     )
+
+
+# ───────────── chunked forms for the 100M-edge regime ─────────────
+# The axon TPU worker dies when a program's peak HBM passes ~3 GB; at
+# e_pad = 2**27 the [E_pad] int32 temporaries of seg_positions alone
+# (arange + searchsorted + gather) are ~2 GB on top of the resident
+# CSR, and every fixpoint iteration adds several more. The chunked
+# forms bound per-iteration temporaries to O(chunk) by processing the
+# sorted edge array in static slices: per chunk, a shift-doubling
+# reduce (min/max) or two-level prefix (sum) over [chunk] values, then
+# a per-node combine of each segment's IN-CHUNK portion into a [V]
+# accumulator (clipped-offset windows; segments split by a chunk
+# boundary combine across iterations — min/sum are associative).
+# Extra cost vs the one-shot forms: a [V]-wide extraction per chunk,
+# ~0.6x the edge-gather work at V=10M / chunk=16M.
+
+
+def spos_dtype_for(n_passes: int):
+    """Smallest int dtype that can hold the clipped in-segment
+    positions used by a shift-doubling reduce with ``n_passes`` passes
+    (positions are clipped to 2**n_passes - 1: the ``>= shift`` tests
+    only ever compare against shifts below that)."""
+    cap = (1 << n_passes) - 1
+    if cap <= 255:
+        return jnp.uint8, cap
+    if cap <= 32767:
+        return jnp.int16, cap
+    return jnp.int32, cap
+
+
+def seg_positions_chunked(
+    offsets: jax.Array, e_pad: int, chunk: int, n_passes: int
+) -> jax.Array:
+    """Compact-dtype :func:`seg_positions`, computed in [chunk] slices:
+    peak temporaries O(chunk * 4 bytes) + the output (1-2 bytes/edge
+    instead of 4). Values clip to ``2**n_passes - 1`` — exact wherever
+    a ``>= shift`` test can distinguish them."""
+    dt, cap = spos_dtype_for(n_passes)
+    nv = offsets.shape[0] - 2
+
+    def body(k, out):
+        cstart = k * chunk
+        pos = cstart + jnp.arange(chunk, dtype=jnp.int32)
+        node = jnp.searchsorted(offsets, pos, side="right").astype(jnp.int32) - 1
+        node = jnp.clip(node, 0, nv)
+        sp = jnp.minimum(pos - offsets[node], cap).astype(dt)
+        return jax.lax.dynamic_update_slice(out, sp, (cstart,))
+
+    out = jnp.zeros((e_pad,), dt)
+    return jax.lax.fori_loop(0, e_pad // chunk, body, out)
+
+
+def seg_reduce_chunked(
+    vals_fn, spos: jax.Array, offsets: jax.Array, identity,
+    n_passes: int, chunk: int, combine, dtype,
+) -> jax.Array:
+    """Per-segment ``combine``-reduce (min/max) over a long sorted edge
+    array WITHOUT materializing [e_pad] temporaries. ``vals_fn(cstart)``
+    returns the [chunk] values starting at edge position ``cstart``
+    (computed fresh per chunk, so gathers/masks stay chunk-sized);
+    ``spos`` from :func:`seg_positions_chunked`. Returns [V]."""
+    e_pad = spos.shape[0]
+    num_nodes = offsets.shape[0] - 1
+    ident = jnp.asarray(identity, dtype)
+
+    def body(k, acc):
+        cstart = k * chunk
+        x = vals_fn(cstart)
+        sp = jax.lax.dynamic_slice(spos, (cstart,), (chunk,))
+        for j in range(n_passes):
+            sh = 1 << j
+            if sh >= chunk:
+                break
+            prev = jnp.concatenate(
+                [jnp.broadcast_to(ident, (sh,)), x[:-sh]]
+            )
+            # global in-segment position >= shift ⇒ the predecessor
+            # 2^j back is in the same segment; when it sits in the
+            # previous chunk (in-chunk index < shift) `prev` is the
+            # identity fill — the reduce stays correct per in-chunk
+            # portion, and portions combine across chunks below
+            x = jnp.where(sp >= sh, combine(x, prev), x)
+        lo = jnp.clip(offsets[:-1], cstart, cstart + chunk)
+        hi = jnp.clip(offsets[1:], cstart, cstart + chunk)
+        last = jnp.clip(hi - 1 - cstart, 0, chunk - 1)
+        outk = jnp.where(hi > lo, x[last], ident)
+        return combine(acc, outk)
+
+    init = jnp.full((num_nodes,), ident, dtype)
+    return jax.lax.fori_loop(0, e_pad // chunk, body, init)
+
+
+def seg_sum_chunked(
+    vals_fn, offsets: jax.Array, e_pad: int, chunk: int, ch: int = 1024
+) -> jax.Array:
+    """Per-segment sums in [chunk] slices (see :func:`seg_reduce_chunked`
+    for the contract; pads must yield 0). Within each chunk the same
+    two-level prefix as :func:`seg_sum` bounds f32 error; per-node
+    window sums of each segment's in-chunk portion accumulate into the
+    [V] result."""
+    num_nodes = offsets.shape[0] - 1
+    ch = min(ch, chunk)
+    m = chunk // ch
+
+    def body(k, acc):
+        cstart = k * chunk
+        v = vals_fn(cstart)
+        local = jnp.cumsum(v.reshape(m, ch), axis=1)
+        pre = jnp.concatenate(
+            [jnp.zeros(1, v.dtype), jnp.cumsum(local[:, -1])]
+        )                                                  # [m+1]
+        localf = local.reshape(-1)
+
+        def prefix_at(pos):                                # pos ∈ [0, chunk]
+            ci = pos // ch
+            off = pos % ch
+            loc = jnp.where(
+                off > 0,
+                localf[jnp.minimum(ci, m - 1) * ch + jnp.maximum(off - 1, 0)],
+                jnp.zeros((), v.dtype),
+            )
+            return pre[ci] + loc
+
+        lo = jnp.clip(offsets[:-1], cstart, cstart + chunk) - cstart
+        hi = jnp.clip(offsets[1:], cstart, cstart + chunk) - cstart
+        return acc + (prefix_at(hi) - prefix_at(lo))
+
+    init = jnp.zeros((num_nodes,), jnp.float32)
+    return jax.lax.fori_loop(0, e_pad // chunk, body, init)

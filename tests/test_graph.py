@@ -398,14 +398,15 @@ def test_device_graph_matches_host_build(rng):
         np.testing.assert_array_equal(
             np.asarray(ch.offsets), np.asarray(cd.offsets)
         )
+        # lean device builds drop src (s() reconstructs from offsets)
         np.testing.assert_array_equal(
-            np.asarray(ch.src[:ev]), np.asarray(cd.src[:ev])
+            np.asarray(ch.s()[:ev]), np.asarray(cd.s()[:ev])
         )
         np.testing.assert_array_equal(
             np.asarray(ch.dst[:ev]), np.asarray(cd.dst[:ev])
         )
         np.testing.assert_allclose(
-            np.asarray(ch.weights[:ev]), np.asarray(cd.weights[:ev])
+            np.asarray(ch.w()[:ev]), np.asarray(cd.w()[:ev])
         )
 
     np.testing.assert_allclose(
@@ -487,3 +488,84 @@ def test_centrality_on_edgeless_graph():
     bc = g2.betweenness()
     assert all(v == 0.0 for v in bc.values())
     assert g2.edge_betweenness() == {}
+
+
+def test_chunked_fixpoints_match_one_shot(rng):
+    """edge_chunk > 0 (the 100M-edge peak-memory regime) must be
+    result-identical to the one-shot kernels: BFS depths/parents,
+    components labels (2-CSR form vs merged-'both' pull), pagerank."""
+    import jax.numpy as jnp
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.graph import traversal as trv
+    from muninn_tpu.graph.pagerank import pagerank_sorted
+    from muninn_tpu.ops.segments import n_passes_for
+
+    n, e = 300, 2000
+    s = rng.integers(0, n, e)
+    d = rng.integers(0, n, e)
+    g = Graph.from_edges(s, d)
+    cr = g.csr("reverse")
+    npr = n_passes_for(cr.max_deg)
+    ec = 256
+    assert ec < cr.capacity
+
+    dep0, par0 = trv.bfs_pull(
+        cr.offsets, cr.dst, jnp.int32(0), n, n, n_passes=npr)
+    dep1, par1 = trv.bfs_pull(
+        cr.offsets, cr.dst, jnp.int32(0), n, n, n_passes=npr,
+        edge_chunk=ec)
+    np.testing.assert_array_equal(np.asarray(dep0), np.asarray(dep1))
+    np.testing.assert_array_equal(np.asarray(par0), np.asarray(par1))
+
+    cf = g.csr("forward")
+    cb = g.csr("both")
+    comp_both = np.asarray(trv.connected_components_pull(
+        cb.offsets, cb.dst, n, n_passes=n_passes_for(cb.max_deg)))
+    for ec2 in (0, ec):
+        comp2 = np.asarray(trv.connected_components_2csr(
+            cf.offsets, cf.dst, cr.offsets, cr.dst, n,
+            n_passes_f=n_passes_for(cf.max_deg), n_passes_r=npr,
+            edge_chunk=ec2))
+        np.testing.assert_array_equal(comp_both, comp2)
+
+    deg = np.asarray(cf.degrees(), np.float32)
+    pr0 = np.asarray(pagerank_sorted(
+        cr.offsets, cr.dst, cr.w(), jnp.asarray(deg), n))
+    pr1 = np.asarray(pagerank_sorted(
+        cr.offsets, cr.dst, jnp.zeros((1,), jnp.float32),
+        jnp.asarray(deg), n, edge_chunk=ec))
+    # chunked prefix sums accumulate in a different order: f32-noise
+    # level differences only (measured max 7e-8 abs on rank ~3e-3)
+    np.testing.assert_allclose(pr0, pr1, rtol=1e-4, atol=1e-7)
+
+
+def test_lean_device_graph_unweighted(rng):
+    """from_device_edges without weights builds lean CSRs (weights=None,
+    src=None) and all analytics agree with the host-interned build."""
+    from muninn_tpu.graph import Graph
+
+    n, e = 250, 1500
+    s = rng.integers(0, n, e)
+    d = rng.integers(0, n, e)
+    gh = Graph.from_edges(s, d)
+    gd = Graph.from_device_edges(s, d, num_nodes=n)
+
+    cd = gd.csr("forward")
+    assert cd.weights is None and cd.src is None
+    ch = gh.csr("forward")
+    ev = ch.e_valid
+    np.testing.assert_array_equal(np.asarray(ch.s()[:ev]),
+                                  np.asarray(cd.s()[:ev]))
+    np.testing.assert_allclose(np.asarray(ch.w()[:ev]),
+                               np.asarray(cd.w()[:ev]))
+
+    np.testing.assert_allclose(
+        gh.pagerank(backend="device", as_array=True),
+        gd.pagerank(backend="device", as_array=True), rtol=1e-5)
+    dh, ph = gh.bfs(0, backend="device", as_array=True)
+    dd, pd = gd.bfs(0, backend="device", as_array=True)
+    np.testing.assert_array_equal(dh, dd)
+    np.testing.assert_array_equal(ph, pd)
+    np.testing.assert_array_equal(
+        gh.connected_components(backend="device", as_array=True),
+        gd.connected_components(backend="device", as_array=True))

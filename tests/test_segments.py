@@ -6,6 +6,7 @@ force, test/test_graph_csr.c role).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -126,3 +127,73 @@ def test_seg_min_insufficient_passes_is_wrong_by_design(rng):
     short2 = np.asarray(seg_min(jnp.asarray(vals2), spos, jnp.asarray(off),
                                 INF, 1))
     assert short2[0] != -5.0
+
+
+# ───────────── chunked forms (the 100M-edge memory regime) ─────────────
+
+
+@pytest.mark.parametrize("seed,chunk", [(0, 32), (1, 64), (2, 128)])
+def test_seg_reduce_chunked_matches_one_shot(rng, seed, chunk):
+    """Chunk boundaries split segments arbitrarily; the per-chunk
+    portions must combine to the exact one-shot reduction."""
+    from muninn_tpu.ops.segments import (
+        seg_positions_chunked,
+        seg_reduce_chunked,
+    )
+
+    r = np.random.default_rng(seed)
+    v, e_pad, max_deg = 53, 512, 37  # max_deg > chunk/2 splits often
+    off = random_offsets(r, v, e_pad, max_deg)
+    vals = r.integers(-1000, 1000, e_pad).astype(np.int32)
+    npass = n_passes_for(max_deg)
+    offj = jnp.asarray(off)
+    spos_c = seg_positions_chunked(offj, e_pad, chunk, npass)
+    valsj = jnp.asarray(vals)
+
+    got = np.asarray(seg_reduce_chunked(
+        lambda cs: jax.lax.dynamic_slice(valsj, (cs,), (chunk,)),
+        spos_c, offj, np.int32(2**30), npass, chunk, jnp.minimum,
+        jnp.int32,
+    ))
+    want = brute(vals, off, np.min, np.int32(2**30))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed,chunk", [(0, 32), (3, 256)])
+def test_seg_sum_chunked_matches_brute(rng, seed, chunk):
+    from muninn_tpu.ops.segments import seg_sum_chunked
+
+    r = np.random.default_rng(seed)
+    v, e_pad, max_deg = 41, 512, 50
+    off = random_offsets(r, v, e_pad, max_deg)
+    vals = r.standard_normal(e_pad).astype(np.float32)
+    vals[off[-1]:] = 0.0  # pads must contribute 0
+    valsj = jnp.asarray(vals)
+
+    got = np.asarray(seg_sum_chunked(
+        lambda cs: jax.lax.dynamic_slice(valsj, (cs,), (chunk,)),
+        jnp.asarray(off), e_pad, chunk, ch=16,
+    ))
+    want = brute(vals, off, np.sum, np.float32(0.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_seg_positions_chunked_clips_exactly():
+    """Clipped positions equal the exact ones wherever a >=shift test
+    can distinguish them (values below the clip cap)."""
+    from muninn_tpu.ops.segments import (
+        seg_positions_chunked,
+        spos_dtype_for,
+    )
+
+    r = np.random.default_rng(7)
+    v, e_pad = 29, 256
+    off = random_offsets(r, v, e_pad, 21)
+    npass = n_passes_for(21)
+    dt, cap = spos_dtype_for(npass)
+    exact = np.asarray(seg_positions(jnp.asarray(off), e_pad))
+    got = np.asarray(
+        seg_positions_chunked(jnp.asarray(off), e_pad, 32, npass)
+    )
+    np.testing.assert_array_equal(got, np.minimum(exact, cap).astype(got.dtype))
+    assert got.dtype == np.dtype(dt)

@@ -31,6 +31,9 @@ src = jax.random.randint(ks, (E,), 0, N, jnp.int32)
 dst = jax.random.randint(kd, (E,), 0, N, jnp.int32)
 int(dst[0])
 g = Graph.from_device_edges(src, dst, num_nodes=N)
+# the constructor pads copies into _dev_coo: drop the generator refs
+# (1.07 GB of dead HBM at 100M edges against the ~3 GB worker ceiling)
+del src, dst
 
 
 def fetch(x):
@@ -46,30 +49,29 @@ elif op == "components":
     lab = g.connected_components(backend="device", as_array=True)
     print(f"components ok {time.time()-t0:.1f}s n={int(lab.max())+1}",
           flush=True)
-else:
-    # stage-by-stage BFS body on the pull CSR
-    from muninn_tpu.ops.segments import seg_min, seg_positions, n_passes_for
-    from muninn_tpu.graph.traversal import INT_INF
-
-    c = g.csr("reverse")  # pull CSR for forward BFS; its dst = in-edge sources
-    roff, esrc = c.offsets, c.dst
-    e_pad = esrc.shape[0]
-    print(f"csr ok e_pad={e_pad} max_deg={c.max_deg}", flush=True)
-    spos = seg_positions(roff, e_pad)
-    fetch(spos)
-    print(f"seg_positions ok {time.time()-t0:.1f}s", flush=True)
-
-    depth = jnp.full((N,), INT_INF, jnp.int32).at[0].set(0)
-    es = jnp.minimum(esrc, N - 1)
-    active = depth[es] == 0
-    fetch(active)
-    print(f"gather+cmp ok {time.time()-t0:.1f}s", flush=True)
-    cand = jnp.where(active, es, INT_INF)
-    np_ = n_passes_for(c.max_deg)
-    best = seg_min(cand, spos, roff, INT_INF, np_)
-    fetch(best)
-    print(f"seg_min ok n_passes={np_} {time.time()-t0:.1f}s", flush=True)
-
+elif op == "bfs":
     d, p = g.bfs(0, as_array=True, backend="device")
     print(f"full bfs ok {time.time()-t0:.1f}s reached={int((d < 2**30).sum())}",
+          flush=True)
+else:
+    # op=all: every analytic staged in ONE process (shared CSR builds),
+    # each behind a host fetch so the log shows the last op that
+    # succeeded before any crash. Runs the chunked kernels automatically
+    # above capacity 2**25 (traversal.edge_chunk_for).
+    c = g.csr("reverse")
+    print(f"rev csr ok e_pad={c.capacity} max_deg={c.max_deg} "
+          f"{time.time()-t0:.1f}s", flush=True)
+    t = time.time()
+    r = g.pagerank(iterations=20, backend="device", as_array=True)
+    print(f"pagerank20 ok {time.time()-t:.1f}s sum={float(r.sum()):.6f} "
+          f"({E*20/(time.time()-t)/1e6:.0f}M edge-iter/s)", flush=True)
+    del r
+    t = time.time()
+    d, p = g.bfs(0, as_array=True, backend="device")
+    print(f"bfs ok {time.time()-t:.1f}s reached={int((d < 2**30).sum())}",
+          flush=True)
+    del d, p
+    t = time.time()
+    lab = g.connected_components(backend="device", as_array=True)
+    print(f"components ok {time.time()-t:.1f}s n={int(lab.max())+1}",
           flush=True)
