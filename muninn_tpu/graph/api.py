@@ -52,7 +52,7 @@ class Graph(core.Graph):
     """
 
     def _use_host(self, backend: str, work: float) -> bool:
-        if backend == "auto" and self._src_np is None and self._dev_coo is not None:
+        if backend == "auto" and self.device_native:
             # device-resident graph whose host COO mirror hasn't been
             # materialized (from_device_edges): routing to the host
             # would first download the full edge list through the

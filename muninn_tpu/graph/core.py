@@ -28,6 +28,13 @@ import jax.numpy as jnp
 
 DIRECTIONS = ("forward", "reverse", "both")
 
+#: padded edge capacities above this drop the device COO once a CSR
+#: direction is built (`Graph._maybe_drop_coo`): at 100M edges the
+#: padded src+dst are 2x537 MB of the axon worker's ~3 GB peak-HBM
+#: budget, and the second direction's device sort crashes the worker
+#: with them still resident
+LEAN_COO_DROP_ABOVE = 2**25
+
 
 def _pad_bucket(e: int) -> int:
     """Pow2 capacity bucket: device CSR arrays are padded so that
@@ -306,14 +313,24 @@ class Graph:
         mirrors — a deliberate, one-time cost (the tunnel downloads at
         ~50 MB/s; at 100M edges that is minutes, so device-scale
         workloads should stay on ``backend='device'`` paths)."""
-        js, jd, jw = self._dev_coo
         e = self._e_dev
-        self._src_np = np.asarray(js[:e], np.int32)
-        self._dst_np = np.asarray(jd[:e], np.int32)
-        self._w_np = (
-            np.ones(e, np.float32) if jw is None
-            else np.asarray(jw[:e], np.float32)
-        )
+        if self._dev_coo is not None:
+            js, jd, jw = self._dev_coo
+            self._src_np = np.asarray(js[:e], np.int32)
+            self._dst_np = np.asarray(jd[:e], np.int32)
+            self._w_np = (
+                np.ones(e, np.float32) if jw is None
+                else np.asarray(jw[:e], np.float32)
+            )
+            return
+        # lean regime: the padded COO was dropped once a CSR direction
+        # existed — download the edge list from the CSR instead (same
+        # edge multiset; order is key-sorted rather than input-order)
+        c = self._fwd if self._fwd is not None else self._rev
+        a = np.asarray(c.s()[:e], np.int32)
+        b = np.asarray(c.dst[:e], np.int32)
+        self._src_np, self._dst_np = (a, b) if c is self._fwd else (b, a)
+        self._w_np = np.asarray(c.w()[:e], np.float32)
 
     # ── construction ──
 
@@ -464,6 +481,34 @@ class Graph:
             return self._e_dev
         return len(self._src_np)
 
+    @property
+    def device_native(self) -> bool:
+        """True while this graph's edges live only on device (built by
+        :meth:`from_device_edges`, host mirrors never materialized) —
+        either as the padded COO or, after ``_maybe_drop_coo``, as the
+        built CSR directions."""
+        return self._src_np is None and (
+            self._dev_coo is not None
+            or self._fwd is not None
+            or self._rev is not None
+        )
+
+    def _maybe_drop_coo(self) -> None:
+        """Drop the padded device COO once a CSR direction exists, in
+        the lean regime (capacity > 2**25): the COO is then redundant
+        (``_build_device`` derives the opposite direction from the
+        built CSR) and its src+dst arrays are 2x537 MB of dead HBM at
+        100M edges — the margin that let the second direction's device
+        sort crash the worker."""
+        if (
+            self._dev_coo is not None
+            and self._src_np is None
+            and (self._fwd is not None or self._rev is not None)
+        ):
+            c = self._fwd if self._fwd is not None else self._rev
+            if c.capacity > LEAN_COO_DROP_ABOVE:
+                self._dev_coo = None
+
     def csr(self, direction: str = "forward") -> DeviceCsr:
         """Direction semantics match the reference
         (``src/graph_load.c:215-245``): 'forward' follows src->dst,
@@ -471,13 +516,14 @@ class Graph:
         (each edge present in both orientations)."""
         if direction not in DIRECTIONS:
             raise ValueError(f"direction must be one of {DIRECTIONS}")
-        dev = self._dev_coo is not None and self._src_np is None
+        dev = self.device_native
         if direction == "forward":
             if self._fwd is None:
                 self._fwd = (
                     self._build_device(0) if dev
                     else self._build(self._src, self._dst)
                 )
+                self._maybe_drop_coo()
             return self._fwd
         if direction == "reverse":
             if self._rev is None:
@@ -485,6 +531,7 @@ class Graph:
                     self._build_device(1) if dev
                     else self._build(self._dst, self._src)
                 )
+                self._maybe_drop_coo()
             return self._rev
         if dev and (self._fwd is None or self._rev is None):
             self.csr("forward")
@@ -515,10 +562,29 @@ class Graph:
         LEAN build: the sorted key array is dropped (``offsets`` encode
         it; ``DeviceCsr.s()`` reconstructs on demand) and an unweighted
         graph carries ``weights=None`` — at 100M edges each avoided
-        [E_cap] array is 537 MB of the worker's ~3 GB peak budget."""
-        js, jd, jw = self._dev_coo
-        s, d = (jd, js) if flip else (js, jd)
-        off, _, dd, ww = _device_sort_csr(s, d, jw, self.num_nodes)
+        [E_cap] array is 537 MB of the worker's ~3 GB peak budget.
+
+        Once the padded COO has been dropped (``_maybe_drop_coo``), the
+        opposite direction is DERIVED from the built CSR — its entries
+        are the same edge set as (key, val, w) triples. Within-row
+        order then comes out opposite-endpoint-ascending instead of
+        input-order; the device analytics are row-order-independent."""
+        if self._dev_coo is not None:
+            js, jd, jw = self._dev_coo
+            s, d, w = ((jd, js, jw) if flip else (js, jd, jw))
+        else:
+            other = self._rev if flip == 0 else self._fwd
+            s = other.dst
+            # other's key array, WITHOUT caching it on `other` (the
+            # reconstruction is a one-shot sort input here; caching
+            # would keep an extra [E_cap] resident for the graph's
+            # lifetime)
+            d = (
+                other.src if other.src is not None
+                else _src_from_offsets(other.offsets, other.capacity)
+            )
+            w = other.weights
+        off, dd, ww = _device_sort_csr(s, d, w, self.num_nodes)
         max_deg = int(jnp.max(off[1:] - off[:-1]))
         return DeviceCsr(off, None, dd, ww, self._e_dev, max(max_deg, 1))
 
@@ -563,14 +629,22 @@ def _device_sort_csr(s, d, w, num_nodes: int):
     """Sort a padded device COO by ``s`` (stable) and derive offsets.
     Pads carry ``s == num_nodes`` so they sort to the tail; offsets stop
     at the first pad. One compiled program per (capacity, num_nodes).
-    ``w=None`` (unweighted lean build) skips the weight permutation and
-    returns ``None`` weights."""
-    order = jnp.argsort(s, stable=True).astype(jnp.int32)
-    ss = s[order]
+    ``w=None`` (unweighted lean build) sorts (key, val) directly —
+    no permutation vector, no [E] random gathers — and returns ``None``
+    weights. The sorted key array is NOT an output: XLA frees it inside
+    the program once the searchsorted consumes it, which matters at
+    134M-edge capacities where every [E_cap] temporary is 537 MB of the
+    worker's ~3 GB peak budget."""
+    if w is None:
+        ss, dd = jax.lax.sort_key_val(s, d, is_stable=True)
+        ww = None
+    else:
+        order = jnp.argsort(s, stable=True).astype(jnp.int32)
+        ss, dd, ww = s[order], d[order], w[order]
     off = jnp.searchsorted(
         ss, jnp.arange(num_nodes + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return off, ss, d[order], (None if w is None else w[order])
+    return off, dd, ww
 
 
 def _to_device_csr(

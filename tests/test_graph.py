@@ -569,3 +569,70 @@ def test_lean_device_graph_unweighted(rng):
     np.testing.assert_array_equal(
         gh.connected_components(backend="device", as_array=True),
         gd.connected_components(backend="device", as_array=True))
+
+
+def test_coo_drop_derives_opposite_direction(rng, monkeypatch):
+    """Lean regime: once one CSR direction is built the padded COO is
+    dropped and the opposite direction (and 'both', and the host
+    mirror download) derive from the built CSR — same edge multiset,
+    identical analytics, weighted and unweighted."""
+    from muninn_tpu.graph import Graph, core
+
+    monkeypatch.setattr(core, "LEAN_COO_DROP_ABOVE", 64)
+    n, e = 200, 1200
+    s = rng.integers(0, n, e)
+    d = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32) + 0.1
+
+    for weights in (None, w):
+        gh = Graph.from_edges(s, d, weights)
+        gd = Graph.from_device_edges(s, d, weights=weights, num_nodes=n)
+
+        # build one direction -> COO drops; other direction derives
+        first = gd.csr("reverse")
+        assert gd._dev_coo is None and gd.device_native
+        derived = gd.csr("forward")
+        both = gd.csr("both")
+
+        for ch, cd in ((gh.csr("reverse"), first),
+                       (gh.csr("forward"), derived),
+                       (gh.csr("both"), both)):
+            ev = ch.e_valid
+            assert cd.e_valid == ev
+            np.testing.assert_array_equal(np.asarray(ch.offsets),
+                                          np.asarray(cd.offsets))
+            # derived within-row order differs from input order:
+            # compare rows as multisets of (dst, w) pairs
+            hs = np.lexsort((np.asarray(ch.w()[:ev]),
+                             np.asarray(ch.dst[:ev]),
+                             np.asarray(ch.s()[:ev])))
+            ds = np.lexsort((np.asarray(cd.w()[:ev]),
+                             np.asarray(cd.dst[:ev]),
+                             np.asarray(cd.s()[:ev])))
+            np.testing.assert_array_equal(
+                np.asarray(ch.dst[:ev])[hs], np.asarray(cd.dst[:ev])[ds])
+            np.testing.assert_allclose(
+                np.asarray(ch.w()[:ev])[hs], np.asarray(cd.w()[:ev])[ds])
+
+        # derived rows sum edges in a different order: f32 noise only
+        np.testing.assert_allclose(
+            gh.pagerank(backend="device", as_array=True,
+                        weighted=weights is not None),
+            gd.pagerank(backend="device", as_array=True,
+                        weighted=weights is not None),
+            rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(
+            gh.connected_components(backend="device", as_array=True),
+            gd.connected_components(backend="device", as_array=True))
+        dh, _ = gh.bfs(0, backend="device", as_array=True)
+        dd, _ = gd.bfs(0, backend="device", as_array=True)
+        np.testing.assert_array_equal(dh, dd)
+
+        # host mirror downloads from the CSR after the drop
+        sd, dd2, wd = gd.host_coo()
+        hs2 = np.lexsort((wd, dd2, sd))
+        sh, dh2, wh = gh.host_coo()
+        hh = np.lexsort((wh, dh2, sh))
+        np.testing.assert_array_equal(sd[hs2], sh[hh])
+        np.testing.assert_array_equal(dd2[hs2], dh2[hh])
+        np.testing.assert_allclose(wd[hs2], wh[hh])
