@@ -234,23 +234,41 @@ class Graph(core.Graph):
             id_of = self.nodes.id_of
             return {id_of(i): r
                     for i, r in enumerate(np.asarray(rank).tolist())}
-        c = self.csr(direction)
-        if weighted:
-            # weighted out-degree on device: the forward CSR groups
-            # edges by src, so per-node weight sums are segment sums
-            # (pad edges carry w=0). The former host_coo() here pulled
-            # the full [E] arrays through the tunnel — minutes at the
-            # 100M-edge scale the device path exists for.
-            from muninn_tpu.ops.segments import seg_sum
-
-            deg_j = seg_sum(c.w(), c.offsets)
-        else:
-            deg_j = c.degrees().astype(jnp.float32)
         # the pull iterates over TARGET-sorted edges (the opposite
         # direction's CSR), where per-node sums are scatter-free prefix
         # window sums — ~3x the XLA scatter-add SpMV at 10M edges
         opposite = {"forward": "reverse", "reverse": "forward", "both": "both"}
         cr = self.csr(opposite[direction])
+        cached = {
+            "forward": self._fwd, "reverse": self._rev,
+            "both": getattr(self, "_both", None),
+        }[direction]
+        if cached is None and self.device_native:
+            # out-degrees WITHOUT building the direction CSR (whose
+            # only role here is degrees): cr's value array holds
+            # exactly the source endpoints, so a chunked bincount over
+            # it gives the same sums — at 134M-edge capacity this
+            # avoids a full device sort and ~1.1 GB of resident HBM
+            from muninn_tpu.ops.segments import bincount_chunked
+
+            deg_j = bincount_chunked(
+                cr.dst, cr.weights if weighted else None,
+                self.num_nodes, trv.EDGE_CHUNK,
+            )
+        else:
+            c = self.csr(direction)
+            if weighted:
+                # weighted out-degree on device: the forward CSR groups
+                # edges by src, so per-node weight sums are segment
+                # sums (pad edges carry w=0). The former host_coo()
+                # here pulled the full [E] arrays through the tunnel —
+                # minutes at the 100M-edge scale the device path
+                # exists for.
+                from muninn_tpu.ops.segments import seg_sum
+
+                deg_j = seg_sum(c.w(), c.offsets)
+            else:
+                deg_j = c.degrees().astype(jnp.float32)
         # unweighted: never touches the weights arg (a lean device CSR
         # has none; materializing a ones vector is 537 MB at 100M edges)
         w_arg = cr.w() if weighted else jnp.zeros((1,), jnp.float32)

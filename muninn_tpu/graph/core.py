@@ -20,7 +20,7 @@ TPU-native replacement for the reference's ``src/graph_load.c``
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -29,7 +29,7 @@ import jax.numpy as jnp
 DIRECTIONS = ("forward", "reverse", "both")
 
 #: padded edge capacities above this drop the device COO once a CSR
-#: direction is built (`Graph._maybe_drop_coo`): at 100M edges the
+#: direction is built (`Graph._build_device`): at 100M edges the
 #: padded src+dst are 2x537 MB of the axon worker's ~3 GB peak-HBM
 #: budget, and the second direction's device sort crashes the worker
 #: with them still resident
@@ -485,29 +485,13 @@ class Graph:
     def device_native(self) -> bool:
         """True while this graph's edges live only on device (built by
         :meth:`from_device_edges`, host mirrors never materialized) —
-        either as the padded COO or, after ``_maybe_drop_coo``, as the
+        either as the padded COO or, after the lean-regime drop, as the
         built CSR directions."""
         return self._src_np is None and (
             self._dev_coo is not None
             or self._fwd is not None
             or self._rev is not None
         )
-
-    def _maybe_drop_coo(self) -> None:
-        """Drop the padded device COO once a CSR direction exists, in
-        the lean regime (capacity > 2**25): the COO is then redundant
-        (``_build_device`` derives the opposite direction from the
-        built CSR) and its src+dst arrays are 2x537 MB of dead HBM at
-        100M edges — the margin that let the second direction's device
-        sort crash the worker."""
-        if (
-            self._dev_coo is not None
-            and self._src_np is None
-            and (self._fwd is not None or self._rev is not None)
-        ):
-            c = self._fwd if self._fwd is not None else self._rev
-            if c.capacity > LEAN_COO_DROP_ABOVE:
-                self._dev_coo = None
 
     def csr(self, direction: str = "forward") -> DeviceCsr:
         """Direction semantics match the reference
@@ -523,7 +507,6 @@ class Graph:
                     self._build_device(0) if dev
                     else self._build(self._src, self._dst)
                 )
-                self._maybe_drop_coo()
             return self._fwd
         if direction == "reverse":
             if self._rev is None:
@@ -531,7 +514,6 @@ class Graph:
                     self._build_device(1) if dev
                     else self._build(self._dst, self._src)
                 )
-                self._maybe_drop_coo()
             return self._rev
         if dev and (self._fwd is None or self._rev is None):
             self.csr("forward")
@@ -564,7 +546,7 @@ class Graph:
         graph carries ``weights=None`` — at 100M edges each avoided
         [E_cap] array is 537 MB of the worker's ~3 GB peak budget.
 
-        Once the padded COO has been dropped (``_maybe_drop_coo``), the
+        Once the padded COO has been dropped (lean regime), the
         opposite direction is DERIVED from the built CSR — its entries
         are the same edge set as (key, val, w) triples. Within-row
         order then comes out opposite-endpoint-ascending instead of
@@ -572,19 +554,28 @@ class Graph:
         if self._dev_coo is not None:
             js, jd, jw = self._dev_coo
             s, d, w = ((jd, js, jw) if flip else (js, jd, jw))
+            if s.shape[0] > LEAN_COO_DROP_ABOVE:
+                # lean regime: the COO is never read again (the
+                # opposite direction derives from this CSR) — drop it
+                # and donate its buffers to the sort
+                self._dev_coo = None
+                donate = (0, 1) if w is None else (0, 1, 2)
+            else:
+                donate = ()
         else:
             other = self._rev if flip == 0 else self._fwd
             s = other.dst
             # other's key array, WITHOUT caching it on `other` (the
             # reconstruction is a one-shot sort input here; caching
             # would keep an extra [E_cap] resident for the graph's
-            # lifetime)
-            d = (
-                other.src if other.src is not None
-                else _src_from_offsets(other.offsets, other.capacity)
-            )
+            # lifetime) — donated to the sort for the same reason
+            if other.src is not None:
+                d, donate = other.src, ()
+            else:
+                d = _src_from_offsets(other.offsets, other.capacity)
+                donate = (1,)
             w = other.weights
-        off, dd, ww = _device_sort_csr(s, d, w, self.num_nodes)
+        off, dd, ww = _sort_csr_jit(donate)(s, d, w, self.num_nodes)
         max_deg = int(jnp.max(off[1:] - off[:-1]))
         return DeviceCsr(off, None, dd, ww, self._e_dev, max(max_deg, 1))
 
@@ -624,8 +615,7 @@ class Graph:
         return [self.nodes.id_of(int(i)) for i in indices]
 
 
-@partial(jax.jit, static_argnames=("num_nodes",))
-def _device_sort_csr(s, d, w, num_nodes: int):
+def _sort_csr_impl(s, d, w, num_nodes: int):
     """Sort a padded device COO by ``s`` (stable) and derive offsets.
     Pads carry ``s == num_nodes`` so they sort to the tail; offsets stop
     at the first pad. One compiled program per (capacity, num_nodes).
@@ -645,6 +635,22 @@ def _device_sort_csr(s, d, w, num_nodes: int):
         ss, jnp.arange(num_nodes + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     return off, dd, ww
+
+
+@lru_cache(maxsize=None)
+def _sort_csr_jit(donate: tuple):
+    """Jitted :func:`_sort_csr_impl` with the given ``donate_argnums``.
+    Lean-regime builds donate the [E_cap] buffers they will never read
+    again so the sort's outputs alias them — at 134M edges each donated
+    buffer cuts the program's peak by 537 MB."""
+    return jax.jit(
+        _sort_csr_impl, static_argnames=("num_nodes",),
+        donate_argnums=donate,
+    )
+
+
+def _device_sort_csr(s, d, w, num_nodes: int):
+    return _sort_csr_jit(())(s, d, w, num_nodes)
 
 
 def _to_device_csr(
