@@ -166,6 +166,7 @@ def seg_positions_chunked(
     instead of 4). Values clip to ``2**n_passes - 1`` — exact wherever
     a ``>= shift`` test can distinguish them."""
     dt, cap = spos_dtype_for(n_passes)
+    _check_chunking(e_pad, chunk)
     nv = offsets.shape[0] - 2
 
     def body(k, out):
@@ -180,6 +181,18 @@ def seg_positions_chunked(
     return jax.lax.fori_loop(0, e_pad // chunk, body, out)
 
 
+def _check_chunking(e_pad: int, chunk: int) -> None:
+    """The chunked reducers iterate ``e_pad // chunk`` full slices; a
+    remainder would be SILENTLY dropped. Every real caller passes pow2
+    padded capacities and pow2 chunks, so this is a static trace-time
+    guard, not a runtime branch."""
+    if chunk <= 0 or e_pad % chunk != 0:
+        raise ValueError(
+            f"chunked segment reduce needs chunk | e_pad, got "
+            f"e_pad={e_pad} chunk={chunk}"
+        )
+
+
 def seg_reduce_chunked(
     vals_fn, spos: jax.Array, offsets: jax.Array, identity,
     n_passes: int, chunk: int, combine, dtype,
@@ -190,6 +203,7 @@ def seg_reduce_chunked(
     (computed fresh per chunk, so gathers/masks stay chunk-sized);
     ``spos`` from :func:`seg_positions_chunked`. Returns [V]."""
     e_pad = spos.shape[0]
+    _check_chunking(e_pad, chunk)
     num_nodes = offsets.shape[0] - 1
     ident = jnp.asarray(identity, dtype)
 
@@ -228,6 +242,7 @@ def seg_sum_chunked(
     two-level prefix as :func:`seg_sum` bounds f32 error; per-node
     window sums of each segment's in-chunk portion accumulate into the
     [V] result."""
+    _check_chunking(e_pad, chunk)
     num_nodes = offsets.shape[0] - 1
     ch = min(ch, chunk)
     m = chunk // ch
@@ -274,6 +289,7 @@ def bincount_chunked(
     sort and ~1.1 GB of resident HBM avoided."""
     e_pad = vals.shape[0]
     chunk = min(chunk, e_pad)
+    _check_chunking(e_pad, chunk)
 
     def body(k, acc):
         cstart = k * chunk

@@ -197,3 +197,44 @@ def test_seg_positions_chunked_clips_exactly():
     )
     np.testing.assert_array_equal(got, np.minimum(exact, cap).astype(got.dtype))
     assert got.dtype == np.dtype(dt)
+
+
+def test_bincount_chunked_matches_numpy(rng):
+    from muninn_tpu.ops.segments import bincount_chunked
+
+    for seed in (0, 1):
+        r = np.random.default_rng(seed)
+        e_pad, nb = 512, 37
+        ids = r.integers(0, nb + 1, e_pad).astype(np.int32)  # nb = pad
+        w = r.random(e_pad).astype(np.float32)
+        live = ids < nb
+        got_u = np.asarray(bincount_chunked(jnp.asarray(ids), None, nb, 64))
+        want_u = np.bincount(ids[live], minlength=nb).astype(np.float32)
+        np.testing.assert_allclose(got_u, want_u)
+        got_w = np.asarray(
+            bincount_chunked(jnp.asarray(ids), jnp.asarray(w), nb, 64)
+        )
+        want_w = np.bincount(ids[live], weights=w[live], minlength=nb)
+        np.testing.assert_allclose(got_w, want_w, rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_reducers_reject_ragged_tail(rng):
+    """A chunk that does not divide e_pad would silently drop the tail;
+    the static guard must reject it instead."""
+    import pytest
+    from muninn_tpu.ops.segments import (
+        bincount_chunked,
+        seg_positions_chunked,
+        seg_sum_chunked,
+    )
+
+    off = jnp.asarray(np.array([0, 3, 100], np.int32))
+    vals = jnp.zeros((100,), jnp.float32)
+    ids = jnp.zeros((100,), jnp.int32)
+    with pytest.raises(ValueError):
+        bincount_chunked(ids, None, 2, 48)
+    with pytest.raises(ValueError):
+        seg_sum_chunked(lambda c: jax.lax.dynamic_slice(vals, (c,), (48,)),
+                        off, 100, 48)
+    with pytest.raises(ValueError):
+        seg_positions_chunked(off, 100, 48, 4)
