@@ -34,32 +34,40 @@ NEG_TABLE_SIZE = 100_000  # matches reference, src/node2vec.c:274-303
 # ───────────────────────── walks ─────────────────────────
 
 
-@jax.jit
-def _row_sorted_cumw(src, dst, w):
+@partial(jax.jit, static_argnames=("max_deg",))
+def _row_sorted_cumw(src, dst, w, offsets, max_deg: int):
     """Device-side walk-table prep from a (src-sorted, padded) CSR:
     sort each row by dst (two stable sorts == lexsort(dst within src);
     pads src=V stay last) and compute PER-ROW inclusive prefix sums of
-    the weights via one segmented associative scan. Row-local sums stay
-    f32-accurate at any edge count — a global cumsum loses edge-weight
-    resolution once the running total passes 2^24 (unit-weight edges
-    become indistinguishable), which silently skews sampling on
-    10M+-edge graphs."""
+    the weights. Row-local sums stay f32-accurate at any edge count —
+    a global cumsum loses edge-weight resolution once the running
+    total passes 2^24 (unit-weight edges become indistinguishable),
+    which silently skews sampling on 10M+-edge graphs.
+
+    The segmented scan is SHIFT DOUBLING over in-row positions
+    (ceil(log2(max_deg)) slice+where+add passes, like
+    ``ops.segments.seg_reduce_chunked``) — NOT ``lax.associative_scan``,
+    whose multi-million-element padded lowering compiles for tens of
+    minutes on this toolchain (it hung every 250k-node node2vec probe
+    at the e_cap=2^22 cumw compile)."""
+    from muninn_tpu.ops.segments import n_passes_for, seg_positions
+
     o1 = jnp.argsort(dst, stable=True).astype(jnp.int32)
     o2 = jnp.argsort(src[o1], stable=True).astype(jnp.int32)
     order = o1[o2]
-    srcj = src[order]
-    ww = w[order]
-    first = jnp.concatenate(
-        [jnp.ones(1, bool), srcj[1:] != srcj[:-1]]
-    )
-
-    def comb(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av + bv), af | bf
-
-    cumw, _ = jax.lax.associative_scan(comb, (ww, first))
-    return dst[order], cumw
+    # the stable re-sort keeps src groups in their CSR ranges, so
+    # offsets still delimit rows; pads (src=V, w=0) stay last and sum
+    # only each other
+    x = w[order]
+    e_pad = x.shape[0]
+    spos = seg_positions(offsets, e_pad)
+    for j in range(n_passes_for(max_deg)):
+        sh = 1 << j
+        if sh >= e_pad:
+            break
+        prev = jnp.concatenate([jnp.zeros((sh,), x.dtype), x[:-sh]])
+        x = jnp.where(spos >= sh, x + prev, x)
+    return dst[order], x
 
 
 @partial(jax.jit, static_argnames=("num_nodes",))
@@ -388,7 +396,7 @@ def node2vec_train(
             )
 
     offsets = c.offsets
-    dstj, cumw = _row_sorted_cumw(c.s(), c.dst, c.w())
+    dstj, cumw = _row_sorted_cumw(c.s(), c.dst, c.w(), offsets, c.max_deg)
     _stage("cumw", cumw)
 
     degrees = np.asarray(c.degrees())

@@ -49,7 +49,7 @@ print(f"V={V} csr both {time.time()-t0:.1f}s", flush=True)
 
 # ── primitive timings, one dispatch each ──
 t = time.time()
-dstj, cumw = _row_sorted_cumw(c.s(), c.dst, c.w())
+dstj, cumw = _row_sorted_cumw(c.s(), c.dst, c.w(), c.offsets, c.max_deg)
 fetch(cumw)
 print(f"cumw cold {time.time()-t:.1f}s", flush=True)
 
