@@ -413,57 +413,11 @@ def main():
     except Exception:
         pass
 
-    # ── northstar projected two-tier: int8 scan of a 128-d uncentered
-    # PCA projection (1/6 the int8 scan bytes) + exact f32 rescore ──
-    ns_proj = None
-    try:
-        if big is None:
-            raise RuntimeError("northstar data unavailable")
-        from muninn_tpu.ops.pallas_flat import (
-            flat_topk_int8 as _ft8,
-            flat_topk_proj_rescored,
-            proj_basis,
-        )
-        from muninn_tpu.index.flat import pick_rescore_r
-
-        w = proj_basis(big, 128)
-        bigp = big @ w
-        scp = jnp.max(jnp.abs(bigp), axis=1) / 127.0
-        bp8 = jnp.clip(
-            jnp.round(bigp / jnp.maximum(scp[:, None], 1e-30)), -127, 127
-        ).astype(jnp.int8)
-        del bigp
-        # containment-driven r choice on the 512-query slice
-        cand = np.asarray(_ft8(
-            bigq[:512] @ w, bp8, scp, 64, metric="inner_product", tc=2048
-        )[1])
-        r_p, curve_p = pick_rescore_r(
-            ns_true, cand, (16, 24, 32, 48, 64), 0.99
-        )
-        iip = np.asarray(flat_topk_proj_rescored(
-            bigq[:512], big, w, bp8, scp, K, r=r_p, metric="cosine",
-            tc=2048,
-        )[1])
-        rec_p = float(np.mean(
-            [len(set(a) & set(b)) / K for a, b in zip(iip, ns_true)]
-        ))
-
-        def run_proj():
-            return flat_topk_proj_rescored(
-                bigq, big, w, bp8, scp, K, r=r_p, metric="cosine", tc=2048,
-            )[1]
-
-        qps_p, *ranges["northstar_1m_768d_proj_qps"] = sample_rate(
-            run_proj, 8192, inner=3
-        )
-        ns_proj = {
-            "qps": round(qps_p, 1), "recall": round(rec_p, 4),
-            "r": r_p, "proj_dim": 128,
-            "curve": {str(r): round(v, 4) for r, v in curve_p.items()},
-        }
-        del bp8, scp, w
-    except Exception:
-        pass
+    # (The projected two-tier was measured DEAD on this workload —
+    # containment 0.24-0.73 and QPS below the int8 two-tier; see
+    # DEVELOPMENT.md "Projected two-tier: measured dead". The
+    # precision="proj_rescored" mode stays API-available but bench no
+    # longer spends driver minutes re-measuring it.)
 
     # ── north-star IVF engine: balanced-Lloyd build + probe search ──
     # (muninn_tpu/index/ivf.py — the highest-recall/QPS operating
@@ -543,7 +497,6 @@ def main():
                 round(ns_int8_recall, 4) if ns_int8_recall else None
             ),
             "northstar_1m_768d_int8_auto": ns_auto,
-            "northstar_1m_768d_proj": ns_proj,
             "northstar_1m_768d_ivf": ns_ivf,
             "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
             "backend": jax.default_backend(),
