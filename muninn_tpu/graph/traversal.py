@@ -51,39 +51,57 @@ def edge_chunk_for(capacity: int) -> int:
     return EDGE_CHUNK if capacity > EDGE_CHUNK_ABOVE else 0
 
 
+# fixpoint sweeps per XLA execution in the chunked (100M-edge) regime:
+# the TPU worker kills any single execution past ~60 s (measured on
+# pagerank: 20 chunked iterations ~= 82 s at 10M/100M faults the
+# worker, 5-iteration blocks at ~21 s run clean), so big-graph
+# fixpoints run bounded blocks with state carried on device and one
+# host bool fetch per block deciding continuation.
+FIXPOINT_ITERS_PER_DISPATCH = 8
+
+
+@partial(jax.jit, static_argnames=("e_pad", "edge_chunk", "n_passes"))
+def _spos_for(
+    offsets: jax.Array, e_pad: int, edge_chunk: int, n_passes: int
+) -> jax.Array:
+    """Segment positions for the blocked fixpoints, computed ONCE in
+    the wrapper and passed into every block (the searchsorted pass is
+    several iterations' worth of gathers at 100M edges)."""
+    chunked = bool(edge_chunk) and edge_chunk < e_pad
+    return (
+        seg_positions_chunked(offsets, e_pad, edge_chunk, n_passes)
+        if chunked else seg_positions(offsets, e_pad)
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("num_nodes", "max_depth", "n_passes", "edge_chunk"),
+    static_argnames=(
+        "num_nodes", "max_depth", "n_passes", "edge_chunk", "max_iters"
+    ),
 )
-def bfs_pull(
-    roff: jax.Array,        # [V+1] pull-CSR offsets
-    esrc: jax.Array,        # [E_pad] in-edge source endpoints (pads = V)
-    start: jax.Array,       # scalar int32
+def _bfs_block(
+    roff: jax.Array,
+    esrc: jax.Array,
+    spos: jax.Array,        # from _spos_for(roff, ...)
+    depth: jax.Array,       # [V] int32 carried between blocks
+    parent: jax.Array,      # [V] int32 carried between blocks
+    d0: jax.Array,          # scalar int32: first depth this block expands
     num_nodes: int,
     max_depth: int,
-    n_passes: int = 24,     # >= log2(max in-degree); see segments.n_passes_for
-    edge_chunk: int = 0,    # >0: chunked edge passes (100M-edge regime)
-) -> tuple[jax.Array, jax.Array]:
-    """Single-source BFS. Returns (depth int32[V] — INT_INF if
-    unreached, parent int32[V] — -1 for root/unreached).
-
-    Parent choice is the minimum-index active predecessor, which is
-    deterministic (the reference's parent is SQL-iteration-order
-    dependent; determinism here is a feature, not a parity break).
-    """
+    n_passes: int,
+    edge_chunk: int,
+    max_iters: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Up to ``max_iters`` BFS sweeps; returns (depth, parent, d,
+    cont) where cont means the fixpoint is not yet done."""
     e_pad = esrc.shape[0]
     chunked = bool(edge_chunk) and edge_chunk < e_pad
-    spos = (
-        seg_positions_chunked(roff, e_pad, edge_chunk, n_passes)
-        if chunked else seg_positions(roff, e_pad)
-    )
-    depth = jnp.full((num_nodes,), INT_INF, jnp.int32).at[start].set(0)
-    parent = jnp.full((num_nodes,), -1, jnp.int32)
     es = None if chunked else jnp.minimum(esrc, num_nodes - 1)
 
     def cond(state):
         depth, parent, d, changed = state
-        return changed & (d < max_depth)
+        return changed & (d < max_depth) & (d < d0 + max_iters)
 
     def body(state):
         depth, parent, d, _ = state
@@ -108,10 +126,50 @@ def bfs_pull(
         parent = jnp.where(reach, best_pred.astype(jnp.int32), parent)
         return depth, parent, d + 1, jnp.any(reach)
 
-    depth, parent, _, _ = jax.lax.while_loop(
-        cond, body, (depth, parent, jnp.int32(0), jnp.bool_(True))
+    depth, parent, d, changed = jax.lax.while_loop(
+        cond, body, (depth, parent, d0, jnp.bool_(True))
     )
-    return depth, parent
+    return depth, parent, d, changed & (d < max_depth)
+
+
+def bfs_pull(
+    roff: jax.Array,        # [V+1] pull-CSR offsets
+    esrc: jax.Array,        # [E_pad] in-edge source endpoints (pads = V)
+    start: jax.Array,       # scalar int32
+    num_nodes: int,
+    max_depth: int,
+    n_passes: int = 24,     # >= log2(max in-degree); see segments.n_passes_for
+    edge_chunk: int = 0,    # >0: chunked edge passes (100M-edge regime)
+    iters_per_dispatch: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-source BFS. Returns (depth int32[V] — INT_INF if
+    unreached, parent int32[V] — -1 for root/unreached).
+
+    Parent choice is the minimum-index active predecessor, which is
+    deterministic (the reference's parent is SQL-iteration-order
+    dependent; determinism here is a feature, not a parity break).
+
+    In the chunked regime the sweep loop is bounded to
+    ``iters_per_dispatch`` sweeps per XLA execution (default
+    :data:`FIXPOINT_ITERS_PER_DISPATCH`) so a high-diameter 100M-edge
+    graph cannot exceed the worker's ~60 s single-execution limit; one
+    host bool fetch per block decides continuation.
+    """
+    chunked = bool(edge_chunk) and edge_chunk < esrc.shape[0]
+    block = iters_per_dispatch or (
+        FIXPOINT_ITERS_PER_DISPATCH if chunked else max(max_depth, 1)
+    )
+    spos = _spos_for(roff, esrc.shape[0], edge_chunk, n_passes)
+    depth = jnp.full((num_nodes,), INT_INF, jnp.int32).at[start].set(0)
+    parent = jnp.full((num_nodes,), -1, jnp.int32)
+    d = jnp.int32(0)
+    while True:
+        depth, parent, d, cont = _bfs_block(
+            roff, esrc, spos, depth, parent, d, num_nodes, max_depth,
+            n_passes, edge_chunk, block,
+        )
+        if not bool(cont):
+            return depth, parent
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters", "n_passes"))
@@ -230,39 +288,34 @@ def connected_components_pull(
 
 @partial(
     jax.jit,
-    static_argnames=("num_nodes", "n_passes_f", "n_passes_r", "edge_chunk"),
+    static_argnames=(
+        "num_nodes", "n_passes_f", "n_passes_r", "edge_chunk", "max_iters"
+    ),
 )
-def connected_components_2csr(
+def _cc_2csr_block(
     foff: jax.Array,        # [V+1] forward CSR offsets
     fdst: jax.Array,        # [E_pad] out-neighbors (pads = V)
     roff: jax.Array,        # [V+1] reverse CSR offsets
     rdst: jax.Array,        # [E_pad] in-neighbors (pads = V)
+    fspos: jax.Array,       # from _spos_for(foff, ...)
+    rspos: jax.Array,       # from _spos_for(roff, ...)
+    comp: jax.Array,        # [V] int32 labels carried between blocks
     num_nodes: int,
-    n_passes_f: int = 24,
-    n_passes_r: int = 24,
-    edge_chunk: int = 0,
-) -> jax.Array:
-    """:func:`connected_components_pull` over the fwd+rev CSR pair
-    instead of the merged 'both' CSR: each node's undirected
-    neighborhood minimum is ``min(out-segment min, in-segment min)``
-    — identical fixpoint, HALF the resident edge memory (the merged
-    CSR is 2x-capacity and its build allocates 3 more [2E] arrays;
-    at 100M edges that alone crosses the worker's peak-HBM ceiling).
-    ``edge_chunk`` > 0 additionally bounds per-iteration temporaries
-    to O(chunk) via the chunked segment forms."""
-    comp = jnp.arange(num_nodes, dtype=jnp.int32)
+    n_passes_f: int,
+    n_passes_r: int,
+    edge_chunk: int,
+    max_iters: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Up to ``max_iters`` min-label sweeps from ``comp``; returns
+    (comp, changed) where changed means the fixpoint may not be done."""
 
     def nbr_min_fns():
         out = []
-        for off, dst, n_passes in (
-            (foff, fdst, n_passes_f), (roff, rdst, n_passes_r)
+        for off, dst, spos, n_passes in (
+            (foff, fdst, fspos, n_passes_f), (roff, rdst, rspos, n_passes_r)
         ):
             e_pad = dst.shape[0]
             chunked = bool(edge_chunk) and edge_chunk < e_pad
-            spos = (
-                seg_positions_chunked(off, e_pad, edge_chunk, n_passes)
-                if chunked else seg_positions(off, e_pad)
-            )
             if chunked:
                 def fn(comp, off=off, dst=dst, spos=spos, n_passes=n_passes):
                     def vals_fn(cstart):
@@ -290,20 +343,64 @@ def connected_components_2csr(
     fwd_min, rev_min = nbr_min_fns()
 
     def cond(state):
-        comp, changed = state
-        return changed
+        comp, it, changed = state
+        return changed & (it < max_iters)
 
     def body(state):
-        comp, _ = state
+        comp, it, _ = state
         new = jnp.minimum(comp, fwd_min(comp).astype(jnp.int32))
         new = jnp.minimum(new, rev_min(comp).astype(jnp.int32))
         # pointer jumping: follow labels two hops
         new = jnp.minimum(new, new[new])
         new = jnp.minimum(new, new[new])
-        return new, jnp.any(new < comp)
+        return new, it + 1, jnp.any(new < comp)
 
-    comp, _ = jax.lax.while_loop(cond, body, (comp, jnp.bool_(True)))
-    return comp
+    comp, _, changed = jax.lax.while_loop(
+        cond, body, (comp, jnp.int32(0), jnp.bool_(True))
+    )
+    return comp, changed
+
+
+def connected_components_2csr(
+    foff: jax.Array,        # [V+1] forward CSR offsets
+    fdst: jax.Array,        # [E_pad] out-neighbors (pads = V)
+    roff: jax.Array,        # [V+1] reverse CSR offsets
+    rdst: jax.Array,        # [E_pad] in-neighbors (pads = V)
+    num_nodes: int,
+    n_passes_f: int = 24,
+    n_passes_r: int = 24,
+    edge_chunk: int = 0,
+    iters_per_dispatch: int = 0,
+) -> jax.Array:
+    """:func:`connected_components_pull` over the fwd+rev CSR pair
+    instead of the merged 'both' CSR: each node's undirected
+    neighborhood minimum is ``min(out-segment min, in-segment min)``
+    — identical fixpoint, HALF the resident edge memory (the merged
+    CSR is 2x-capacity and its build allocates 3 more [2E] arrays;
+    at 100M edges that alone crosses the worker's peak-HBM ceiling).
+    ``edge_chunk`` > 0 additionally bounds per-iteration temporaries
+    to O(chunk) via the chunked segment forms.
+
+    In the chunked regime sweeps run in blocks of
+    ``iters_per_dispatch`` (default
+    :data:`FIXPOINT_ITERS_PER_DISPATCH`) per XLA execution — the
+    worker's ~60 s single-execution limit kills an unbounded
+    label-propagation loop at 100M edges — with one host bool fetch
+    per block deciding continuation."""
+    chunked = bool(edge_chunk) and edge_chunk < fdst.shape[0]
+    block = iters_per_dispatch or (
+        FIXPOINT_ITERS_PER_DISPATCH if chunked else (1 << 30)
+    )
+    fspos = _spos_for(foff, fdst.shape[0], edge_chunk, n_passes_f)
+    rspos = _spos_for(roff, rdst.shape[0], edge_chunk, n_passes_r)
+    comp = jnp.arange(num_nodes, dtype=jnp.int32)
+    while True:
+        comp, changed = _cc_2csr_block(
+            foff, fdst, roff, rdst, fspos, rspos, comp, num_nodes,
+            n_passes_f, n_passes_r, edge_chunk, block,
+        )
+        if not bool(changed):
+            return comp
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters", "n_passes"))

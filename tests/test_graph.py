@@ -511,21 +511,22 @@ def test_chunked_fixpoints_match_one_shot(rng):
 
     dep0, par0 = trv.bfs_pull(
         cr.offsets, cr.dst, jnp.int32(0), n, n, n_passes=npr)
-    dep1, par1 = trv.bfs_pull(
-        cr.offsets, cr.dst, jnp.int32(0), n, n, n_passes=npr,
-        edge_chunk=ec)
-    np.testing.assert_array_equal(np.asarray(dep0), np.asarray(dep1))
-    np.testing.assert_array_equal(np.asarray(par0), np.asarray(par1))
+    for ipd in (0, 2):  # 2: multiple bounded dispatches (worker limit)
+        dep1, par1 = trv.bfs_pull(
+            cr.offsets, cr.dst, jnp.int32(0), n, n, n_passes=npr,
+            edge_chunk=ec, iters_per_dispatch=ipd)
+        np.testing.assert_array_equal(np.asarray(dep0), np.asarray(dep1))
+        np.testing.assert_array_equal(np.asarray(par0), np.asarray(par1))
 
     cf = g.csr("forward")
     cb = g.csr("both")
     comp_both = np.asarray(trv.connected_components_pull(
         cb.offsets, cb.dst, n, n_passes=n_passes_for(cb.max_deg)))
-    for ec2 in (0, ec):
+    for ec2, ipd in ((0, 0), (ec, 0), (ec, 1)):
         comp2 = np.asarray(trv.connected_components_2csr(
             cf.offsets, cf.dst, cr.offsets, cr.dst, n,
             n_passes_f=n_passes_for(cf.max_deg), n_passes_r=npr,
-            edge_chunk=ec2))
+            edge_chunk=ec2, iters_per_dispatch=ipd))
         np.testing.assert_array_equal(comp_both, comp2)
 
     deg = np.asarray(cf.degrees(), np.float32)
@@ -537,6 +538,13 @@ def test_chunked_fixpoints_match_one_shot(rng):
     # chunked prefix sums accumulate in a different order: f32-noise
     # level differences only (measured max 7e-8 abs on rank ~3e-3)
     np.testing.assert_allclose(pr0, pr1, rtol=1e-4, atol=1e-7)
+    # blocked dispatch (worker ~60 s single-execution limit) runs the
+    # same per-iteration math across 7+7+6-iteration programs; only
+    # cross-program fusion rounding may differ
+    pr2 = np.asarray(pagerank_sorted(
+        cr.offsets, cr.dst, jnp.zeros((1,), jnp.float32),
+        jnp.asarray(deg), n, edge_chunk=ec, iters_per_dispatch=7))
+    np.testing.assert_allclose(pr1, pr2, rtol=1e-6, atol=1e-9)
 
 
 def test_lean_device_graph_unweighted(rng):
