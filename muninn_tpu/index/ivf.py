@@ -362,9 +362,11 @@ class IvfIndex:
         at 1M x 768: recall@10 0.87 -> 0.95+ at nprobe=4 vs one
         C=4 round).
       quant: block storage precision, "bf16" (default) or "int8"
-        (per-row symmetric scales; quarter probe DMA traffic at the
-        bandwidth-bound operating points, ranking error absorbed by
-        the exact f32 rescore).
+        (per-row symmetric scales; halves block HBM vs bf16, ranking
+        error absorbed by the exact f32 rescore). Measured a MEMORY
+        lever only: probe QPS is identical to bf16 at every nprobe —
+        the probe step is DMA-transaction/compute-bound, not
+        byte-bound (DEVELOPMENT.md "IVF engine facts").
     """
 
     def __init__(
