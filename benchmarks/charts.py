@@ -102,11 +102,18 @@ def _ref_traces(metric: str, suffix: str = "") -> list:
 
 
 def load_records(paths) -> list[dict]:
-    """Load JSONL records; one record per (treatment, permutation) —
-    the LATEST (by ts) wins, so re-runs supersede stale points instead
-    of double-plotting on the charts."""
+    """Load JSONL records; one record per (treatment, permutation,
+    backend) — the LATEST (by ts) wins, so re-runs supersede stale
+    points instead of double-plotting on the charts.
+
+    The backend is part of the identity (a cpu recall-curve re-run
+    must not supersede — or pose as — a tpu throughput row of the same
+    permutation), EXCEPT that legacy rows without a backend stamp are
+    dropped entirely once any stamped re-measurement of the same
+    permutation exists."""
     latest: dict = {}
     order: list = []
+    stamped: set = set()
     for p in paths:
         with open(p) as f:
             for line in f:
@@ -114,15 +121,19 @@ def load_records(paths) -> list[dict]:
                 if not line:
                     continue
                 r = json.loads(line)
-                key = (r.get("treatment"),
-                       json.dumps(r.get("permutation"), sort_keys=True))
+                base = (r.get("treatment"),
+                        json.dumps(r.get("permutation"), sort_keys=True))
+                if r.get("backend"):
+                    stamped.add(base)
+                key = (*base, r.get("backend"))
                 prev = latest.get(key)
                 if prev is None:
                     order.append(key)
                     latest[key] = r
                 elif r.get("ts", 0) >= prev.get("ts", 0):
                     latest[key] = r
-    return [latest[k] for k in order]
+    return [latest[k] for k in order
+            if k[2] is not None or k[:2] not in stamped]
 
 
 def _fig(title: str, xtitle: str, ytitle: str, traces: list[dict],
@@ -144,19 +155,36 @@ def _fig(title: str, xtitle: str, ytitle: str, traces: list[dict],
     }
 
 
-def _series(recs, group_keys, x_key, y_key):
-    """Group records by permutation keys -> sorted (x, y) series."""
+def _series(recs, group_keys, x_key, y_key, split_backend=False):
+    """Group records by permutation keys -> sorted (x, y) series.
+
+    split_backend: throughput/time charts are HARDWARE statements —
+    label each series with the recorded jax backend so cpu rows (e.g.
+    recall-curve runs taken host-side) can't pose as tpu numbers. When
+    False (quality/size metrics, backend-independent), duplicate x
+    points across backends collapse to the latest-ts record.
+    """
     groups = defaultdict(list)
     for r in recs:
         perm, met = r["permutation"], r["metrics"]
         if x_key not in perm or y_key not in met:
             continue
         gname = ",".join(f"{k}={perm[k]}" for k in group_keys if k in perm)
-        groups[gname].append((perm[x_key], met[y_key]))
+        if split_backend:
+            be = r.get("backend")
+            if be:
+                gname = f"{gname},backend={be}" if gname else f"backend={be}"
+        groups[gname].append((perm[x_key], r.get("ts", 0), met[y_key]))
     out = {}
     for g, pts in groups.items():
-        pts.sort()
-        out[g] = ([p[0] for p in pts], [p[1] for p in pts])
+        if not split_backend:
+            by_x = {}
+            for x, ts, y in pts:
+                if x not in by_x or ts >= by_x[x][0]:
+                    by_x[x] = (ts, y)
+            pts = [(x, ts, y) for x, (ts, y) in by_x.items()]
+        pts.sort(key=lambda p: (p[0], p[1]))
+        out[g] = ([p[0] for p in pts], [p[2] for p in pts])
     return out
 
 
@@ -210,13 +238,15 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
                 "Recall@10 vs reference published curves (model dims)",
                 "N vectors", "recall@10", model_traces, log_x=True,
             )
-        sq = _series(base, ["engine", "dim", "queries"], "n", "query_qps")
+        sq = _series(base, ["engine", "dim", "queries"], "n", "query_qps",
+                     split_backend=True)
         charts["vss_query_qps"] = _fig(
             "Query throughput vs corpus size", "N vectors", "queries/s",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sq.items()],
             log_x=True, log_y=True,
         )
-        sb = _series(base, ["engine", "dim"], "n", "build_vec_per_s")
+        sb = _series(base, ["engine", "dim"], "n", "build_vec_per_s",
+                     split_backend=True)
         charts["vss_build"] = _fig(
             "Build throughput vs corpus size", "N vectors", "vectors/s",
             [{"name": g, "x": x, "y": y} for g, (x, y) in sb.items()],
@@ -248,17 +278,22 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             for r in sweep:
                 perm = r["permutation"]
                 key = (perm["n"], perm.get("dim", 128),
-                       perm.get("queries", "heldout"))
+                       perm.get("queries", "heldout"),
+                       r.get("backend") or "?")
                 by_n[key].append(
                     (r["metrics"]["recall_at_k"], r["metrics"]["query_qps"],
                      perm["ef"])
                 )
             traces = []
-            for (n, dim, qdist), pts in sorted(by_n.items()):
+            for (n, dim, qdist, be), pts in sorted(by_n.items()):
                 pts.sort()
                 name = f"n={n}" + (f" {dim}-d" if dim != 128 else "")
+                if qdist != "heldout":
+                    name += f" ({qdist})"
+                if be not in ("tpu", "?"):
+                    name += f" [{be}]"
                 traces.append({
-                    "name": name + ("" if qdist == "heldout" else f" ({qdist})"),
+                    "name": name,
                     "x": [p[0] for p in pts], "y": [p[1] for p in pts],
                     "text": [f"ef={p[2]}" for p in pts],
                 })
@@ -272,15 +307,18 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             by_n = defaultdict(list)
             for r in psweep:
                 perm = r["permutation"]
-                by_n[perm["n"]].append(
+                by_n[(perm["n"], r.get("backend") or "?")].append(
                     (r["metrics"]["recall_at_k"], r["metrics"]["query_qps"],
                      perm["nprobe"])
                 )
             traces = []
-            for n, pts in sorted(by_n.items()):
+            for (n, be), pts in sorted(by_n.items()):
                 pts.sort()
+                name = f"n={n}"
+                if be not in ("tpu", "?"):
+                    name += f" [{be}]"
                 traces.append({
-                    "name": f"n={n}",
+                    "name": name,
                     "x": [p[0] for p in pts], "y": [p[1] for p in pts],
                     "text": [f"nprobe={p[2]}" for p in pts],
                 })
@@ -297,7 +335,8 @@ def build_charts(recs: list[dict]) -> dict[str, dict]:
             "M", "recall@10",
             [{"name": f"efC {g}", "x": x, "y": y} for g, (x, y) in sr.items()],
         )
-        sb = _series(vp, ["ef_construction"], "m", "build_vec_per_s")
+        sb = _series(vp, ["ef_construction"], "m", "build_vec_per_s",
+                     split_backend=True)
         charts["vss_params_build"] = _fig(
             "HNSW build rate vs M (ef_construction sweep)",
             "M", "vectors/s",
