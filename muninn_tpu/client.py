@@ -101,7 +101,15 @@ class EngineClient:
             )
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                    return json.loads(r.read())
+                    payload = r.read()
+                try:
+                    return json.loads(payload)
+                except ValueError:
+                    # transport-corrupted 2xx (broken proxy/middlebox):
+                    # typed, and retryable only on idempotent paths —
+                    # the request may already have been applied
+                    last_exc = MuninnConnectionError(
+                        "undecodable response body")
             except urllib.error.HTTPError as e:
                 try:
                     msg = json.loads(e.read()).get("error", "")

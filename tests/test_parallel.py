@@ -394,3 +394,22 @@ def test_sharded_flat_rejects_intra_batch_duplicates(rng):
     idx = ShardedFlatIndex(8, "l2")
     with pytest.raises(ValueError):
         idx.insert([5, 5], rng.standard_normal((2, 8)).astype(np.float32))
+
+
+def test_parallel_soak_representative():
+    """Bounded representative of tools/soak/parallel.py: every surface
+    once, randomized shapes, against its host oracle."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "parallel_soak",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools" / "soak" / "parallel.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    r = np.random.default_rng(23)
+    for fn in mod.SURFACES:
+        nsh = [2, 4, 8][int(r.integers(0, 3))]
+        fn(r, make_mesh(nsh), nsh)

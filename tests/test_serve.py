@@ -393,3 +393,60 @@ def test_concurrent_mixed_ops_consistency():
             assert i not in np.ravel(np.asarray(ids)).tolist()
     finally:
         srv.stop()
+
+
+def test_client_garbled_response_is_typed(monkeypatch):
+    """A transport-corrupted 2xx body (broken proxy/middlebox) must
+    surface as a typed MuninnConnectionError, not a raw JSONDecodeError
+    — and must not retry mutations (the request may have been applied).
+    Found by tools/soak/client_faults.py."""
+    import io
+    import urllib.request as ur
+
+    from muninn_tpu.client import EngineClient, MuninnConnectionError
+
+    class Garbled(io.BytesIO):
+        def __init__(self):
+            super().__init__(b"{definitely: not json")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            pass
+
+    c = EngineClient("http://127.0.0.1:1", timeout=0.05,
+                     retries=2, backoff=0.01)
+    calls = {"n": 0}
+
+    def garbling(req, timeout=None):
+        calls["n"] += 1
+        return Garbled()
+
+    monkeypatch.setattr(ur, "urlopen", garbling)
+    with pytest.raises(MuninnConnectionError, match="undecodable"):
+        c._request("/index/insert", {"name": "x"})
+    assert calls["n"] == 1  # mutation: no retry on a corrupt response
+    calls["n"] = 0
+    with pytest.raises(MuninnConnectionError, match="undecodable"):
+        c._request("/index/search", {"name": "x"})
+    assert calls["n"] == 3  # idempotent read retried
+
+
+def test_client_fault_injection_representative():
+    """Bounded representative of tools/soak/client_faults.py: one trial
+    through the fault proxy (injected 500s, hangups, garbled bodies,
+    delays) — typed errors only, no mutation replay, state == forwarded
+    mutations."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "client_faults",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools" / "soak" / "client_faults.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    errs = mod.one_trial(0)
+    assert errs == [], errs
