@@ -48,6 +48,10 @@ class FaultProxy:
         self.rng_lock = threading.Lock()
         self.log_lock = threading.Lock()
         self.forwarded: dict[bytes, int] = {}   # request body -> count
+        # upstream completions in ARRIVAL order (delayed forwards can
+        # overtake each other, so the state oracle must replay what the
+        # server actually saw, not what the proxy intended to send)
+        self.completed: list[tuple[str, dict, int, dict]] = []
         proxy = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -81,12 +85,15 @@ class FaultProxy:
                     self.end_headers()
                     self.wfile.write(payload)
                     return
-                if u < 0.32:                      # delay past client timeout
-                    time.sleep(1.2)
-                # forward to the real server
+                delay = u < 0.32                  # delay past client timeout
+                # log BEFORE the delay: a delayed request is already
+                # committed to reach the server; the end-of-trial state
+                # check must count it (it raced the log otherwise)
                 key = self.path.encode() + b"\x00" + body
                 with proxy.log_lock:
                     proxy.forwarded[key] = proxy.forwarded.get(key, 0) + 1
+                if delay:
+                    time.sleep(1.2)
                 req = urllib.request.Request(
                     proxy.upstream + self.path, data=body or None,
                     headers={"Content-Type": "application/json"})
@@ -95,6 +102,14 @@ class FaultProxy:
                         payload, status = r.read(), r.status
                 except urllib.error.HTTPError as e:
                     payload, status = e.read(), e.code
+                try:
+                    resp = json.loads(payload)
+                except ValueError:
+                    resp = {}
+                with proxy.log_lock:
+                    proxy.completed.append(
+                        (self.path, json.loads(body) if body else {},
+                         status, resp))
                 try:
                     self.send_response(status)
                     self.send_header("Content-Type", "application/json")
@@ -145,6 +160,8 @@ def one_trial(trial: int) -> list[str]:
         direct.create_index("v", dim=dim, metric="l2", kind="flat")
         vecs: dict[int, np.ndarray] = {}
         next_id = 0
+        tried_delete: set[int] = set()  # one delete issue per id: any
+        # repeated body reaching the server then MUST be a client retry
         idx = flaky.index("v")
         for step in range(30):
             op = rng.random()
@@ -158,9 +175,11 @@ def one_trial(trial: int) -> list[str]:
                         vecs[i] = v
                     idx.insert(ids, vs)
                 elif op < 0.60:                     # delete a known-applied id
-                    live = _applied_ids(proxy)
+                    live = _applied_ids(proxy) - tried_delete
                     if live:
-                        idx.delete([sorted(live)[int(rng.integers(len(live)))]])
+                        pick = sorted(live)[int(rng.integers(len(live)))]
+                        tried_delete.add(pick)
+                        idx.delete([pick])
                 elif op < 0.9:                      # search (idempotent)
                     if vecs:
                         q = list(vecs.values())[0]
@@ -173,6 +192,7 @@ def one_trial(trial: int) -> list[str]:
             except Exception as e:                  # noqa: BLE001
                 errs.append(
                     f"step={step} UNTYPED {type(e).__name__}: {e}")
+        time.sleep(1.5)   # let in-flight delayed forwards reach the server
         # contract 2: no mutation body forwarded twice
         for key, count in proxy.mutation_counts().items():
             if count > 1:
@@ -198,7 +218,9 @@ def one_trial(trial: int) -> list[str]:
             hit = ids_[0][0] == i and dists_[0][0] < 1e-6
             if (i in applied) != hit:
                 errs.append(f"state mismatch id={i}: applied="
-                            f"{i in applied} hit={hit}")
+                            f"{i in applied} hit={hit} "
+                            f"inserts={proxy.applied('/index/insert')} "
+                            f"deletes={proxy.applied('/index/delete')}")
     finally:
         proxy.stop()
         srv.stop()
@@ -206,11 +228,20 @@ def one_trial(trial: int) -> list[str]:
 
 
 def _applied_ids(proxy: FaultProxy) -> set[int]:
+    """Replay upstream completions in the order the server saw them
+    (a delayed insert can land AFTER a pass-through delete of the same
+    id; forward-intent order would call that id deleted while the
+    server correctly still has it)."""
+    with proxy.log_lock:
+        seq = list(proxy.completed)
     ids: set[int] = set()
-    for body in proxy.applied("/index/insert"):
-        ids.update(body.get("ids", []))
-    for body in proxy.applied("/index/delete"):
-        ids.difference_update(body.get("ids", []))
+    for path, body, status, _resp in seq:
+        if status != 200:
+            continue
+        if path == "/index/insert":
+            ids.update(body.get("ids", []))
+        elif path == "/index/delete":
+            ids.difference_update(body.get("ids", []))
     return ids
 
 
