@@ -15,6 +15,7 @@ ef_construction=200, cosine):
 - HNSW path: fused single-dispatch query (Pallas routing + bf16 beam +
   exact rescore) at the ef=24 operating point
 - incremental churn: steady-state wave insert + delete/repair rates
+  (HNSW and IVF)
 - north-star workload (BASELINE.json): 1M x 768 cosine exact search
 
 Baselines (darwin-arm64 CPU, BASELINE.md): query 0.41 ms/query at 100k
@@ -23,16 +24,28 @@ Baselines (darwin-arm64 CPU, BASELINE.md): query 0.41 ms/query at 100k
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "extras": {...}}
 
+Delivery guarantee: a JSON record is ALWAYS printed, exactly once —
+on success, on probe failure, on the internal deadline
+(``MUNINN_BENCH_DEADLINE_S``, default 900 s), or on SIGTERM/SIGINT
+from an external ``timeout``. Metrics accumulate into a shared record
+as each section completes, so an expiry mid-run still reports every
+number measured up to that point plus probe status, committed floors,
+and the git sha. (Round 3 lost its entire perf story because a probe
+retry loop outlived the driver budget and nothing printed —
+VERDICT.md Weak #1. This file is structured so that can't recur.)
+
 Statistical discipline: every throughput metric is the MEDIAN of
 ``REPEATS`` independently timed samples (each itself a multi-dispatch
 loop), with [min, max] ranges in ``extras.ranges`` — the TPU tunnel
 shows 2-3x run-to-run variance, so single-shot numbers can't
 distinguish a regression from noise. Medians below the committed
-``FLOORS`` (conservative: ~half the worst round-1/2 measurement) are
-reported in ``extras.floor_violations`` and warned to stderr.
+``FLOORS`` (conservative) are reported in ``extras.floor_violations``
+and warned to stderr.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -58,6 +71,76 @@ FLOORS = {
     "northstar_1m_768d_exact_qps": 18_000.0,
     "northstar_1m_768d_ivf_p4_qps": 50_000.0,
 }
+
+# ── always-print delivery machinery ──────────────────────────────────
+# Every measurement section writes its results into EXTRAS/MEDIANS the
+# moment it finishes; _finalize() snapshots whatever exists into the
+# single output line. Deadline/TERM/INT all route through _finalize.
+
+EXTRAS: dict = {
+    "exact_recall": None,
+    "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
+    "repeats": REPEATS,
+    "status": "startup",
+    "floors": FLOORS,
+}
+MEDIANS: dict = {}
+RANGES: dict = {}
+_PRINTED = False
+
+
+def _finalize(exit_code=None):
+    """Print the one JSON record from whatever has been measured so
+    far. Idempotent: the first caller wins (alarm vs normal path)."""
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    exact_qps = MEDIANS.get("exact_qps") or 0.0
+    violations = [
+        name for name, floor in FLOORS.items()
+        if MEDIANS.get(name) and MEDIANS[name] < floor
+    ]
+    if violations:
+        EXTRAS["floor_violations"] = violations
+        print(
+            "WARNING: bench medians below committed floors: "
+            + ", ".join(
+                f"{v}={MEDIANS[v]:.0f}<{FLOORS[v]:.0f}" for v in violations
+            ),
+            file=sys.stderr,
+        )
+    EXTRAS["ranges"] = {
+        k: [round(lo, 1), round(hi, 1)] for k, (lo, hi) in RANGES.items()
+    }
+    EXTRAS["version"] = _version_info()
+    record = {
+        "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine_recall1.0",
+        "value": round(exact_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(exact_qps / BASELINE_QPS, 2),
+        "extras": EXTRAS,
+    }
+    print(json.dumps(record))
+    sys.stdout.flush()
+    if exit_code is not None:
+        os._exit(exit_code)
+
+
+def _on_deadline(signum, frame):
+    EXTRAS["status"] = f"deadline_expired(signal={signum})"
+    _finalize(exit_code=3)
+
+
+def _install_deadline():
+    """Hard overall deadline + graceful TERM/INT: the record prints no
+    matter how the process ends (short of SIGKILL)."""
+    deadline = int(os.environ.get("MUNINN_BENCH_DEADLINE_S", "900"))
+    signal.signal(signal.SIGALRM, _on_deadline)
+    signal.signal(signal.SIGTERM, _on_deadline)
+    signal.signal(signal.SIGINT, _on_deadline)
+    signal.alarm(deadline)
+    return deadline
 
 
 def _drain(r):
@@ -100,7 +183,7 @@ def make_data(rng, n, dim, n_clusters=1000):
     return x.astype(np.float32)
 
 
-def _probe_backend(timeout_s: int = 540) -> bool:
+def _probe_backend(timeout_s: int) -> bool:
     """The axon TPU tunnel hangs jax init indefinitely when its worker
     is down (observed: multi-hour outage, round 3). Probe it in a
     killable subprocess so bench fails FAST with a diagnostic line
@@ -109,7 +192,8 @@ def _probe_backend(timeout_s: int = 540) -> bool:
     Timeout sizing: a HEALTHY tunnel takes 60-90 s of session init per
     fresh process (measured; independent of the compile cache), with
     multi-minute outliers — 300 s produced false "tunnel down" verdicts
-    on a working device (round-3 drain sessions)."""
+    on a working device (round-3 drain sessions). The caller sizes
+    timeout_s to fit inside the overall deadline."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp; "
@@ -119,7 +203,10 @@ def _probe_backend(timeout_s: int = 540) -> bool:
             [sys.executable, "-c", code],
             timeout=timeout_s, capture_output=True,
         )
-        return r.returncode == 0 and b"64.0" in r.stdout
+        # ones(8,8) @ ones(8,8) sums to 8*64 = 512.0. (Round 3 shipped
+        # this check expecting "64.0", which made the probe report a
+        # HEALTHY tunnel as down — never hand-compute the oracle.)
+        return r.returncode == 0 and b"512.0" in r.stdout
     except subprocess.TimeoutExpired:
         return False
 
@@ -144,35 +231,44 @@ def _version_info() -> dict:
 
 
 def main():
-    # the tunnel flaps (multi-hour outage observed in round 3); this is
-    # the round's one shot at hardware numbers, so retry the probe a
-    # few times before giving up (~20 min worst case: 3 x 300 s probe
-    # + 2 x 120 s sleeps)
-    import os
+    deadline = _install_deadline()
+    t_start = time.time()
 
-    tries = int(os.environ.get("MUNINN_BENCH_PROBE_TRIES", "3"))
+    def remaining():
+        return deadline - (time.time() - t_start)
+
+    # The tunnel flaps (multi-hour outage observed in round 3); retry
+    # the probe once, but size both attempts to FIT INSIDE the overall
+    # deadline so the final record always prints (round 3's 3x540s+
+    # 2x120s loop could not).
+    tries = int(os.environ.get("MUNINN_BENCH_PROBE_TRIES", "2"))
+    sleep_s = 60
     # a drain-queue runner that has ALREADY verified the device this
     # minute can skip the probe's extra 60-90 s session init (and its
     # false-negative risk) entirely
     ok = bool(os.environ.get("MUNINN_BENCH_SKIP_PROBE"))
-    for i in range(0 if ok else tries):
-        ok = _probe_backend()
-        if ok:
-            break
-        if i + 1 < tries:
-            print(f"backend probe {i + 1}/{tries} failed; retrying "
-                  "in 120 s", file=sys.stderr)
-            time.sleep(120)
     if not ok:
-        print(json.dumps({
-            "metric": "backend_unreachable",
-            "value": 0.0,
-            "unit": "error",
-            "vs_baseline": 0.0,
-            "extras": {"error": "TPU backend probe timed out/failed — "
-                                "tunnel down; no engine numbers this run"},
-        }))
-        sys.exit(1)
+        # leave >=180 s of deadline for the post-probe diagnostics;
+        # per-probe cap 540 s (healthy tunnels can need 60-90 s+)
+        per_probe = min(540, max(120, int((remaining() - 180 - sleep_s * (tries - 1)) / max(tries, 1))))
+        for i in range(tries):
+            EXTRAS["status"] = f"probing({i + 1}/{tries},timeout={per_probe}s)"
+            ok = _probe_backend(per_probe)
+            if ok:
+                break
+            if i + 1 < tries and remaining() > per_probe + sleep_s + 120:
+                print(f"backend probe {i + 1}/{tries} failed; retrying "
+                      f"in {sleep_s} s", file=sys.stderr)
+                time.sleep(sleep_s)
+            else:
+                break
+    if not ok:
+        EXTRAS["status"] = "backend_unreachable"
+        EXTRAS["error"] = ("TPU backend probe timed out/failed — tunnel "
+                           "down; no engine numbers this run. Floors "
+                           "claimed by this sha are in extras.floors.")
+        _finalize(exit_code=1)
+        return
     import jax
 
     # persistent compilation cache: honest steady-state numbers
@@ -182,6 +278,9 @@ def main():
 
     from muninn_tpu.ops.pallas_flat import flat_topk
     from muninn_tpu.index.hnsw import HnswIndex
+
+    EXTRAS["backend"] = jax.default_backend()
+    EXTRAS["status"] = "measuring"
 
     def gen(key, n, dim, n_clusters):
         kc, ka, kn, kq, kp = jax.random.split(key, 5)
@@ -202,8 +301,6 @@ def main():
     corpus = corpus_all[:N]
     corpus.block_until_ready()
 
-    ranges: dict = {}
-
     # ── exact path: headline is the TRUE-exact f32 ranking ──
     ii = flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
     true_ids = np.asarray(ii)  # exact-f32 ground truth
@@ -211,8 +308,9 @@ def main():
     def run_exact():
         return flat_topk(queries, corpus, K, metric="cosine", precision="highest")[1]
 
-    exact_qps, *ranges_exact = sample_rate(run_exact, N_QUERIES, inner=4)
-    ranges["exact_qps"] = ranges_exact
+    exact_qps, *RANGES["exact_qps"] = sample_rate(run_exact, N_QUERIES, inner=4)
+    MEDIANS["exact_qps"] = exact_qps
+    EXTRAS["exact_recall"] = 1.0
 
     # fast mode: one bf16 MXU pass; report its measured recall honestly
     ii = flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
@@ -224,11 +322,13 @@ def main():
     def run_fast():
         return flat_topk(queries, corpus, K, metric="cosine", precision="default")[1]
 
-    fast_qps, *ranges["fast_mode_qps"] = sample_rate(run_fast, N_QUERIES, inner=4)
+    fast_qps, *RANGES["fast_mode_qps"] = sample_rate(run_fast, N_QUERIES, inner=4)
+    MEDIANS["fast_mode_qps"] = fast_qps
+    EXTRAS["fast_mode_qps"] = round(fast_qps, 1)
+    EXTRAS["fast_mode_recall_vs_exact"] = round(fast_recall, 5)
 
     # ── HNSW path (reference parameters; device-resident corpus) ──
-    build_rate = build_cold_rate = hnsw_qps = hnsw_recall = 0.0
-    ins_rate = del_rate = churn_recall = None
+    idx = None
     try:
         # capacity sized to N + churn + slack (NOT the next pow2):
         # the beam loop is gather-bound and measurably slows with
@@ -253,8 +353,10 @@ def main():
         idx, build_cold_s = _build_index()
         del idx
         idx, build_s = _build_index()
-        build_cold_rate = N / build_cold_s
-        build_rate = N / build_s
+        EXTRAS["hnsw_build_cold_vec_per_s"] = round(N / build_cold_s, 1)
+        EXTRAS["hnsw_build_vec_per_s"] = round(N / build_s, 1)
+        EXTRAS["hnsw_build_vs_baseline"] = round(N / build_s / BASELINE_BUILD, 2)
+        MEDIANS["hnsw_build_vec_per_s"] = N / build_s
 
         # full 8192-query batches per timed call: the ~30 ms tunnel
         # round-trip per dispatch amortizes over the whole batch (the
@@ -268,18 +370,25 @@ def main():
             # tunnel artifacts, not engine cost)
             return idx._search_topk_chunked(jq, K, 24)[1]
 
-        hnsw_qps, *ranges["hnsw_query_qps"] = sample_rate(
+        hnsw_qps, *RANGES["hnsw_query_qps"] = sample_rate(
             run_hnsw, N_QUERIES, inner=3
         )
+        MEDIANS["hnsw_query_qps"] = hnsw_qps
+        EXTRAS["hnsw_query_qps"] = round(hnsw_qps, 1)
+        EXTRAS["hnsw_query_vs_baseline"] = round(hnsw_qps / BASELINE_QPS, 2)
         hits = sum(
             len(set(a[a >= 0]) & set(b[b >= 0])) for a, b in zip(ids, true_ids)
         )
-        hnsw_recall = hits / (N_QUERIES * K)
-    except Exception:
-        pass  # headline (exact path) still prints
+        EXTRAS["hnsw_recall_at_10"] = round(hits / (N_QUERIES * K), 4)
+        EXTRAS["hnsw_ef_search"] = 24
+        EXTRAS["baseline_recall_at_10"] = BASELINE_RECALL
+    except Exception as e:
+        EXTRAS["hnsw_error"] = repr(e)[:200]
 
     # ── incremental churn: steady-state wave insert + delete ──
     try:
+        if idx is None:
+            raise RuntimeError("hnsw index unavailable")
         wave_n = 2048
         idx.wave_size = wave_n
         # warm wave (compiles the fused insert at this capacity bucket)
@@ -291,7 +400,7 @@ def main():
             idx.insert(np.arange(s, s + wave_n), corpus_all[s : s + wave_n])
             n_ins += wave_n
         _ = np.asarray(idx.neighbors0[0, 0])  # drain async dispatches
-        ins_rate = n_ins / (time.time() - t0)
+        EXTRAS["incr_insert_vec_per_s"] = round(n_ins / (time.time() - t0), 1)
 
         idx.delete(np.arange(0, 1024))  # warm delete/repair
         t0 = time.time()
@@ -300,7 +409,7 @@ def main():
             idx.delete(np.arange(w * 1024, (w + 1) * 1024))
             n_del += 1024
         _ = np.asarray(idx.neighbors0[0, 0])
-        del_rate = n_del / (time.time() - t0)
+        EXTRAS["delete_repair_per_s"] = round(n_del / (time.time() - t0), 1)
 
         # recall after churn vs exact ground truth on the live set
         live_mask = np.ones(N + CHURN, bool)
@@ -315,18 +424,16 @@ def main():
         hits = sum(
             len(set(a[a >= 0]) & set(b)) for a, b in zip(ids, churn_true)
         )
-        churn_recall = hits / (2048 * K)
-    except Exception:
-        pass
+        EXTRAS["churn_recall_at_10"] = round(hits / (2048 * K), 4)
+    except Exception as e:
+        EXTRAS["churn_error"] = repr(e)[:200]
+    del idx
 
     # ── north-star workload: 1M x 768 cosine (BASELINE.json) ──
     # data gen + exact ground truth are their own stage: the int8 and
     # IVF sections below both consume (big, bigq, ns_true), and an
     # early failure in one section must not silently starve the other
     # (the IVF floor check only runs when its median exists)
-    northstar_qps = None
-    ns_int8_qps = ns_int8_recall = ns_bf16_recall = None
-    ns_auto = None
     big = bigq = ns_true = None
     try:
         del corpus_all, corpus
@@ -353,9 +460,11 @@ def main():
             return flat_topk(bigq, big, K, metric="cosine",
                              precision="bfloat16", tc=2048)[1]
 
-        northstar_qps, *ranges["northstar_1m_768d_exact_qps"] = sample_rate(
+        ns_qps, *RANGES["northstar_1m_768d_exact_qps"] = sample_rate(
             run_ns, 8192, inner=3
         )
+        MEDIANS["northstar_1m_768d_exact_qps"] = ns_qps
+        EXTRAS["northstar_1m_768d_exact_qps"] = round(ns_qps, 1)
 
         # int8-retrieve + exact-f32-rescore tier (r=16): near-exact
         # recall at the int8 stream rate (ops/pallas_flat.py)
@@ -375,23 +484,24 @@ def main():
                 bigq, big, bi8, sc8, K, r=16, metric="cosine", tc=2048
             )[1]
 
-        ns_int8_qps, *ranges["northstar_1m_768d_int8_qps"] = sample_rate(
+        ns_int8_qps, *RANGES["northstar_1m_768d_int8_qps"] = sample_rate(
             run_ns8, 8192, inner=3
         )
+        EXTRAS["northstar_1m_768d_int8_qps"] = round(ns_int8_qps, 1)
         # recall of both modes vs the exact-f32 ranking (ns_true)
         ii8 = np.asarray(flat_topk_int8_rescored(
             bigq[:512], big, bi8, sc8, K, r=16, metric="cosine", tc=2048
         )[1])
-        ns_int8_recall = float(np.mean(
+        EXTRAS["northstar_1m_768d_int8_recall"] = round(float(np.mean(
             [len(set(a) & set(b)) / K for a, b in zip(ii8, ns_true)]
-        ))
+        )), 4)
         ii16 = np.asarray(flat_topk(
             bigq[:512], big, K, metric="cosine", precision="bfloat16",
             tc=2048,
         )[1])
-        ns_bf16_recall = float(np.mean(
+        EXTRAS["northstar_1m_768d_bf16_recall"] = round(float(np.mean(
             [len(set(a) & set(b)) / K for a, b in zip(ii16, ns_true)]
-        ))
+        )), 4)
 
         # per-corpus r autotune: ONE r_max=32 probe yields the whole
         # recall-vs-r curve (prefix property); time the tuned point
@@ -411,15 +521,16 @@ def main():
                     tc=2048,
                 )[1]
 
-            qps_a, *ranges["northstar_1m_768d_int8_auto_qps"] = sample_rate(
+            qps_a, *RANGES["northstar_1m_768d_int8_auto_qps"] = sample_rate(
                 run_ns8_auto, 8192, inner=3
             )
             ns_auto["qps"] = round(qps_a, 1)
         else:
             ns_auto["qps"] = round(ns_int8_qps, 1)
+        EXTRAS["northstar_1m_768d_int8_auto"] = ns_auto
         del bi8, sc8
-    except Exception:
-        pass
+    except Exception as e:
+        EXTRAS["northstar_error"] = repr(e)[:200]
 
     # (The projected two-tier was measured DEAD on this workload —
     # containment 0.24-0.73 and QPS below the int8 two-tier; see
@@ -430,7 +541,6 @@ def main():
     # ── north-star IVF engine: balanced-Lloyd build + probe search ──
     # (muninn_tpu/index/ivf.py — the highest-recall/QPS operating
     # points on this workload; nprobe is the ef_search analogue)
-    ns_ivf = None
     try:
         if big is None:
             raise RuntimeError("northstar data unavailable")
@@ -445,6 +555,7 @@ def main():
         jbq = jnp.asarray(bigq, jnp.float32)
         ns_ivf = {"build_s": round(ivf_build_s, 1), "nlist": ivf.nlist,
                   "points": {}}
+        EXTRAS["northstar_1m_768d_ivf"] = ns_ivf
         for p in (2, 4):
             r = min(max(32, K), p * ivf.cluster_size)
             ids, _d = ivf.search(np.asarray(bigq[:512]), k=K, nprobe=p)
@@ -459,87 +570,51 @@ def main():
                     K, pp, rr, ivf._fused_ok(), False,
                 )[1]
 
-            qps, *ranges[f"northstar_1m_768d_ivf_p{p}_qps"] = sample_rate(
+            qps, *RANGES[f"northstar_1m_768d_ivf_p{p}_qps"] = sample_rate(
                 run_ivf, 8192, inner=3
             )
+            if p == 4:
+                MEDIANS["northstar_1m_768d_ivf_p4_qps"] = qps
             ns_ivf["points"][f"nprobe{p}"] = {
                 "qps": round(qps, 1), "recall": round(rec, 4),
             }
-        del ivf, jbq
-        del big, bigq
-    except Exception:
-        pass
+        del jbq
 
-    result = {
-        "metric": f"exact_knn_qps_{N//1000}k_{DIM}d_cosine_recall1.0",
-        "value": round(exact_qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": round(exact_qps / BASELINE_QPS, 2),
-        "extras": {
-            "exact_recall": 1.0,
-            "fast_mode_qps": round(fast_qps, 1),
-            "fast_mode_recall_vs_exact": round(fast_recall, 5),
-            "hnsw_build_vec_per_s": round(build_rate, 1),
-            "hnsw_build_vs_baseline": round(build_rate / BASELINE_BUILD, 2),
-            "hnsw_build_cold_vec_per_s": round(build_cold_rate, 1),
-            "hnsw_query_qps": round(hnsw_qps, 1),
-            "hnsw_query_vs_baseline": round(hnsw_qps / BASELINE_QPS, 2),
-            "hnsw_recall_at_10": round(hnsw_recall, 4),
-            "hnsw_ef_search": 24,
-            "baseline_recall_at_10": BASELINE_RECALL,
-            "incr_insert_vec_per_s": round(ins_rate, 1) if ins_rate else None,
-            "delete_repair_per_s": round(del_rate, 1) if del_rate else None,
-            "churn_recall_at_10": (
-                round(churn_recall, 4) if churn_recall is not None else None
-            ),
-            "northstar_1m_768d_exact_qps": (
-                round(northstar_qps, 1) if northstar_qps else None
-            ),
-            "northstar_1m_768d_bf16_recall": (
-                round(ns_bf16_recall, 4) if ns_bf16_recall else None
-            ),
-            "northstar_1m_768d_int8_qps": (
-                round(ns_int8_qps, 1) if ns_int8_qps else None
-            ),
-            "northstar_1m_768d_int8_recall": (
-                round(ns_int8_recall, 4) if ns_int8_recall else None
-            ),
-            "northstar_1m_768d_int8_auto": ns_auto,
-            "northstar_1m_768d_ivf": ns_ivf,
-            "n": N, "dim": DIM, "k": K, "n_queries": N_QUERIES,
-            "backend": jax.default_backend(),
-            "repeats": REPEATS,
-            "version": _version_info(),
-            "ranges": {
-                k: [round(lo, 1), round(hi, 1)] for k, (lo, hi) in ranges.items()
-            },
-        },
-    }
-    medians = {
-        "exact_qps": exact_qps,
-        "fast_mode_qps": fast_qps,
-        "hnsw_query_qps": hnsw_qps,
-        "hnsw_build_vec_per_s": build_rate,
-        "northstar_1m_768d_exact_qps": northstar_qps,
-        "northstar_1m_768d_ivf_p4_qps": (
-            ns_ivf["points"]["nprobe4"]["qps"]
-            if ns_ivf and "nprobe4" in ns_ivf.get("points", {}) else None
-        ),
-    }
-    violations = [
-        name for name, floor in FLOORS.items()
-        if medians.get(name) and medians[name] < floor
-    ]
-    if violations:
-        result["extras"]["floor_violations"] = violations
-        print(
-            f"WARNING: bench medians below committed floors: "
-            + ", ".join(
-                f"{v}={medians[v]:.0f}<{FLOORS[v]:.0f}" for v in violations
-            ),
-            file=sys.stderr,
+        # IVF churn: steady-state pending-region insert rate, the QPS
+        # penalty while pending vectors await clustering, and one
+        # rebuild (reclustering) cost — the auto-rebuild trigger at
+        # ivf.py could cliff a serving workload (VERDICT r3 Weak #3)
+        churn_ids = np.arange(1_000_000, 1_000_000 + 2048)
+        ivf.insert(churn_ids[:1024], big[:1024])  # warm incremental path
+        _ = np.asarray(ivf.member_slots[0, 0])
+        t0 = time.time()
+        ivf.insert(churn_ids[1024:], big[1024:2048])
+        _ = np.asarray(ivf.member_slots[0, 0])  # drain device updates
+        EXTRAS["ivf_incr_insert_vec_per_s"] = round(
+            1024 / (time.time() - t0), 1
         )
-    print(json.dumps(result))
+        EXTRAS["ivf_pending_after_churn"] = ivf._pending_count
+        # QPS with pending region active vs the clean medians above
+        def run_ivf_pend():
+            return ivf.search_device(
+                jnp.asarray(bigq[:2048], jnp.float32), k=K, nprobe=4
+            )[1]
+        pend_qps, *RANGES["ivf_pending_qps"] = sample_rate(
+            run_ivf_pend, 2048, inner=3
+        )
+        EXTRAS["ivf_pending_qps"] = round(pend_qps, 1)
+        t0 = time.time()
+        ivf.rebuild()
+        _ = np.asarray(ivf.member_slots[0, 0])
+        EXTRAS["ivf_rebuild_s"] = round(time.time() - t0, 1)
+        del ivf
+        del big, bigq
+    except Exception as e:
+        EXTRAS["ivf_error"] = repr(e)[:200]
+
+    EXTRAS["status"] = "complete"
+    EXTRAS["wall_s"] = round(time.time() - t_start, 1)
+    _finalize()
 
 
 if __name__ == "__main__":
