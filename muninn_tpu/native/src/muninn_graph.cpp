@@ -14,8 +14,11 @@
 // All entry points are a flat C ABI consumed through ctypes.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <queue>
@@ -236,49 +239,92 @@ void muninn_graph_sssp(const int32_t* src, const int32_t* dst, const float* w,
 // source-exclusion. node_cb[V] and (optional) edge_cb[E] accumulate
 // RAW sums over the given sources; the Python wrapper applies
 // sampling scale / undirected halving / normalization.
+}  // extern "C" — the lane-templated helpers below need C++ linkage
+
 namespace {
 
-// Lane-batched exact unweighted Brandes: LANES sources advance one
+// Lane-batched exact unweighted Brandes: L sources advance one
 // level-synchronous BFS together, so each edge is visited once per
-// LEVEL per batch (with the per-lane work a fixed-width vectorizable
-// inner loop) instead of once per SOURCE — the random-access cost of
-// the per-source sweeps amortizes across the batch. Path counts are
-// integers held in double (exact), so results match the scalar sweep
-// up to double-accumulation order in delta.
-constexpr int kBrLanes = 8;
-
-struct BrandesScratch {
-    std::vector<int32_t> dist;   // [V * LANES], -1 = unreached
-    std::vector<double> sigma;   // [V * LANES]
-    std::vector<double> delta;   // [V * LANES]
+// LEVEL per batch instead of once per SOURCE — the random-access cost
+// of the per-source sweeps amortizes across the batch. The per-lane
+// inner loops are BRANCH-FREE over all L lanes (compare -> mask ->
+// blend), which g++ -march=native vectorizes to AVX-512 masked ops:
+// one 512-bit vector holds 16 int32 distances or 16 float sigmas, so
+// the whole lane dimension is 1-2 instructions per edge. sigma/delta
+// are float like the device engine (centrality._brandes_batch uses
+// f32 throughout); the fold into node_cb stays double.
+struct BrandesLevels {
     std::vector<int32_t> stamp;  // [V] last level the node was listed at
     std::vector<std::vector<int32_t>> levels;  // node list per level
-
-    explicit BrandesScratch(int32_t v)
-        : dist(static_cast<size_t>(v) * kBrLanes, -1),
-          sigma(static_cast<size_t>(v) * kBrLanes, 0.0),
-          delta(static_cast<size_t>(v) * kBrLanes, 0.0),
-          stamp(static_cast<size_t>(v), -1) {}
+    explicit BrandesLevels(int32_t v) : stamp(static_cast<size_t>(v), -1) {}
 };
 
-void brandes_unw_batch(const Csr& c, int32_t v, const int32_t* sources,
-                       int32_t nb, int32_t want_edge, double* node_cb,
-                       double* edge_cb, BrandesScratch& sc) {
+// Edge arrays pre-filtered to w > 0 once per call: the hot loops then
+// carry no weight loads and no per-edge filter branch. eid maps the
+// filtered position back to the caller's edge order (kept only for
+// the edge-betweenness variant).
+struct BrCsr {
+    std::vector<int32_t> offsets;  // [V+1]
+    std::vector<int32_t> dst;      // [E']
+    std::vector<int64_t> eid;      // [E'] (empty unless want_edge)
+};
+
+BrCsr filter_positive(const Csr& c, int32_t v, bool want_edge) {
+    BrCsr r;
+    r.offsets.assign(static_cast<size_t>(v) + 1, 0);
+    r.dst.reserve(c.dst.size());
+    if (want_edge) r.eid.reserve(c.dst.size());
+    for (int32_t u = 0; u < v; u++) {
+        for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
+            if (c.w[p] <= 0.0f) continue;
+            r.dst.push_back(c.dst[p]);
+            if (want_edge) r.eid.push_back(c.eid[p]);
+        }
+        r.offsets[u + 1] = static_cast<int32_t>(r.dst.size());
+    }
+    return r;
+}
+
+// TD = per-lane distance type: int16_t when V <= 32767 (every finite
+// distance < V fits), halving the dist-lane memory traffic; int32_t
+// otherwise.
+//
+// Each node's whole per-batch state lives in ONE contiguous Row
+// (dist | sigma | delta): an edge visit is a single random base
+// address touching consecutive cache lines instead of three scattered
+// streams — the loops here are L3-latency-bound, and one stream per
+// visit means one TLB walk and a single hardware-prefetchable run.
+template <int L, typename TD>
+struct alignas(64) BrandesRow {
+    TD dist[L];        // -1 = unreached
+    float sigma[L];
+    float delta[L];
+};
+
+template <int L, typename TD, bool WANT_EDGE>
+void brandes_unw_batch(const BrCsr& c, int32_t v, const int32_t* sources,
+                       int32_t nb, double* node_cb, double* edge_cb,
+                       std::vector<BrandesRow<L, TD>>& rows_v,
+                       BrandesLevels& sc) {
+    using Row = BrandesRow<L, TD>;
     auto& levels = sc.levels;
     if (levels.empty()) levels.emplace_back();
     levels[0].clear();
+    Row* __restrict rows = rows_v.data();
     for (int32_t b = 0; b < nb; b++) {
         int32_t s = sources[b];
-        sc.dist[static_cast<size_t>(s) * kBrLanes + b] = 0;
-        sc.sigma[static_cast<size_t>(s) * kBrLanes + b] = 1.0;
+        rows[s].dist[b] = 0;
+        rows[s].sigma[b] = 1.0f;
         if (sc.stamp[s] != 0) {
             sc.stamp[s] = 0;
             levels[0].push_back(s);
         }
     }
+    auto t0 = std::chrono::steady_clock::now();
     // forward: level-synchronous sigma propagation. Each edge is
-    // visited once per LEVEL the source node is active at, with the
-    // per-lane work a fixed-width inner loop.
+    // visited once per LEVEL the source node is active at; per visit
+    // the active lanes' discoveries and sigma adds happen as one
+    // masked vector op each.
     int32_t max_d = 0;
     for (int32_t d = 0; ; d++) {
         if (d >= static_cast<int32_t>(levels.size()) || levels[d].empty())
@@ -288,74 +334,118 @@ void brandes_unw_batch(const Csr& c, int32_t v, const int32_t* sources,
             levels.emplace_back();
         levels[d + 1].clear();
         for (int32_t u : levels[d]) {
-            const int32_t* du = &sc.dist[static_cast<size_t>(u) * kBrLanes];
-            const double* su = &sc.sigma[static_cast<size_t>(u) * kBrLanes];
-            // active-lane bitmask once per node: the per-edge work then
-            // iterates only set bits (~2-3 of kBrLanes on random
-            // sources) instead of scanning every lane — measured the
-            // difference between losing and beating the reference's
-            // pred-list backward pass on equal hardware
-            uint32_t um = 0;
-            for (int32_t b = 0; b < kBrLanes; b++)
-                um |= (du[b] == d) ? (1u << b) : 0u;
-            if (!um) continue;
-            for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
-                if (c.w[p] <= 0.0f) continue;
-                int32_t t = c.dst[p];
-                int32_t* dt = &sc.dist[static_cast<size_t>(t) * kBrLanes];
-                double* st = &sc.sigma[static_cast<size_t>(t) * kBrLanes];
-                bool any = false;
-                for (uint32_t m = um; m;) {
-                    int32_t b = __builtin_ctz(m);
-                    m &= m - 1;
-                    if (dt[b] < 0) {
-                        dt[b] = d + 1;
-                        any = true;
-                    }
-                    if (dt[b] == d + 1) st[b] += su[b];
+            const Row& ru = rows[u];
+            // hoist u's active mask + masked sigma to locals once per
+            // node: breaks aliasing with the written dst rows and keeps
+            // the per-edge loop pure vector blends
+            int32_t act[L];
+            float sm[L];
+            int32_t uact = 0;
+            for (int32_t b = 0; b < L; b++) {
+                act[b] = -static_cast<int32_t>(ru.dist[b] == d);
+                sm[b] = act[b] ? ru.sigma[b] : 0.0f;
+                uact |= act[b];
+            }
+            if (!uact) continue;
+            const int32_t pe = c.offsets[u + 1];
+            for (int32_t p = c.offsets[u]; p < pe; p++) {
+                // the loop is L3-latency-bound on the scattered row
+                // gathers below; prefetch a few edges ahead so misses
+                // overlap
+                if (p + 4 < pe) {
+                    const char* rn = reinterpret_cast<const char*>(
+                        &rows[c.dst[p + 4]]);
+                    __builtin_prefetch(rn, 1);
+                    __builtin_prefetch(rn + 64, 1);
+                    __builtin_prefetch(rn + 128, 1);
                 }
-                if (any && sc.stamp[t] != d + 1) {
-                    sc.stamp[t] = d + 1;
-                    levels[d + 1].push_back(t);
+                Row& __restrict rt = rows[c.dst[p]];
+                TD* __restrict dt = rt.dist;
+                float* __restrict st = rt.sigma;
+                int32_t newly = 0;
+                for (int32_t b = 0; b < L; b++) {
+                    const int32_t und =
+                        act[b] & -static_cast<int32_t>(dt[b] < 0);
+                    newly |= und;
+                    dt[b] = und ? static_cast<TD>(d + 1) : dt[b];
+                    st[b] += (act[b] & -static_cast<int32_t>(dt[b] == d + 1))
+                                 ? sm[b] : 0.0f;
+                }
+                if (newly) {
+                    const int32_t t = c.dst[p];
+                    if (sc.stamp[t] != d + 1) {
+                        sc.stamp[t] = d + 1;
+                        levels[d + 1].push_back(t);
+                    }
                 }
             }
         }
     }
+    auto t1 = std::chrono::steady_clock::now();
     // backward: per-level delta accumulation, deepest first. A node
     // appears in levels[d] for every d some lane first reached it at,
     // and only its dist==d lanes are touched at level d — lane b's
     // delta[t] is final once level dist[t][b] has been processed.
     for (int32_t d = max_d; d >= 0; d--) {
-        for (int32_t u : levels[d]) {
-            const int32_t* du = &sc.dist[static_cast<size_t>(u) * kBrLanes];
-            const double* su = &sc.sigma[static_cast<size_t>(u) * kBrLanes];
-            double* eu = &sc.delta[static_cast<size_t>(u) * kBrLanes];
-            uint32_t um = 0;
-            for (int32_t b = 0; b < kBrLanes; b++)
-                um |= (du[b] == d) ? (1u << b) : 0u;
-            if (!um) continue;
-            for (int32_t p = c.offsets[u]; p < c.offsets[u + 1]; p++) {
-                if (c.w[p] <= 0.0f) continue;
-                int32_t t = c.dst[p];
-                const int32_t* dt =
-                    &sc.dist[static_cast<size_t>(t) * kBrLanes];
-                const double* st =
-                    &sc.sigma[static_cast<size_t>(t) * kBrLanes];
-                const double* et =
-                    &sc.delta[static_cast<size_t>(t) * kBrLanes];
-                double edge_sum = 0.0;
-                for (uint32_t m = um; m;) {
-                    int32_t b = __builtin_ctz(m);
-                    m &= m - 1;
-                    if (dt[b] != d + 1 || st[b] <= 0.0) continue;
-                    double contrib = su[b] / st[b] * (1.0 + et[b]);
-                    eu[b] += contrib;
-                    edge_sum += contrib;
+        // Reciprocal sigma IN PLACE, per lane at its own level: sigma
+        // is frozen after the forward pass, and a lane with dist==d+1
+        // was discovered, so its sigma is >= 1 — inversion is always
+        // legal. Each (node, lane) inverts exactly once (level lists
+        // are stamp-deduped, lanes at other distances untouched),
+        // divisor rows are ready before the sweep below reads them,
+        // and a node's OWN sm lanes (dist==d) are not inverted until
+        // iteration d-1 — no extra array, no per-edge divisions.
+        if (d + 1 <= max_d) {
+            for (int32_t t : levels[d + 1]) {
+                Row& __restrict rt = rows[t];
+                for (int32_t b = 0; b < L; b++) {
+                    const bool on = rt.dist[b] == d + 1;
+                    const float den = on ? rt.sigma[b] : 1.0f;
+                    rt.sigma[b] = on ? 1.0f / den : rt.sigma[b];
                 }
-                if (want_edge) edge_cb[c.eid[p]] += edge_sum;
             }
         }
+        for (int32_t u : levels[d]) {
+            Row& __restrict ru = rows[u];
+            int32_t act[L];
+            float sm[L];
+            int32_t uact = 0;
+            for (int32_t b = 0; b < L; b++) {
+                act[b] = -static_cast<int32_t>(ru.dist[b] == d);
+                sm[b] = act[b] ? ru.sigma[b] : 0.0f;
+                uact |= act[b];
+            }
+            if (!uact) continue;
+            float acc[L] = {};
+            const int32_t pe = c.offsets[u + 1];
+            for (int32_t p = c.offsets[u]; p < pe; p++) {
+                if (p + 4 < pe) {
+                    const char* rn = reinterpret_cast<const char*>(
+                        &rows[c.dst[p + 4]]);
+                    __builtin_prefetch(rn, 0);
+                    __builtin_prefetch(rn + 64, 0);
+                    __builtin_prefetch(rn + 128, 0);
+                    __builtin_prefetch(rn + sizeof(Row) - 64, 0);
+                }
+                const Row& rt = rows[c.dst[p]];
+                const TD* dt = rt.dist;
+                const float* it = rt.sigma;   // reciprocal at dist d+1
+                const float* et = rt.delta;
+                float edge_sum = 0.0f;
+                for (int32_t b = 0; b < L; b++) {
+                    const int32_t on =
+                        act[b] & -static_cast<int32_t>(dt[b] == d + 1);
+                    const float contrib =
+                        on ? sm[b] * it[b] * (1.0f + et[b]) : 0.0f;
+                    acc[b] += contrib;
+                    if (WANT_EDGE) edge_sum += contrib;
+                }
+                if (WANT_EDGE) edge_cb[c.eid[p]] += edge_sum;
+            }
+            for (int32_t b = 0; b < L; b++) ru.delta[b] += acc[b];
+        }
     }
+    auto t2 = std::chrono::steady_clock::now();
     // fold deltas into node_cb AFTER the whole sweep (every lane final)
     // and reset only the touched rows — full-array memsets per batch
     // would dominate at small graphs. stamp < 0 marks already-reset.
@@ -363,20 +453,58 @@ void brandes_unw_batch(const Csr& c, int32_t v, const int32_t* sources,
         for (int32_t u : levels[d]) {
             if (sc.stamp[u] < 0) continue;
             sc.stamp[u] = -1;
-            size_t o = static_cast<size_t>(u) * kBrLanes;
+            Row& __restrict ru = rows[u];
             double acc = 0.0;
-            for (int32_t b = 0; b < kBrLanes; b++) {
-                if (sc.dist[o + b] > 0) acc += sc.delta[o + b];
-                sc.dist[o + b] = -1;
-                sc.sigma[o + b] = 0.0;
-                sc.delta[o + b] = 0.0;
+            for (int32_t b = 0; b < L; b++) {
+                if (ru.dist[b] > 0) acc += static_cast<double>(ru.delta[b]);
+                ru.dist[b] = -1;
+                ru.sigma[b] = 0.0f;
+                ru.delta[b] = 0.0f;
             }
             node_cb[u] += acc;
         }
     }
+    if (std::getenv("MUNINN_BRANDES_PROF")) {
+        auto t3 = std::chrono::steady_clock::now();
+        auto us = [](auto a, auto b) {
+            return std::chrono::duration_cast<std::chrono::microseconds>(
+                       b - a).count();
+        };
+        static long long fw = 0, bw = 0, fo = 0;
+        fw += us(t0, t1); bw += us(t1, t2); fo += us(t2, t3);
+        std::fprintf(stderr, "[brandes] fw=%lld us bw=%lld us fold=%lld us\n",
+                     fw, bw, fo);
+    }
+}
+
+template <int L, typename TD>
+void brandes_unw_all(const Csr& c0, int32_t v, const int32_t* sources,
+                     int32_t n_sources, int32_t want_edge, double* node_cb,
+                     double* edge_cb) {
+    BrCsr c = filter_positive(c0, v, want_edge != 0);
+    std::vector<BrandesRow<L, TD>> rows(static_cast<size_t>(v));
+    for (auto& r : rows) {
+        for (int32_t b = 0; b < L; b++) {
+            r.dist[b] = -1;
+            r.sigma[b] = 0.0f;
+            r.delta[b] = 0.0f;
+        }
+    }
+    BrandesLevels sc(v);
+    for (int32_t s0 = 0; s0 < n_sources; s0 += L) {
+        int32_t nb = std::min<int32_t>(L, n_sources - s0);
+        if (want_edge)
+            brandes_unw_batch<L, TD, true>(c, v, sources + s0, nb, node_cb,
+                                           edge_cb, rows, sc);
+        else
+            brandes_unw_batch<L, TD, false>(c, v, sources + s0, nb, node_cb,
+                                            edge_cb, rows, sc);
+    }
 }
 
 }  // namespace
+
+extern "C" {
 
 void muninn_graph_brandes(const int32_t* src, const int32_t* dst,
                           const float* w, int64_t e, int32_t v,
@@ -387,11 +515,43 @@ void muninn_graph_brandes(const int32_t* src, const int32_t* dst,
     std::fill(node_cb, node_cb + v, 0.0);
     if (want_edge) std::fill(edge_cb, edge_cb + e, 0.0);
     if (!weighted) {
-        BrandesScratch sc(v);
-        for (int32_t s0 = 0; s0 < n_sources; s0 += kBrLanes)
-            brandes_unw_batch(c, v, sources + s0,
-                              std::min<int32_t>(kBrLanes, n_sources - s0),
-                              want_edge, node_cb, edge_cb, sc);
+        // lane width: 32 = two AVX-512 vectors of int32/float per row,
+        // measured fastest at every point of the 100-10k benchmark
+        // envelope (0.46 ms @ 100, 32 ms @ 1k, 1.19 s @ 5k — beats 16
+        // by ~1.4x and 64 by ~1.2-1.4x: wider amortizes level sweeps
+        // until the [V, L] rows blow the cache). Override for
+        // experiments via MUNINN_BRANDES_LANES in {8,16,32,64}.
+        int lanes = 32;
+        if (const char* env = std::getenv("MUNINN_BRANDES_LANES"))
+            lanes = std::atoi(env);
+        // int16 lane distances whenever every finite distance (< V)
+        // fits — true for the whole host-routed envelope
+        const bool d16 = v <= 32767;
+        switch (lanes) {
+            case 8:
+                d16 ? brandes_unw_all<8, int16_t>(c, v, sources, n_sources,
+                                                  want_edge, node_cb, edge_cb)
+                    : brandes_unw_all<8, int32_t>(c, v, sources, n_sources,
+                                                  want_edge, node_cb, edge_cb);
+                break;
+            case 16:
+                d16 ? brandes_unw_all<16, int16_t>(c, v, sources, n_sources,
+                                                   want_edge, node_cb, edge_cb)
+                    : brandes_unw_all<16, int32_t>(c, v, sources, n_sources,
+                                                   want_edge, node_cb, edge_cb);
+                break;
+            case 64:
+                d16 ? brandes_unw_all<64, int16_t>(c, v, sources, n_sources,
+                                                   want_edge, node_cb, edge_cb)
+                    : brandes_unw_all<64, int32_t>(c, v, sources, n_sources,
+                                                   want_edge, node_cb, edge_cb);
+                break;
+            default:
+                d16 ? brandes_unw_all<32, int16_t>(c, v, sources, n_sources,
+                                                   want_edge, node_cb, edge_cb)
+                    : brandes_unw_all<32, int32_t>(c, v, sources, n_sources,
+                                                   want_edge, node_cb, edge_cb);
+        }
         return;
     }
     std::vector<double> dist;
