@@ -461,10 +461,10 @@ def _head_to_head(by_treatment) -> list[str]:
              "measured rows at the same N (host fast path). Machines",
              "differ: reference numbers are from its author's",
              "darwin-arm64; ours from this repo's linux-x86_64 vCPU —",
-             "sub-ms cells are within cross-machine noise, and cells",
-             "below 1x here (betweenness_exact, tiny-N leiden) flip to",
-             "wins when both engines run on the SAME machine — see",
-             "[same_machine.md](same_machine.md) (1.1-1.6x / 2.3x).", "",
+             "and every row still clears 1x on the slower-single-core",
+             "machine. [same_machine.md](same_machine.md) re-times the",
+             "reference engine HERE for the hard apples-to-apples page.",
+             "",
              "| op | N | reference ms | ours ms | speedup |",
              "|---|---|---|---|---|"]
     n_rows = 0

@@ -240,7 +240,10 @@ def _timed_median(fn, budget_s: float = 0.6, max_reps: int = 5) -> float:
     counts; fast ops repeat (warm) until ~budget_s or max_reps — the
     reference's published sub-ms graph numbers are warm medians, so
     one-shot cold timing at tiny N measures allocator/cache noise, not
-    the engine."""
+    the engine. Sub-2ms ops widen to up to 25 reps (still inside the
+    budget): at that scale a 5-rep median still carries 20-50%
+    scheduler noise on this vCPU, which is bigger than the margins the
+    head-to-head table is judged on."""
     times = []
     while len(times) < max_reps:
         t0 = time.time()
@@ -248,6 +251,11 @@ def _timed_median(fn, budget_s: float = 0.6, max_reps: int = 5) -> float:
         times.append(time.time() - t0)
         if sum(times) >= budget_s and times:
             break
+        if (
+            len(times) == max_reps and max_reps < 25
+            and sorted(times)[len(times) // 2] < 2e-3
+        ):
+            max_reps = 25
     times.sort()
     return times[len(times) // 2]
 

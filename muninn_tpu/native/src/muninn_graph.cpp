@@ -897,25 +897,45 @@ double muninn_graph_leiden(const int32_t* src, const int32_t* dst,
         std::vector<int32_t> next_init(static_cast<size_t>(nc));
         for (int32_t ci = 0; ci < nc; ci++) next_init[ci] = comm_r[rep[ci]];
         // aggregate: contract `use`, merge parallel edges
-        std::vector<int64_t> keys(static_cast<size_t>(ce));
-        std::vector<int64_t> order(static_cast<size_t>(ce));
-        for (int64_t i = 0; i < ce; i++) {
-            keys[i] = static_cast<int64_t>(use[cur_src[i]]) * nc +
-                      use[cur_dst[i]];
-            order[i] = i;
-        }
-        std::sort(order.begin(), order.end(),
-                  [&](int64_t a, int64_t b) { return keys[a] < keys[b]; });
         std::vector<int32_t> ns, nd;
         std::vector<float> nw;
-        int64_t i = 0;
-        while (i < ce) {
-            int64_t key = keys[order[i]];
-            double acc = 0.0;
-            while (i < ce && keys[order[i]] == key) acc += cur_w[order[i++]];
-            ns.push_back(static_cast<int32_t>(key / nc));
-            nd.push_back(static_cast<int32_t>(key % nc));
-            nw.push_back(static_cast<float>(acc));
+        if (static_cast<int64_t>(nc) * nc <= std::max<int64_t>(4096, 2 * ce)) {
+            // dense nc x nc accumulation: O(e + nc^2), replacing the
+            // O(e log e) comparator sort that dominated tiny-N rounds
+            // (emitted ascending (src, dst) like the sort path)
+            std::vector<double> wmat(static_cast<size_t>(nc) * nc, 0.0);
+            for (int64_t i = 0; i < ce; i++)
+                wmat[static_cast<size_t>(use[cur_src[i]]) * nc +
+                     use[cur_dst[i]]] += cur_w[i];
+            for (int32_t a = 0; a < nc; a++)
+                for (int32_t b = 0; b < nc; b++) {
+                    double ww = wmat[static_cast<size_t>(a) * nc + b];
+                    if (ww != 0.0) {
+                        ns.push_back(a);
+                        nd.push_back(b);
+                        nw.push_back(static_cast<float>(ww));
+                    }
+                }
+        } else {
+            std::vector<int64_t> keys(static_cast<size_t>(ce));
+            std::vector<int64_t> order(static_cast<size_t>(ce));
+            for (int64_t i = 0; i < ce; i++) {
+                keys[i] = static_cast<int64_t>(use[cur_src[i]]) * nc +
+                          use[cur_dst[i]];
+                order[i] = i;
+            }
+            std::sort(order.begin(), order.end(),
+                      [&](int64_t a, int64_t b) { return keys[a] < keys[b]; });
+            int64_t i = 0;
+            while (i < ce) {
+                int64_t key = keys[order[i]];
+                double acc = 0.0;
+                while (i < ce && keys[order[i]] == key)
+                    acc += cur_w[order[i++]];
+                ns.push_back(static_cast<int32_t>(key / nc));
+                nd.push_back(static_cast<int32_t>(key % nc));
+                nw.push_back(static_cast<float>(acc));
+            }
         }
         cur_src.swap(ns);
         cur_dst.swap(nd);
