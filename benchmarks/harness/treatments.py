@@ -502,12 +502,48 @@ def run_node2vec(params, rng, emit):
 
 
 @treatment(
-    "embed", lambda sizes: [{"n_texts": 2000, "dim": 128, "backend": "hash"}]
+    "embed", lambda sizes: [
+        {"n_texts": 2000, "dim": 128, "backend": "hash"},
+        {"n_texts": 2048, "dim": 384, "backend": "flax-minilm-shape"},
+    ]
 )
 def run_embed(params, rng, emit):
-    """Text embedding throughput (the reference's embed treatment runs
-    GGUF models; here the deterministic backend exercises the same
-    pipeline, and a real Flax encoder can be swapped via path=)."""
+    """Text embedding throughput. backend=hash is the deterministic
+    pipeline-exercise backend; backend=flax-minilm-shape loads a
+    synthesized 6L/384d/30k-vocab MiniLM-geometry Flax encoder
+    (``llm_ckpt.py``) and measures the real jitted MXU embed path —
+    the analogue of the reference's GGUF model sweep
+    (``benchmarks/harness/treatments/embed.py`` role). Shapes drive
+    throughput; weights are random, so only speed is meaningful."""
+    if params["backend"].startswith("flax"):
+        from benchmarks.harness.llm_ckpt import ensure_checkpoint
+        from muninn_tpu.models.embed import FlaxEmbedModel
+
+        path = ensure_checkpoint(params["backend"].removeprefix("flax-"))
+        t0 = time.time()
+        model = FlaxEmbedModel(path, batch_size=256)
+        load_s = time.time() - t0
+        words = ["korital", "bamu", "zoqua", "rivin", "ethal", "orsa",
+                 "lidro", "nepix", "ulgra", "tenko"]
+        texts = [
+            " ".join(words[(i + j) % len(words)] for j in range(48))
+            for i in range(params["n_texts"])
+        ]
+        n_tokens = sum(len(ids) for ids in model._hf_tok(texts)["input_ids"])
+        model.embed(texts[:256])  # warm: compile at the bucketed shape
+        t0 = time.time()
+        vecs = model.embed(texts)
+        s = time.time() - t0
+        emit(
+            dict(params),
+            {"texts_per_s": len(texts) / s,
+             "tokens_per_s": n_tokens / s,
+             "embed_s": s, "load_s": load_s,
+             "unit_norm": bool(np.allclose(
+                 np.linalg.norm(vecs, axis=1), 1, atol=1e-3))},
+            s,
+        )
+        return
     from muninn_tpu.models.embed import HashEmbedModel
 
     model = HashEmbedModel(dim=params["dim"])
@@ -527,9 +563,48 @@ def run_embed(params, rng, emit):
     )
 
 
-@treatment("kg_extract", lambda sizes: [{"n_docs": 200, "backend": "echo"}])
+@treatment("kg_extract", lambda sizes: [
+    {"n_docs": 200, "backend": "echo"},
+    {"n_docs": 32, "max_tokens": 64, "backend": "flax-gpt2s-shape"},
+])
 def run_kg_extract(params, rng, emit):
-    """NER/RE extraction throughput over the chat backend."""
+    """NER/RE extraction throughput over the chat backend.
+
+    backend=echo measures the extraction pipeline with the
+    deterministic dummy; backend=flax-gpt2s-shape loads a synthesized
+    12L/768d GPT-2-small-geometry decoder (``llm_ckpt.py``) and
+    measures GRAMMAR-CONSTRAINED decode tokens/s through the real
+    single-scan engine (``models/chat.py:_grammar_greedy_decode``) —
+    the reference role is llama_chat.c's batched GBNF decode. The
+    fixed-length scan runs every step for the whole batch, so
+    B * max_tokens / wall is the exact engine rate. Random weights:
+    throughput only, no quality reading."""
+    if params["backend"].startswith("flax"):
+        from benchmarks.harness.llm_ckpt import ensure_checkpoint
+        from muninn_tpu.models.chat import FlaxChatModel
+        from muninn_tpu.text.grammar import GRAMMAR_NER_RE
+
+        path = ensure_checkpoint(params["backend"].removeprefix("flax-"))
+        t0 = time.time()
+        m = FlaxChatModel(path)
+        load_s = time.time() - t0
+        b, mt = params["n_docs"], params["max_tokens"]
+        docs = [
+            f"Person{i} works at Company{i % 20} in City{i % 7}."
+            for i in range(b)
+        ]
+        m.generate_batch(docs, grammar=GRAMMAR_NER_RE, max_tokens=mt)  # warm
+        t0 = time.time()
+        outs = m.generate_batch(docs, grammar=GRAMMAR_NER_RE, max_tokens=mt)
+        s = time.time() - t0
+        emit(
+            dict(params),
+            {"decode_tokens_per_s": b * mt / s,
+             "docs_per_s": b / s, "decode_s": s, "load_s": load_s,
+             "outputs_nonempty": sum(1 for o in outs if o.strip())},
+            s,
+        )
+        return
     from muninn_tpu.models.chat import load_chat_model
     from muninn_tpu.models.registry import registry
     from muninn_tpu.text import extract_ner_re_batch

@@ -1085,7 +1085,14 @@ class HnswIndex:
         for s in range(0, len(ids), self.wave_size):
             self._insert_wave(ids[s : s + self.wave_size], vecs[s : s + self.wave_size])
 
-    def _bulk_build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+    def _bulk_build(self, ids: np.ndarray, vecs: np.ndarray,
+                    knn: tuple | None = None) -> None:
+        """``knn``: optional precomputed raw top-(m0+1) sweep
+        ``(dists [n, m0+1], ids [n, m0+1])`` in SLOT space (self-matches
+        included — dropped here), e.g. from the one-dispatch per-shard
+        mesh sweep in ``parallel.build_hnsw_sharded``. Replaces the
+        local corpus-vs-itself sweep; wiring/prune/upper-level passes
+        are identical."""
         import os
         import time as _time
 
@@ -1133,6 +1140,15 @@ class HnswIndex:
         interp = jax.default_backend() != "tpu"
         qb = 8192
         base = int(slots[0])  # bulk slots are contiguous
+        if knn is not None:
+            kd, ki = knn
+            rows_i, rows_d = _drop_self_matches(
+                jnp.asarray(kd), jnp.asarray(ki), jnp.int32(base), self.m0
+            )
+            mark("knn_precomputed", rows_i)
+            self._finish_bulk(ids, slots, promoted, levels, rows_i, rows_d,
+                              n, qb, dbg, marks, mark)
+            return
         chunks_i, chunks_d = [], []
         for s in range(0, n, qb):
             qn = min(qb, n - s)
@@ -1154,6 +1170,13 @@ class HnswIndex:
         rows_i = jnp.concatenate(chunks_i)        # [n, m0] device
         rows_d = jnp.concatenate(chunks_d)
         mark("knn_sweep", rows_i)
+        self._finish_bulk(ids, slots, promoted, levels, rows_i, rows_d,
+                          n, qb, dbg, marks, mark)
+
+    def _finish_bulk(self, ids, slots, promoted, levels, rows_i, rows_d,
+                     n, qb, dbg, marks, mark) -> None:
+        """Shared bulk-build tail: forward wiring, reverse-edge
+        symmetrization, prune sweep, upper-level wiring."""
         slots_j = jnp.asarray(slots)
         self.neighbors0 = self.neighbors0.at[slots_j].set(rows_i)
         self.dists0 = self.dists0.at[slots_j].set(rows_d)

@@ -437,11 +437,30 @@ class IvfIndex:
             and s % sub == 0
         )
 
-    def rebuild(self, *, nlist: int | None = None) -> None:
+    def load_rows(self, ids, vectors) -> np.ndarray:
+        """Append rows WITHOUT the auto bulk-build trigger of
+        ``insert`` — for callers that train centroids externally (e.g.
+        ``parallel.build_ivf_sharded``'s data-parallel kmeans) and then
+        call ``rebuild(centroids=...)``. Rows are searchable (exact
+        pending scan) until that rebuild."""
+        ids = np.asarray(ids, np.int64)
+        slots = self.store.add(ids, vectors)
+        self._pending.append(slots.astype(np.int32))
+        self._pending_count += slots.size
+        return slots
+
+    def rebuild(self, *, nlist: int | None = None,
+                centroids: jax.Array | None = None) -> None:
         """(Re)train centroids on all live rows and repack every live
         row (including pending and soft-deleted holes) into balanced
         cluster blocks. Bulk path: device kmeans + host balanced
-        assignment + one device row-scatter."""
+        assignment + one device row-scatter.
+
+        ``centroids``: externally-trained [ncl, d] f32 centroids (e.g.
+        the data-parallel sharded kmeans) — skips the local training
+        step; balanced assignment + block packing + refit run as
+        usual, so the final centroids are still the actual block
+        means."""
         hw = self.store.high_watermark
         live = np.flatnonzero(np.asarray(self.store.valid[:hw]))
         n = live.shape[0]
@@ -455,7 +474,19 @@ class IvfIndex:
             self._pending_count = 0
             return
         s = self.cluster_size
-        ncl = nlist or max(int(np.ceil(n * self.slack / s)), 1)
+        if centroids is not None:
+            ncl = int(centroids.shape[0])
+            if nlist is not None and nlist != ncl:
+                raise ValueError(
+                    f"nlist={nlist} conflicts with centroids.shape[0]={ncl}"
+                )
+            if ncl * s < n:
+                raise ValueError(
+                    f"{ncl} externally-trained clusters x {s} slots cannot "
+                    f"hold {n} live rows"
+                )
+        else:
+            ncl = nlist or max(int(np.ceil(n * self.slack / s)), 1)
         # chunk = the store's pad multiple: capacity is always a chunk
         # multiple, so the full-capacity arrays scan WITHOUT padding
         # copies (a jnp.pad of the 3 GB store was a transient 2x)
@@ -463,26 +494,29 @@ class IvfIndex:
         v = self.store.vectors
         valid = self.store.valid
 
-        # 1) centroids (sampled Lloyd on device)
-        key = jax.random.PRNGKey(self.seed)
-        if n > self.train_sample:
-            # uniform live sample via gumbel top-k, done device-side
-            g = jax.random.gumbel(jax.random.fold_in(key, 1), (v.shape[0],))
-            _, samp = jax.lax.top_k(
-                jnp.where(valid, g, -jnp.inf), self.train_sample
-            )
-            tv = v[samp]
-            tvalid = jnp.ones((self.train_sample,), bool)
-            tpad = _round_up(self.train_sample, chunk)
-            if tpad != self.train_sample:
-                tv = jnp.pad(tv, ((0, tpad - self.train_sample), (0, 0)))
-                tvalid = jnp.pad(tvalid, (0, tpad - self.train_sample))
+        # 1) centroids (sampled Lloyd on device; or supplied pre-trained)
+        if centroids is not None:
+            cent = jnp.asarray(centroids, jnp.float32)
         else:
-            tv, tvalid = v, valid
-        cent = _kmeans(
-            tv, tvalid, key, self.kmeans_iters, ncl, chunk, self.metric
-        )
-        del tv, tvalid
+            key = jax.random.PRNGKey(self.seed)
+            if n > self.train_sample:
+                # uniform live sample via gumbel top-k, done device-side
+                g = jax.random.gumbel(jax.random.fold_in(key, 1), (v.shape[0],))
+                _, samp = jax.lax.top_k(
+                    jnp.where(valid, g, -jnp.inf), self.train_sample
+                )
+                tv = v[samp]
+                tvalid = jnp.ones((self.train_sample,), bool)
+                tpad = _round_up(self.train_sample, chunk)
+                if tpad != self.train_sample:
+                    tv = jnp.pad(tv, ((0, tpad - self.train_sample), (0, 0)))
+                    tvalid = jnp.pad(tvalid, (0, tpad - self.train_sample))
+            else:
+                tv, tvalid = v, valid
+            cent = _kmeans(
+                tv, tvalid, key, self.kmeans_iters, ncl, chunk, self.metric
+            )
+            del tv, tvalid
 
         # 2-5) balanced assignment rounds. Each round: top-C candidate
         # clusters per row -> capacity-constrained host assignment ->

@@ -220,6 +220,13 @@ class FlaxChatModel:
 
         self._tok = AutoTokenizer.from_pretrained(path)
         self._model = FlaxAutoModelForCausalLM.from_pretrained(path)
+        # pin the weights on device ONCE: from_pretrained leaves numpy
+        # params, and numpy args to a jitted decode re-upload the whole
+        # model per call (through this environment's ~2 MB/s tunnel
+        # that is minutes per generate for a 100M-param model)
+        import jax
+
+        self._model.params = jax.device_put(self._model.params)
         train_ctx = getattr(self._model.config, "max_position_embeddings", 2048)
         # n_ctx = max(8192, train/8) capped at train (src/llama_chat.c:66-75)
         self.n_ctx = min(n_ctx or max(8192, train_ctx // 8), train_ctx)

@@ -73,6 +73,9 @@ class FlaxEmbedModel:
         if self._hf_tok.pad_token is None:  # decoder tokenizers (GPT-2)
             self._hf_tok.pad_token = self._hf_tok.eos_token
         self._model = FlaxAutoModel.from_pretrained(path)
+        # pin weights on device once (numpy params would re-upload per
+        # jitted call — see FlaxChatModel.__init__)
+        self._model.params = jax.device_put(self._model.params)
         cfg_ctx = getattr(self._model.config, "max_position_embeddings", 512)
         self.n_ctx = min(n_ctx or cfg_ctx, 8192)  # src/llama_embed.c:70-80
         self.dim = self._model.config.hidden_size
@@ -83,9 +86,10 @@ class FlaxEmbedModel:
         self.tokenizer = HfTokenizer(path)
 
         @jax.jit
-        def _forward(input_ids, attention_mask):
+        def _forward(params, input_ids, attention_mask):
             out = self._model(
-                input_ids=input_ids, attention_mask=attention_mask
+                input_ids=input_ids, attention_mask=attention_mask,
+                params=params,
             ).last_hidden_state
             mask = attention_mask[:, :, None].astype(jnp.float32)
             pooled = jnp.sum(out * mask, axis=1) / jnp.maximum(
@@ -129,7 +133,10 @@ class FlaxEmbedModel:
                 )
             outs.append(
                 np.asarray(
-                    self._forward(enc["input_ids"], enc["attention_mask"])
+                    self._forward(
+                        self._model.params, enc["input_ids"],
+                        enc["attention_mask"],
+                    )
                 )
             )
         return np.concatenate(outs).astype(np.float32)

@@ -12,6 +12,10 @@ from muninn_tpu.parallel.sharded import (
     sharded_components,
     sharded_pagerank,
     sharded_sgns_step,
+    sharded_kmeans,
+    build_ivf_sharded,
+    sharded_bulk_knn,
+    build_hnsw_sharded,
 )
 from muninn_tpu.parallel.multihost import (
     make_mesh2,
@@ -32,6 +36,10 @@ __all__ = [
     "sharded_components",
     "sharded_pagerank",
     "sharded_sgns_step",
+    "sharded_kmeans",
+    "build_ivf_sharded",
+    "sharded_bulk_knn",
+    "build_hnsw_sharded",
     "make_mesh2",
     "shard_rows2",
     "multihost_exact_search",

@@ -413,3 +413,107 @@ def test_parallel_soak_representative():
     for fn in mod.SURFACES:
         nsh = [2, 4, 8][int(r.integers(0, 3))]
         fn(r, make_mesh(nsh), nsh)
+
+
+# ───────────────────── sharded CONSTRUCTION ─────────────────────
+
+
+def _clustered_corpus(rng, n, d, ncl=40):
+    c = rng.standard_normal((ncl, d)).astype(np.float32)
+    x = c[rng.integers(0, ncl, n)] + 0.25 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def _exact_cosine_topk(queries, corpus, k):
+    d = 1.0 - queries @ corpus.T
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def _recall(ids, want):
+    return np.mean(
+        [len(set(a[a >= 0]) & set(b)) / len(b) for a, b in zip(ids, want)]
+    )
+
+
+def test_build_ivf_sharded_recall_invariant_across_mesh_sizes(rng):
+    from muninn_tpu.parallel import build_ivf_sharded, shard_ivf
+
+    n, d, k = 2048, 32, 10
+    x = _clustered_corpus(rng, n, d)
+    q = _clustered_corpus(np.random.default_rng(5), 32, d)
+    want = _exact_cosine_topk(q, x, k)
+    recalls = []
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_dev)
+        ivf = build_ivf_sharded(
+            np.arange(n), x, mesh, metric="cosine", cluster_size=64,
+            nprobe=8, seed=0,
+        )
+        _d, slots = shard_ivf(ivf, mesh)(jnp.asarray(q), k=k)
+        # store ids == slots here (ids are arange); recall in id space
+        recalls.append(_recall(np.asarray(slots), want))
+    # the engine quality bar, at every mesh size
+    assert min(recalls) >= 0.95, recalls
+    # data-parallel training must not degrade with shard count
+    assert max(recalls) - min(recalls) <= 0.05, recalls
+
+
+def test_build_hnsw_sharded_matches_host_loop_at_every_mesh_size(rng):
+    """Scatter-gather HNSW recall legitimately varies with the SHARD
+    COUNT (smaller shards + per-shard ef union recall more); the
+    mesh-build invariant is against the sequential host-loop build of
+    the SAME sharding: the one-dispatch SPMD sweep must produce
+    equivalent-quality graphs at every mesh size, and quality must
+    clear the engine bar."""
+    from muninn_tpu.index.hnsw import HnswIndex
+    from muninn_tpu.parallel import build_hnsw_sharded, shard_hnsw
+
+    n, d, k = 1024, 32, 10
+    x = _clustered_corpus(rng, n, d)
+    q = _clustered_corpus(np.random.default_rng(6), 32, d)
+    want = _exact_cosine_topk(q, x, k)
+    kw = dict(m=8, ef_construction=64, seed=0, wave_size=32)
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_dev)
+        hx = build_hnsw_sharded(np.arange(n), x, mesh, metric="cosine", **kw)
+        per = -(-n // n_dev)
+        loop = []
+        for s in range(n_dev):
+            lo, hi = s * per, min((s + 1) * per, n)
+            ix = HnswIndex(d, "cosine", **kw)
+            ix.insert(np.arange(lo, hi), x[lo:hi])
+            loop.append(ix)
+        _, a = shard_hnsw(hx, mesh)(jnp.asarray(q), k=k, ef_search=48)
+        _, b = shard_hnsw(loop, mesh)(jnp.asarray(q), k=k, ef_search=48)
+        ra, rb = _recall(np.asarray(a), want), _recall(np.asarray(b), want)
+        assert abs(ra - rb) <= 0.05, (n_dev, ra, rb)
+        assert ra >= 0.85, (n_dev, ra)
+
+
+def test_sharded_kmeans_quality_matches_local(rng):
+    """DP-trained centroids should quantize the corpus about as well
+    as the local trainer (same Lloyd update, psum-merged)."""
+    from muninn_tpu.parallel import sharded_kmeans, shard_rows
+
+    n, d, ncl = 1024, 16, 32
+    x = _clustered_corpus(rng, n, d, ncl=ncl)
+    mesh = make_mesh(8)
+    xs = shard_rows(jnp.asarray(x), mesh)
+    vs = shard_rows(jnp.ones((n,), bool), mesh)
+    cent = np.asarray(sharded_kmeans(
+        xs, vs, ncl, mesh, metric="cosine", iters=10, seed=0, chunk=128,
+    ))
+    assert cent.shape == (ncl, d)
+
+    def inertia(c):
+        dd = 1.0 - x @ (c / np.maximum(
+            np.linalg.norm(c, axis=1, keepdims=True), 1e-9)).T
+        return float(np.min(dd, axis=1).mean())
+
+    # k-means++-free Lloyd from gumbel seeds: compare against random
+    # centroid selection as the null — trained must be far better
+    null = inertia(x[np.random.default_rng(0).integers(0, n, ncl)])
+    assert inertia(cent) < 0.7 * null, (inertia(cent), null)
