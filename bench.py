@@ -26,7 +26,7 @@ Prints ONE JSON line:
 
 Delivery guarantee: a JSON record is ALWAYS printed, exactly once —
 on success, on probe failure, on the internal deadline
-(``MUNINN_BENCH_DEADLINE_S``, default 900 s), or on SIGTERM/SIGINT
+(``MUNINN_BENCH_DEADLINE_S``, default 1200 s), or on SIGTERM/SIGINT
 from an external ``timeout``. Metrics accumulate into a shared record
 as each section completes, so an expiry mid-run still reports every
 number measured up to that point plus probe status, committed floors,
@@ -70,6 +70,13 @@ FLOORS = {
     "hnsw_build_vec_per_s": 1_500.0,
     "northstar_1m_768d_exact_qps": 18_000.0,
     "northstar_1m_768d_ivf_p4_qps": 50_000.0,
+    # IVF churn (r4 driver-captured: 6031 ins/s, 78.4k pending QPS)
+    "ivf_incr_insert_vec_per_s": 2_500.0,
+    "ivf_pending_qps": 30_000.0,
+    # LLM layer (r4 driver-captured: 3377 texts/s, 7939 tok/s) — only
+    # checked when the deadline leaves room to run the section
+    "embed_texts_per_s": 1_200.0,
+    "kg_decode_tokens_per_s": 3_000.0,
 }
 
 # ── always-print delivery machinery ──────────────────────────────────
@@ -135,7 +142,12 @@ def _on_deadline(signum, frame):
 def _install_deadline():
     """Hard overall deadline + graceful TERM/INT: the record prints no
     matter how the process ends (short of SIGKILL)."""
-    deadline = int(os.environ.get("MUNINN_BENCH_DEADLINE_S", "900"))
+    # The internal deadline guards against hangs, not against an
+    # external budget: if the driver's own timeout is shorter, its
+    # SIGTERM routes through the same finalizer — so a generous value
+    # here only ever ADDS coverage (the LLM tail sections run), never
+    # risks the record.
+    deadline = int(os.environ.get("MUNINN_BENCH_DEADLINE_S", "1200"))
     signal.signal(signal.SIGALRM, _on_deadline)
     signal.signal(signal.SIGTERM, _on_deadline)
     signal.signal(signal.SIGINT, _on_deadline)
@@ -590,8 +602,9 @@ def main():
         t0 = time.time()
         ivf.insert(churn_ids[1024:], big[1024:2048])
         _ = np.asarray(ivf.member_slots[0, 0])  # drain device updates
+        MEDIANS["ivf_incr_insert_vec_per_s"] = 1024 / (time.time() - t0)
         EXTRAS["ivf_incr_insert_vec_per_s"] = round(
-            1024 / (time.time() - t0), 1
+            MEDIANS["ivf_incr_insert_vec_per_s"], 1
         )
         EXTRAS["ivf_pending_after_churn"] = ivf._pending_count
         # QPS with pending region active vs the clean medians above
@@ -602,6 +615,7 @@ def main():
         pend_qps, *RANGES["ivf_pending_qps"] = sample_rate(
             run_ivf_pend, 2048, inner=3
         )
+        MEDIANS["ivf_pending_qps"] = pend_qps
         EXTRAS["ivf_pending_qps"] = round(pend_qps, 1)
         t0 = time.time()
         ivf.rebuild()
@@ -611,6 +625,53 @@ def main():
         del big, bigq
     except Exception as e:
         EXTRAS["ivf_error"] = repr(e)[:200]
+
+    # ── LLM layer: batched MXU embed + grammar-constrained decode ──
+    # Realistic-SHAPE synthesized checkpoints (benchmarks/harness/
+    # llm_ckpt.py): MiniLM-geometry encoder, GPT-2-small-geometry
+    # decoder. Runs LAST and only when the deadline leaves room — a
+    # cold first run pays checkpoint synthesis + decode compile, and
+    # losing this section must never cost the sections above (the
+    # finalizer already holds their numbers).
+    try:
+        if remaining() < 240:
+            raise RuntimeError(f"skipped: {remaining():.0f}s left")
+        from benchmarks.harness.llm_ckpt import ensure_checkpoint
+        from muninn_tpu.models.embed import FlaxEmbedModel
+
+        em = FlaxEmbedModel(ensure_checkpoint("minilm-shape"), batch_size=256)
+        words = ["korital", "bamu", "zoqua", "rivin", "ethal", "orsa"]
+        texts = [
+            " ".join(words[(i + j) % len(words)] for j in range(48))
+            for i in range(2048)
+        ]
+        em.embed(texts[:256])  # warm/compile at the bucketed shape
+        t0 = time.time()
+        em.embed(texts)
+        MEDIANS["embed_texts_per_s"] = 2048 / (time.time() - t0)
+        EXTRAS["embed_texts_per_s"] = round(MEDIANS["embed_texts_per_s"], 1)
+        del em
+    except Exception as e:
+        EXTRAS["embed_error"] = repr(e)[:200]
+    try:
+        if remaining() < 180:
+            raise RuntimeError(f"skipped: {remaining():.0f}s left")
+        from benchmarks.harness.llm_ckpt import ensure_checkpoint
+        from muninn_tpu.models.chat import FlaxChatModel
+        from muninn_tpu.text.grammar import GRAMMAR_NER_RE
+
+        cm = FlaxChatModel(ensure_checkpoint("gpt2s-shape"))
+        docs = [f"Person{i} works at Company{i % 20}." for i in range(32)]
+        cm.generate_batch(docs, grammar=GRAMMAR_NER_RE, max_tokens=64)  # warm
+        t0 = time.time()
+        cm.generate_batch(docs, grammar=GRAMMAR_NER_RE, max_tokens=64)
+        MEDIANS["kg_decode_tokens_per_s"] = 32 * 64 / (time.time() - t0)
+        EXTRAS["kg_decode_tokens_per_s"] = round(
+            MEDIANS["kg_decode_tokens_per_s"], 1
+        )
+        del cm
+    except Exception as e:
+        EXTRAS["kg_decode_error"] = repr(e)[:200]
 
     EXTRAS["status"] = "complete"
     EXTRAS["wall_s"] = round(time.time() - t_start, 1)

@@ -206,6 +206,8 @@ def run(sizes, out_path: Path, docs_path: Path | None) -> list[dict]:
             print(json.dumps(row), flush=True)
         con.close()
         rows += _vt_section(n, src, dst)
+        if n <= 2000:
+            rows += _node2vec_section(n, src, dst)
 
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "a") as f:
@@ -213,6 +215,76 @@ def run(sizes, out_path: Path, docs_path: Path | None) -> list[dict]:
             f.write(json.dumps(r) + "\n")
     if docs_path is not None:
         render_docs(rows, docs_path)
+    return rows
+
+
+def _node2vec_section(n: int, src, dst) -> list[dict]:
+    """node2vec head-to-head (reference treatment role,
+    ``benchmarks/harness/treatments/node2vec.py``): identical moderate
+    parameters on both engines — dim=64, p=q=1, num_walks=10,
+    walk_length=40, window=5, neg=5, lr=0.025, epochs=3 — both writing
+    their embeddings into their own vector index (the reference's
+    node2vec_train contract always writes an hnsw_index table; ours
+    gets an ``output_index`` HnswIndex). One timed run each (seconds-
+    scale op). Gated to n <= 2000: the reference's own treatment tier
+    stops at 1000 nodes."""
+    import numpy as np
+
+    from muninn_tpu.graph import Graph
+    from muninn_tpu.index.hnsw import HnswIndex
+    from muninn_tpu.models.node2vec import node2vec_train
+
+    rows: list[dict] = []
+    e = len(src)
+    params = dict(num_walks=10, walk_length=40, window=5,
+                  neg_samples=5, learning_rate=0.025, epochs=3)
+    dim = 64
+
+    con = _ref_conn(src, dst)
+    ref_s = None
+    try:
+        con.execute(
+            f"CREATE VIRTUAL TABLE n2v USING hnsw_index("
+            f"dimensions={dim}, metric='cosine')"
+        )
+        t0 = time.perf_counter()
+        con.execute(
+            "SELECT node2vec_train('edges', 'src', 'dst', 'n2v', "
+            f"{dim}, 1.0, 1.0, {params['num_walks']}, "
+            f"{params['walk_length']}, {params['window']}, "
+            f"{params['neg_samples']}, {params['learning_rate']}, "
+            f"{params['epochs']})"
+        ).fetchall()
+        ref_s = time.perf_counter() - t0
+    except sqlite3.OperationalError:
+        ref_s = None
+    finally:
+        con.close()
+
+    g = Graph.from_edges(src.tolist(), dst.tolist())
+    # warm run first: the index-write path jit-compiles once per shape
+    # bucket; every other row on this page is a warm median, and the
+    # reference's C is precompiled — cold XLA compile time is not the
+    # engine. The timed run trains + writes into a FRESH index.
+    node2vec_train(g, dim=dim, p=1.0, q=1.0, seed=1,
+                   output_index=HnswIndex(dim, "cosine"), **params)
+    out = HnswIndex(dim, "cosine")
+    t0 = time.perf_counter()
+    node2vec_train(g, dim=dim, p=1.0, q=1.0, seed=1,
+                   output_index=out, **params)
+    ours_s = time.perf_counter() - t0
+    assert len(out) == g.num_nodes
+
+    row = {
+        "n": int(n), "edges": int(e), "op": "node2vec",
+        "ref_ms": None if ref_s is None else round(ref_s * 1e3, 4),
+        "ref_timeout": ref_s is None,
+        "ours_ms": round(ours_s * 1e3, 4),
+        "speedup": None if ref_s is None else round(ref_s / ours_s, 2),
+        "ts": time.time(),
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
     return rows
 
 

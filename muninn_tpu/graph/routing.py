@@ -47,11 +47,23 @@ COST_CLOSENESS_SRC_EDGE = 95e-9
 # ~4 s actual).
 COST_CLOSENESS_SRC_EDGE_UNWEIGHTED = 4e-9
 COST_LEIDEN_EDGE = 2e-6
+# node2vec host trainer: per (pair x dim) SGNS unit — measured 0.83
+# ns at the 100-2k envelope (vectorized dot + two AXPYs per target,
+# LUT sigmoid, O(1) unigram negatives; muninn_node2vec_train)
+COST_SGNS_PAIR_DIM = 0.9e-9
+# node2vec host/device crossover: the DEVICE trainer amortizes with
+# scale (202 nodes/s at 2k and climbing; the host is flat ~160), so
+# node2vec routes host only below ~10 estimated host seconds — unlike
+# the graph ops, whose device forms stay dispatch-bound far longer
+HOST_N2V_SECONDS = float(os.environ.get("MUNINN_HOST_N2V_SECONDS", 10.0))
 
 
-def use_host(backend: str, host_seconds: float) -> bool:
+def use_host(backend: str, host_seconds: float,
+             ceiling: float | None = None) -> bool:
     """True when `backend` + estimated `host_seconds` route to the
-    native host kernels. backend: 'auto' | 'host' | 'device'."""
+    native host kernels. backend: 'auto' | 'host' | 'device'.
+    ``ceiling`` overrides the default 60 s host budget for ops whose
+    device form crosses over sooner (node2vec)."""
     if backend == "host":
         if not native.graph_available():
             raise RuntimeError("native graph kernels unavailable")
@@ -60,4 +72,5 @@ def use_host(backend: str, host_seconds: float) -> bool:
         return False
     if backend != "auto":
         raise ValueError(f"backend must be auto|host|device, got {backend!r}")
-    return host_seconds <= HOST_GRAPH_SECONDS and native.graph_available()
+    lim = HOST_GRAPH_SECONDS if ceiling is None else ceiling
+    return host_seconds <= lim and native.graph_available()

@@ -358,6 +358,7 @@ def node2vec_train(
     walk_batch: int = 4096,
     sgns_chunk: int = 256,
     output_index=None,
+    backend: str = "auto",
 ):
     """Train Node2Vec embeddings over an (undirected) graph.
 
@@ -374,8 +375,32 @@ def node2vec_train(
     """
     if dim > 1024:
         raise ValueError("dim must be <= 1024 (reference cap)")
-    c = graph.csr("both")
     v_count = graph.num_nodes
+    # small-N host fast path (graph.routing): at the reference's
+    # 100-2k envelope the whole sequential training run costs less
+    # than a handful of device dispatches through the tunnel
+    from muninn_tpu import native
+    from muninn_tpu.graph import routing
+    from muninn_tpu.graph.routing import use_host
+
+    est = (
+        float(epochs) * num_walks * max(v_count, 1) * walk_length
+        * 2 * window * (neg_samples + 1) * dim
+    ) * routing.COST_SGNS_PAIR_DIM
+    if v_count and use_host(backend, est, ceiling=routing.HOST_N2V_SECONDS):
+        hs, hd, hw = graph.host_coo("both")
+        emb = native.node2vec_train_host(
+            hs, hd, hw, v_count, dim, p, q, num_walks, walk_length,
+            window, neg_samples, learning_rate, epochs, seed,
+        )
+        if emb is not None:
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)
+            node_ids = list(graph.nodes.ids)
+            if output_index is not None:
+                output_index.insert(np.arange(1, v_count + 1), emb)
+            return node_ids, emb
+    c = graph.csr("both")
     # row-sort + per-row weight prefix sums, entirely on device (the
     # previous host lexsort/cumsum round-trip re-uploaded [E] arrays —
     # minutes at 100M edges through the tunnel — and its GLOBAL f32

@@ -556,3 +556,32 @@ def graph_leiden(src, dst, w, num_nodes: int, resolution: float,
         labels.ctypes.data_as(_I32P),
     )
     return labels, float(q)
+
+
+def node2vec_train_host(src, dst, w, num_nodes: int, dim: int, p: float,
+                        q: float, num_walks: int, walk_length: int,
+                        window: int, neg_samples: int, lr: float,
+                        epochs: int, seed: int):
+    """Sequential node2vec (p/q walks + SGNS) over the 'both' COO ->
+    raw embeddings f32 [V, dim] (caller normalizes). None if
+    unavailable. Host fast path for the reference's small-N envelope
+    where per-dispatch tunnel cost dwarfs the whole training run
+    (models/node2vec.py routes here; reference src/node2vec.c role)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(src), _i32(dst)
+    w = _f32(w)
+    out = np.empty((num_nodes, dim), np.float32)
+    lib.muninn_node2vec_train(
+        src.ctypes.data_as(_I32P), dst.ctypes.data_as(_I32P),
+        w.ctypes.data_as(_F32P), ctypes.c_int64(len(src)),
+        ctypes.c_int32(num_nodes), ctypes.c_int32(dim),
+        ctypes.c_float(p), ctypes.c_float(q),
+        ctypes.c_int32(num_walks), ctypes.c_int32(walk_length),
+        ctypes.c_int32(window), ctypes.c_int32(neg_samples),
+        ctypes.c_float(lr), ctypes.c_int32(epochs),
+        ctypes.c_uint64(seed),
+        out.ctypes.data_as(_F32P),
+    )
+    return out

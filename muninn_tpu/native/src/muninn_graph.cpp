@@ -954,3 +954,206 @@ double muninn_graph_leiden(const int32_t* src, const int32_t* dst,
 }
 
 }  // extern "C"
+
+// ───────────────────────── node2vec ─────────────────────────
+
+namespace {
+
+inline uint64_t xs64(uint64_t& s) {
+    s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+    return s;
+}
+
+inline double urand(uint64_t& s) {
+    return static_cast<double>(xs64(s) >> 11) * (1.0 / 9007199254740992.0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Host fast path for small graphs (reference src/node2vec.c role;
+// same capability as the device trainer in models/node2vec.py):
+// p/q-biased second-order random walks (per-row cumulative-weight
+// sampling, binary-search neighbor membership) + SGNS with a sigmoid
+// LUT and a deg^0.75 cdf-sampled negative distribution, linear LR
+// decay to a 1e-4 floor. Sequential — the small-N regime where every
+// device dispatch costs more than the whole training run.
+// Writes raw (unnormalized) embeddings out[v*dim]; the Python wrapper
+// L2-normalizes like the reference (:539-585).
+void muninn_node2vec_train(
+    const int32_t* src, const int32_t* dst, const float* w, int64_t e,
+    int32_t v, int32_t dim, float p, float q, int32_t num_walks,
+    int32_t walk_length, int32_t window, int32_t neg, float lr0,
+    int32_t epochs, uint64_t seed, float* out) {
+    Csr c = build_csr(src, dst, w, e, v);
+    // sort each adjacency row by dst (binary membership + stable cdf)
+    for (int32_t u = 0; u < v; u++) {
+        int32_t lo = c.offsets[u], hi = c.offsets[u + 1];
+        std::vector<std::pair<int32_t, float>> row;
+        row.reserve(hi - lo);
+        for (int32_t pp = lo; pp < hi; pp++)
+            row.push_back({c.dst[pp], c.w[pp]});
+        std::sort(row.begin(), row.end());
+        for (int32_t pp = lo; pp < hi; pp++) {
+            c.dst[pp] = row[pp - lo].first;
+            c.w[pp] = row[pp - lo].second;
+        }
+    }
+    // per-row weight prefix sums (first-order sampling)
+    std::vector<double> cumw(c.dst.size());
+    for (int32_t u = 0; u < v; u++) {
+        double acc = 0.0;
+        for (int32_t pp = c.offsets[u]; pp < c.offsets[u + 1]; pp++) {
+            acc += std::max(c.w[pp], 0.0f);
+            cumw[pp] = acc;
+        }
+    }
+    auto is_neighbor = [&](int32_t u, int32_t y) {
+        const int32_t* b = c.dst.data() + c.offsets[u];
+        const int32_t* en = c.dst.data() + c.offsets[u + 1];
+        return std::binary_search(b, en, y);
+    };
+    // deg^0.75 unigram table, O(1) sampling (reference :274-303 and
+    // the device build_negative_table law)
+    constexpr int32_t kNegTab = 1 << 17;
+    std::vector<int32_t> negtab(kNegTab);
+    {
+        std::vector<double> degw(static_cast<size_t>(v), 0.0);
+        for (int32_t u = 0; u < v; u++)
+            for (int32_t pp = c.offsets[u]; pp < c.offsets[u + 1]; pp++)
+                degw[u] += std::max(c.w[pp], 0.0f);
+        double total = 0.0;
+        for (int32_t u = 0; u < v; u++)
+            total += std::pow(std::max(degw[u], 1e-12), 0.75);
+        int32_t u = 0;
+        double acc = std::pow(std::max(degw[0], 1e-12), 0.75);
+        for (int32_t i = 0; i < kNegTab; i++) {
+            double want = (i + 0.5) / kNegTab * total;
+            while (acc < want && u + 1 < v) {
+                u++;
+                acc += std::pow(std::max(degw[u], 1e-12), 0.75);
+            }
+            negtab[i] = u;
+        }
+    }
+    // sigmoid LUT (reference :244-271 structure: 1000 bins over ±6)
+    constexpr int kSig = 1024;
+    constexpr float kSigMax = 6.0f;
+    float sig_lut[kSig + 1];
+    for (int i = 0; i <= kSig; i++) {
+        float x = (2.0f * i / kSig - 1.0f) * kSigMax;
+        sig_lut[i] = 1.0f / (1.0f + std::exp(-x));
+    }
+    auto sigmoid = [&](float x) {
+        if (x >= kSigMax) return 1.0f;
+        if (x <= -kSigMax) return 0.0f;
+        return sig_lut[static_cast<int>((x / kSigMax + 1.0f) * 0.5f * kSig)];
+    };
+
+    uint64_t rng = seed ? seed : 0x9e3779b97f4a7c15ULL;
+    std::vector<float> syn0(static_cast<size_t>(v) * dim);
+    std::vector<float> syn1(static_cast<size_t>(v) * dim, 0.0f);
+    for (auto& x : syn0) x = (urand(rng) - 0.5) / dim;
+    std::vector<int32_t> walk(static_cast<size_t>(walk_length));
+    std::vector<double> biased(64);
+    std::vector<float> accum(static_cast<size_t>(dim));
+
+    const float lr_floor = lr0 * 1e-4f;
+    const int64_t total = static_cast<int64_t>(epochs) * num_walks;
+    int64_t step_i = 0;
+    for (int32_t ep = 0; ep < epochs; ep++) {
+        for (int32_t wk = 0; wk < num_walks; wk++) {
+            float lr = std::max(
+                lr0 * (1.0f - static_cast<float>(step_i) / total), lr_floor);
+            step_i++;
+            for (int32_t s0 = 0; s0 < v; s0++) {
+                // --- one p/q walk from s0 ---
+                int32_t len = 0;
+                walk[len++] = s0;
+                int32_t prev = -1, cur = s0;
+                while (len < walk_length) {
+                    int32_t lo = c.offsets[cur], hi = c.offsets[cur + 1];
+                    if (lo == hi) break;
+                    int32_t nxt;
+                    if (prev < 0) {
+                        // first-order: cumulative weight binary search
+                        double r = urand(rng) * cumw[hi - 1];
+                        nxt = c.dst[std::lower_bound(&cumw[lo], &cumw[hi], r)
+                                    - cumw.data()];
+                    } else {
+                        if (static_cast<size_t>(hi - lo) > biased.size())
+                            biased.resize(hi - lo);
+                        double acc = 0.0;
+                        for (int32_t pp = lo; pp < hi; pp++) {
+                            int32_t y = c.dst[pp];
+                            double b = (y == prev) ? 1.0 / p
+                                       : (is_neighbor(prev, y) ? 1.0
+                                                               : 1.0 / q);
+                            acc += std::max(c.w[pp], 0.0f) * b;
+                            biased[pp - lo] = acc;
+                        }
+                        double r = urand(rng) * acc;
+                        int32_t j = static_cast<int32_t>(
+                            std::lower_bound(biased.data(),
+                                             biased.data() + (hi - lo), r)
+                            - biased.data());
+                        nxt = c.dst[lo + std::min(j, hi - lo - 1)];
+                    }
+                    prev = cur;
+                    cur = nxt;
+                    walk[len++] = cur;
+                }
+                // --- SGNS over window pairs ---
+                for (int32_t i = 0; i < len; i++) {
+                    int32_t ctr = walk[i];
+                    float* s0v = &syn0[static_cast<size_t>(ctr) * dim];
+                    int32_t jlo = std::max(i - window, 0);
+                    int32_t jhi = std::min(i + window, len - 1);
+                    for (int32_t j = jlo; j <= jhi; j++) {
+                        if (j == i) continue;
+                        std::fill(accum.begin(), accum.end(), 0.0f);
+                        for (int32_t t = 0; t < neg + 1; t++) {
+                            int32_t tgt;
+                            float label;
+                            if (t == 0) {
+                                tgt = walk[j];
+                                label = 1.0f;
+                            } else {
+                                tgt = negtab[xs64(rng) & (kNegTab - 1)];
+                                if (tgt == walk[j]) continue;
+                                label = 0.0f;
+                            }
+                            float* s1v =
+                                &syn1[static_cast<size_t>(tgt) * dim];
+                            // 8-lane partial sums: a plain scalar dot
+                            // is a serial reduction the compiler may
+                            // not vectorize (no -ffast-math); this
+                            // form maps to one vmulps+vaddps per 8
+                            float lanes[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+                            const int32_t dv = dim & ~7;
+                            for (int32_t d2 = 0; d2 < dv; d2 += 8)
+                                for (int32_t l = 0; l < 8; l++)
+                                    lanes[l] += s0v[d2 + l] * s1v[d2 + l];
+                            float f = 0.0f;
+                            for (int32_t l = 0; l < 8; l++) f += lanes[l];
+                            for (int32_t d2 = dv; d2 < dim; d2++)
+                                f += s0v[d2] * s1v[d2];
+                            float g = (label - sigmoid(f)) * lr;
+                            for (int32_t d2 = 0; d2 < dim; d2++) {
+                                accum[d2] += g * s1v[d2];
+                                s1v[d2] += g * s0v[d2];
+                            }
+                        }
+                        for (int32_t d2 = 0; d2 < dim; d2++)
+                            s0v[d2] += accum[d2];
+                    }
+                }
+            }
+        }
+    }
+    std::memcpy(out, syn0.data(),
+                static_cast<size_t>(v) * dim * sizeof(float));
+}
+
+}  // extern "C"

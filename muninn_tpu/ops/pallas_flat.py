@@ -607,3 +607,4 @@ def flat_topk_proj_rescored(
     d = gathered_distances(q, cv, metric)
     d = jnp.where(cand >= 0, d, jnp.inf)
     return sorted_topk_unique(d, cand, k)
+
