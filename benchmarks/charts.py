@@ -516,7 +516,7 @@ def render_docs(recs: list[dict], charts: dict[str, dict],
             lines.append(f"- chart: [`{c}.json`](../../benchmarks/charts/{c}.json)")
         if rel_charts:
             lines.append("")
-        header = perm_keys + met_keys + ["wall_s", "platform"]
+        header = perm_keys + met_keys + ["wall_s", "platform", "device"]
         lines.append("| " + " | ".join(header) + " |")
         lines.append("|" + "---|" * len(header))
 
@@ -539,7 +539,8 @@ def render_docs(recs: list[dict], charts: dict[str, dict],
                 (f"{v:.4g}" if isinstance(v, float) else str(v))
                 for v in (r["metrics"].get(k, "") for k in met_keys)
             ]
-            cells += [f"{r['wall_s']:.3g}", r.get("platform", "")]
+            cells += [f"{r['wall_s']:.3g}", r.get("platform", ""),
+                      r.get("backend", "") or ""]
             lines.append("| " + " | ".join(cells) + " |")
         page = docs_dir / f"{name}.md"
         page.write_text("\n".join(lines) + "\n")

@@ -32,8 +32,8 @@ def test_doc_pages_are_valid_markdown_tables(tmp_path, rng, capsys):
     assert page[0] == "# vss"
     header = next(l for l in page if l.startswith("| "))
     cols = [c.strip() for c in header.strip("|").split("|")]
-    # permutation keys then metric keys then wall/platform
-    assert cols[-2:] == ["wall_s", "platform"]
+    # permutation keys then metric keys then wall/platform/device
+    assert cols[-3:] == ["wall_s", "platform", "device"]
     assert "engine" in cols and "recall_at_k" in cols
     sep = page[page.index(header) + 1]
     assert set(sep) <= {"|", "-"}

@@ -122,13 +122,16 @@ def test_er_pipeline():
     assert r["bcubed"]["f1"] >= 0.85
 
 
-def test_notebooks_exist_and_are_valid():
-    """Reference parity: each example dir ships .py + .ipynb + README;
-    the notebooks are generated EXECUTED by examples/make_notebooks.py
-    (real outputs committed) and must stay in sync with the scripts."""
+def test_notebooks_exist_and_are_tutorial_grade():
+    """Reference parity bar (its llm_extract.ipynb has 51 cells): each
+    example ships a NARRATIVE multi-cell notebook — >= 8 executed code
+    cells with real committed outputs, markdown narration between
+    them, in sync with its notebook.py source."""
     import json
 
-    from examples.make_notebooks import build_notebook, example_dirs
+    from examples.make_notebooks import (
+        build_notebook, example_dirs, notebook_source,
+    )
 
     dirs = example_dirs()
     assert len(dirs) >= 13
@@ -137,21 +140,25 @@ def test_notebooks_exist_and_are_valid():
         assert nb_path.exists(), f"missing notebook for {d.name}"
         nb = json.loads(nb_path.read_text())
         assert nb["nbformat"] == 4
-        kinds = [c["cell_type"] for c in nb["cells"]]
-        assert kinds == ["markdown", "code"]
+        code_cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+        md_cells = [c for c in nb["cells"] if c["cell_type"] == "markdown"]
+        assert len(code_cells) >= 8, (
+            f"{d.name}.ipynb has {len(code_cells)} code cells; tutorial "
+            "notebooks need >= 8")
+        assert len(md_cells) >= 8, f"{d.name}.ipynb lacks narration"
         # committed notebooks carry real outputs, none of them errors
-        code = nb["cells"][1]
-        assert code["outputs"], f"{d.name}.ipynb has no outputs — run " \
-            "python -m examples.make_notebooks"
-        assert all(o["output_type"] != "error" for o in code["outputs"])
-        # in sync with the current script + README
-        script = d / "main.py"
-        if not script.exists():
-            script = d / "pipeline.py"
+        assert any(c["outputs"] for c in code_cells), (
+            f"{d.name}.ipynb has no outputs — run "
+            "python -m examples.make_notebooks")
+        for c in code_cells:
+            assert all(o["output_type"] != "error" for o in c["outputs"])
+        # in sync with the current notebook source + README
         want = build_notebook((d / "README.md").read_text(),
-                              script.read_text())
-        assert nb["cells"][1]["source"] == want["cells"][1]["source"], (
-            f"{d.name}.ipynb is stale — run python -m examples.make_notebooks")
+                              notebook_source(d).read_text())
+        assert (
+            [c["source"] for c in nb["cells"]]
+            == [c["source"] for c in want["cells"]]
+        ), f"{d.name}.ipynb is stale — run python -m examples.make_notebooks"
 
 
 def test_notebooks_execute():
@@ -160,25 +167,32 @@ def test_notebooks_execute():
     sizes) — the reference's runnable-examples guarantee."""
     import json
 
-    from examples.make_notebooks import example_dirs, execute_source
+    from examples.make_notebooks import example_dirs
     from muninn_tpu.models.registry import registry
+
+    from examples.make_notebooks import execute_cell
 
     for d in example_dirs():
         nb = json.loads((d / f"{d.name}.ipynb").read_text())
-        src = "".join(nb["cells"][1]["source"])
         # earlier tests in this process may have registered models under
         # the same names the examples use; execute each notebook against
         # a clean registry (generation runs in a fresh process)
         snapshot = dict(registry._models)
         registry._models.clear()
+        ns: dict = {"__name__": "__notebook__"}
         try:
-            outputs = execute_source(src)
+            produced = False
+            for c in nb["cells"]:
+                if c["cell_type"] != "code":
+                    continue
+                outputs = execute_cell("".join(c["source"]), ns)
+                errs = [o for o in outputs if o["output_type"] == "error"]
+                assert not errs, f"{d.name}: {errs and errs[0]['evalue']}"
+                produced = produced or bool(outputs)
         finally:
             registry._models.clear()
             registry._models.update(snapshot)
-        errs = [o for o in outputs if o["output_type"] == "error"]
-        assert not errs, f"{d.name}: {errs and errs[0]['evalue']}"
-        assert outputs, f"{d.name} produced no output"
+        assert produced, f"{d.name} produced no output"
 
 
 def test_serving():

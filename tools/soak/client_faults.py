@@ -245,6 +245,69 @@ def _applied_ids(proxy: FaultProxy) -> set[int]:
     return ids
 
 
+def concurrent_throughput_trial() -> list[str]:
+    """Concurrent-client coalescing assertion (VERDICT r4 task #7):
+    N clients firing single-query searches simultaneously must be
+    served in FEWER engine dispatches than requests (the micro-batch
+    window merging them), with every client receiving its own correct
+    rows. Runs against a direct server (no fault proxy — this phase
+    asserts the batching contract, not fault behavior)."""
+    import threading
+
+    import numpy as np
+
+    from muninn_tpu.serve import EngineServer
+
+    errs: list[str] = []
+    srv = EngineServer(coalesce_window=0.05)
+    port = srv.start(port=0)
+    try:
+        from muninn_tpu.client import EngineClient
+
+        n, d, n_clients, rounds = 400, 24, 16, 4
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        boot = EngineClient(f"http://127.0.0.1:{port}")
+        boot.create_index("soak", d, kind="flat", metric="cosine")
+        boot.index("soak").insert(list(range(n)), x.tolist())
+
+        bad: list[str] = []
+
+        def client(ci: int):
+            c = EngineClient(f"http://127.0.0.1:{port}")
+            for r in range(rounds):
+                qi = (ci * rounds + r) % n
+                ids, dists = c.index("soak").search([x[qi].tolist()], k=3)
+                if ids[0][0] != qi:
+                    bad.append(f"client {ci} round {r}: got {ids[0][0]} "
+                               f"want {qi}")
+
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        errs += bad
+        total = n_clients * rounds
+        if srv.coalescer.requests < total:
+            errs.append(
+                f"only {srv.coalescer.requests}/{total} requests reached "
+                "the coalescer"
+            )
+        if srv.coalescer.batches >= total * 0.75:
+            errs.append(
+                f"coalescing ineffective: {srv.coalescer.batches} engine "
+                f"dispatches for {total} concurrent requests"
+            )
+    finally:
+        srv.stop()
+    return errs
+
+
 if __name__ == "__main__":
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     fails = 0
@@ -261,5 +324,16 @@ if __name__ == "__main__":
                 print("  " + e)
         else:
             print(f"ok   trial={trial}", flush=True)
-    print(f"{n_trials} trials, {fails} failures, {time.time() - t0:.1f}s")
+    try:
+        cerrs = concurrent_throughput_trial()
+    except Exception:
+        cerrs = [f"harness crash: {traceback.format_exc()}"]
+    if cerrs:
+        fails += 1
+        print("FAIL concurrent-coalescing trial")
+        for e in cerrs:
+            print("  " + e)
+    else:
+        print("ok   concurrent-coalescing trial", flush=True)
+    print(f"{n_trials}+1 trials, {fails} failures, {time.time() - t0:.1f}s")
     sys.exit(1 if fails else 0)
