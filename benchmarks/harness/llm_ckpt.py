@@ -27,6 +27,9 @@ from pathlib import Path
 
 SHAPES = {
     "minilm-shape": dict(n_layer=6, n_embd=384, n_head=6, vocab=30522),
+    # all-mpnet-base geometry (12L/768d, ~110M) — the reference's
+    # "bigger encoder" sweep point (its MPNet/BGE chart series)
+    "mpnet-shape": dict(n_layer=12, n_embd=768, n_head=12, vocab=30522),
     "gpt2s-shape": dict(n_layer=12, n_embd=768, n_head=12, vocab=30522),
 }
 

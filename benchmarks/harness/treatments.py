@@ -505,6 +505,7 @@ def run_node2vec(params, rng, emit):
     "embed", lambda sizes: [
         {"n_texts": 2000, "dim": 128, "backend": "hash"},
         {"n_texts": 2048, "dim": 384, "backend": "flax-minilm-shape"},
+        {"n_texts": 2048, "dim": 768, "backend": "flax-mpnet-shape"},
     ]
 )
 def run_embed(params, rng, emit):
@@ -566,6 +567,7 @@ def run_embed(params, rng, emit):
 @treatment("kg_extract", lambda sizes: [
     {"n_docs": 200, "backend": "echo"},
     {"n_docs": 32, "max_tokens": 64, "backend": "flax-gpt2s-shape"},
+    {"n_docs": 128, "max_tokens": 64, "backend": "flax-gpt2s-shape"},
 ])
 def run_kg_extract(params, rng, emit):
     """NER/RE extraction throughput over the chat backend.

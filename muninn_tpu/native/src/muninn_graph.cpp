@@ -1051,6 +1051,7 @@ void muninn_node2vec_train(
         return sig_lut[static_cast<int>((x / kSigMax + 1.0f) * 0.5f * kSig)];
     };
 
+    if (walk_length < 1) walk_length = 1;  // walk[0] = start always exists
     uint64_t rng = seed ? seed : 0x9e3779b97f4a7c15ULL;
     std::vector<float> syn0(static_cast<size_t>(v) * dim);
     std::vector<float> syn1(static_cast<size_t>(v) * dim, 0.0f);

@@ -101,6 +101,8 @@ def sharded_ivf_search(
     axis: str = "shard",
     n_real: int | None = None,
     scales: jax.Array | None = None,   # [ncl, S] f32 (int8 blocks)
+    vectors: jax.Array | None = None,  # [cap, d] f32 store (exact rescore)
+    rescore_r: int = 0,
 ):
     """ANN over IVF cluster blocks sharded across chips (the multi-chip
     form of ``IvfIndex.search``; ``index/ivf.py``). int8 blocks
@@ -108,12 +110,17 @@ def sharded_ivf_search(
 
     Routing runs on the REPLICATED centroids (identical on every chip:
     [B, nprobe] global probe list), each chip scores only the probed
-    clusters it owns, and an ``all_gather`` of the [B, k] partials +
-    merge yields the global result — comms O(B*k*n_shards), never
-    O(B*S*nprobe). Distances are f32-accumulated from the bf16 block
-    rows (the sharded path has no second exact-rescore tier; at bf16
-    storage precision the ranking agrees with the single-chip engine to
-    ~0.99 on clustered embeddings).
+    clusters it owns, and an ``all_gather`` of the [B, r] partials +
+    merge yields the global result — comms O(B*r*n_shards), never
+    O(B*S*nprobe).
+
+    ``vectors`` + ``rescore_r``: the single-chip engine's second tier —
+    the merged top-``max(rescore_r, k)`` candidates rescore against the
+    replicated f32 store (one O(B*r*d) gather on the already-replicated
+    result; no extra collectives), so reported distances are exact and
+    int8 block quantization costs no recall, exactly like
+    ``IvfIndex.search``. Without it, ranking is at block storage
+    precision (bf16 ~0.99 agreement; int8 visibly lossier).
 
     Returns (dists [B, k], global slots [B, k]) replicated.
     """
@@ -128,6 +135,7 @@ def sharded_ivf_search(
     is_int8 = jnp.dtype(blocks.dtype) == jnp.int8
     if is_int8 and scales is None:
         raise ValueError("int8 blocks require per-member scales")
+    r = max(rescore_r, k) if (vectors is not None and rescore_r) else k
 
     @partial(
         shard_map,
@@ -161,17 +169,29 @@ def sharded_ivf_search(
             & (ms >= 0)
             & v[jnp.maximum(ms, 0)]
         )
-        ld, li = masked_topk(dist, k, mask=ok, ids=ms)
-        # 3) tiny per-shard top-k -> replicated global merge
-        gd = jax.lax.all_gather(ld, axis)                    # [S, B, k]
+        ld, li = masked_topk(dist, r, mask=ok, ids=ms)
+        # 3) tiny per-shard top-r -> replicated global merge
+        gd = jax.lax.all_gather(ld, axis)                    # [S, B, r]
         gi = jax.lax.all_gather(li, axis)
         gd = jnp.moveaxis(gd, 0, 1).reshape(b, -1)
         gi = jnp.moveaxis(gi, 0, 1).reshape(b, -1)
-        return sorted_topk_unique(gd, gi, k)
+        return sorted_topk_unique(gd, gi, r)
 
     if scales is None:
         scales = jnp.ones(blocks.shape[:2], jnp.float32)
-    return _search(queries, centroids, blocks, member_slots, valid, scales)
+    d_r, slots_r = _search(
+        queries, centroids, blocks, member_slots, valid, scales
+    )
+    if r == k:
+        return d_r, slots_r
+    # exact f32 rescore of the merged survivors (replicated compute)
+    q = queries.astype(jnp.float32)
+    if metric is Metric.COSINE:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    cv = vectors[jnp.maximum(slots_r, 0)]
+    dd = gathered_distances(q, cv, metric)
+    dd = jnp.where(slots_r >= 0, dd, jnp.inf)
+    return sorted_topk_unique(dd, slots_r, k)
 
 
 def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
@@ -215,12 +235,15 @@ def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
         sc = jax.device_put(sc, spec2)
     valid = index.store.valid
 
+    vectors = index.store.vectors
+
     def search(queries, k: int = 10, nprobe: int | None = None):
         q = jnp.asarray(queries, jnp.float32)
         return sharded_ivf_search(
             q, cent, blocks, ms, valid, k,
             nprobe or index.nprobe, index.metric, mesh, axis,
             n_real=ncl, scales=sc,
+            vectors=vectors, rescore_r=index.rescore_r,
         )
 
     return search

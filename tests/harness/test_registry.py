@@ -26,7 +26,7 @@ def test_all_permutations_cover_grid():
     assert len(by_treatment["vss"]) == 10 + 9
     assert len(by_treatment["graph_traversal"]) == 2
     # singletons appear once regardless of sizes
-    assert len(by_treatment["embed"]) == 2  # hash + flax-minilm-shape
+    assert len(by_treatment["embed"]) == 3  # hash + 2 flax shapes
 
 
 def test_permutation_ids_unique_and_stable():

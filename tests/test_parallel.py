@@ -517,3 +517,25 @@ def test_sharded_kmeans_quality_matches_local(rng):
     # centroid selection as the null — trained must be far better
     null = inertia(x[np.random.default_rng(0).integers(0, n, ncl)])
     assert inertia(cent) < 0.7 * null, (inertia(cent), null)
+
+
+def test_build_ivf_sharded_int8_blocks(rng):
+    """DP-trained build composes with int8 block quantization (the
+    rescore keeps distances exact, so recall must match bf16)."""
+    from muninn_tpu.parallel import build_ivf_sharded, shard_ivf
+
+    n, d, k = 1024, 32, 10
+    x = _clustered_corpus(rng, n, d)
+    q = _clustered_corpus(np.random.default_rng(9), 16, d)
+    want = _exact_cosine_topk(q, x, k)
+    mesh = make_mesh(4)
+    recalls = {}
+    for quant in ("bf16", "int8"):
+        ivf = build_ivf_sharded(
+            np.arange(n), x, mesh, metric="cosine", cluster_size=64,
+            nprobe=8, quant=quant, seed=0,
+        )
+        _d, slots = shard_ivf(ivf, mesh)(jnp.asarray(q), k=k)
+        recalls[quant] = _recall(np.asarray(slots), want)
+    assert recalls["bf16"] >= 0.9, recalls
+    assert recalls["int8"] >= recalls["bf16"] - 0.05, recalls
