@@ -538,3 +538,59 @@ def test_search_coalescing_validates_inputs_individually(rng):
         assert st_b == 400 and "queries must be" in r_b["error"]
     finally:
         srv.stop()
+
+
+def test_search_coalescing_with_concurrent_mutations(rng):
+    """Searches coalescing while inserts/deletes land must never 5xx
+    and must end consistent: the engine lock serializes the batched
+    search dispatch against mutations, so every response reflects SOME
+    consistent index state."""
+    import threading
+
+    srv = EngineServer(coalesce_window=0.02)
+    port = srv.start(port=0)
+    try:
+        n, d = 256, 16
+        x = rng.standard_normal((n + 64, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        _post(port, "/index/create",
+              {"name": "m", "dim": d, "kind": "flat", "metric": "cosine"})
+        _post(port, "/index/insert",
+              {"name": "m", "ids": list(range(n)), "vectors": x[:n].tolist()})
+
+        statuses: list[int] = []
+        lock = threading.Lock()
+
+        def searcher(i):
+            for r in range(6):
+                st, body = _post(port, "/index/search",
+                                 {"name": "m",
+                                  "queries": [x[(i * 7 + r) % n].tolist()],
+                                  "k": 5})
+                with lock:
+                    statuses.append(st)
+
+        def mutator():
+            for w in range(4):
+                st1, _ = _post(port, "/index/insert", {
+                    "name": "m", "ids": list(range(n + w * 16, n + w * 16 + 16)),
+                    "vectors": x[n + w * 16 : n + w * 16 + 16].tolist(),
+                })
+                st2, _ = _post(port, "/index/delete",
+                               {"name": "m", "ids": [w * 3, w * 3 + 1]})
+                with lock:
+                    statuses.extend([st1, st2])
+
+        threads = [threading.Thread(target=searcher, args=(i,))
+                   for i in range(8)] + [threading.Thread(target=mutator)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert statuses and all(s == 200 for s in statuses), statuses
+        # final state: all inserts + deletes applied
+        st, r = _post(port, "/index/search",
+                      {"name": "m", "queries": [x[n].tolist()], "k": 1})
+        assert st == 200 and r["ids"][0][0] == n   # a late insert is live
+    finally:
+        srv.stop()
