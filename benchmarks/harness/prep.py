@@ -19,8 +19,29 @@ def vss_cache_path(n: int, dim: int) -> Path:
     return DATA_DIR / f"vss_n{n}_d{dim}.npz"
 
 
-def vss_data(rng, n: int, dim: int, n_q: int = 256):
-    """(corpus, heldout queries, ood queries) — cached when prep ran."""
+def _zipf_clustered(rng, n, dim):
+    """Zipf-skewed cluster sizes: a few giant clusters + a long tail —
+    the HARD distribution for cluster-routing ANN (uniform probes
+    under-cover giant clusters). The second synthetic dataset, playing
+    the reference's ag_news-vs-wealth_of_nations dataset comparison
+    role with a controlled distribution shift."""
+    ncl = max(n // 100, 4)
+    c = rng.standard_normal((ncl, dim)).astype(np.float32)
+    p = 1.0 / np.arange(1, ncl + 1) ** 1.2
+    p /= p.sum()
+    assign = rng.choice(ncl, size=n, p=p)
+    x = c[assign] + 0.3 * rng.standard_normal((n, dim)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def vss_data(rng, n: int, dim: int, n_q: int = 256,
+             dataset: str = "clustered"):
+    """(corpus, heldout queries, ood queries) — cached when prep ran
+    (the cache covers the default 'clustered' dataset only)."""
+    if dataset == "zipf":
+        x = _zipf_clustered(rng, n, dim)
+        return x, _heldout_queries(rng, x, n_q), _zipf_clustered(rng, n_q, dim)
     p = vss_cache_path(n, dim)
     if p.exists():
         z = np.load(p)

@@ -29,6 +29,12 @@ def _vss_grid(sizes):
         # the held-out series (see core._heldout_queries)
         out.append({"engine": "hnsw", "n": n, "dim": 128, "k": 10,
                     "queries": "ood"})
+        # dataset-shift comparison (the reference's ag_news vs
+        # wealth_of_nations role): zipf-skewed cluster sizes — the hard
+        # case for cluster-routing engines
+        for engine in ("hnsw", "ivf"):
+            out.append({"engine": engine, "n": n, "dim": 128, "k": 10,
+                        "queries": "heldout", "dataset": "zipf"})
     # reference-published model dims at the reference's own Ns
     # (recall_models_ag_news.json: MiniLM 384-d @ 100..100k, BGE-Large
     # 1024-d @ 100/5k/50k) — fixed series, independent of --sizes
@@ -73,7 +79,9 @@ def run_vss(params, rng, emit):
 
     n, dim, k = params["n"], params["dim"], params["k"]
     engine = params["engine"]
-    x, q_heldout, q_ood = prep_mod.vss_data(rng, n, dim)
+    x, q_heldout, q_ood = prep_mod.vss_data(
+        rng, n, dim, dataset=params.get("dataset", "clustered")
+    )
     q = q_heldout if params["queries"] == "heldout" else q_ood
     n_q = len(q)
 

@@ -23,7 +23,7 @@ def test_all_permutations_cover_grid():
         by_treatment.setdefault(p.treatment, []).append(p)
     # vss: 4 engines heldout + 1 hnsw ood per size, plus the fixed
     # reference model-dim series (6 x 384-d, 3 x 1024-d)
-    assert len(by_treatment["vss"]) == 10 + 9
+    assert len(by_treatment["vss"]) == 14 + 9  # 4 engines + ood + 2 zipf per size
     assert len(by_treatment["graph_traversal"]) == 2
     # singletons appear once regardless of sizes
     assert len(by_treatment["embed"]) == 3  # hash + 2 flax shapes
