@@ -79,7 +79,15 @@ def _kmeans(
     """Lloyd's kmeans, fully on device: per iteration one lax.scan over
     row chunks doing an MXU distance matmul + argmin assignment and a
     one-hot matmul centroid update (scatter-free). Empty clusters keep
-    their previous centroid. Returns centroids [ncl, d] f32."""
+    their previous centroid. Returns centroids [ncl, d] f32.
+
+    (Round 4 investigated starved-centroid relocation — kmeans++-style
+    D^2 jumps for natural clusters that seeding misses. Measured a
+    non-fix: on data where routing recall collapses, even ORACLE
+    centroids at the true cluster centers recall only ~0.35 — the
+    collapse is a DATA property (true neighbors live in the
+    directional tail, not the local cluster), not a clustering defect.
+    See DEVELOPMENT.md "IVF data-regime bounds".)"""
     npad, d = v.shape
     nch = npad // chunk
     iota = jnp.arange(ncl, dtype=jnp.int32)
@@ -88,7 +96,7 @@ def _kmeans(
     g = jax.random.gumbel(key, (npad,))
     scores = jnp.where(valid, g, -jnp.inf)
     _, seed_idx = jax.lax.top_k(scores, ncl)
-    cent0 = v[seed_idx]
+    cent0 = v[seed_idx].astype(jnp.float32)  # carry stays f32 (bf16 stores)
 
     vc_all = v.reshape(nch, chunk, d)
     va_all = valid.reshape(nch, chunk)
@@ -384,9 +392,17 @@ class IvfIndex:
         seed: int = 0,
         capacity: int = 1024,
         quant: str = "bf16",
+        store_dtype=jnp.float32,
     ):
+        """``store_dtype=jnp.bfloat16`` halves the vector store (the
+        exact-rescore source): at multi-million-row scale the f32 store
+        is the HBM wall (4M x 384 f32 = 6.15 GB), and rescoring against
+        bf16-stored rows costs ~nothing on recall (the candidates'
+        RELATIVE order is what the rescore fixes; bf16 keeps ~3 decimal
+        digits, far tighter than the int8/bf16 block ranking it
+        corrects). Distance outputs stay f32."""
         self.metric = parse_metric(metric)
-        self.store = VectorStore(dim, capacity)
+        self.store = VectorStore(dim, capacity, dtype=store_dtype)
         self.cluster_size = int(cluster_size)
         self.nprobe = int(nprobe)
         self.rescore_r = int(rescore_r)

@@ -239,12 +239,17 @@ def save_ivf(index, path: str | os.PathLike) -> None:
         np.concatenate([np.asarray(s, np.int64) for s in index._pending])
         if index._pending else np.zeros(0, np.int64)
     )
-    arrays = {
-        "vectors": np.asarray(store.vectors),
+    if store.vectors.dtype == jnp.bfloat16:
+        # npz has no bfloat16: store the bit pattern (uint16 view),
+        # restored via view on load (same trick as the bf16 blocks)
+        arrays = {"vectors_u16": np.asarray(store.vectors).view(np.uint16)}
+    else:
+        arrays = {"vectors": np.asarray(store.vectors)}
+    arrays.update({
         "valid": np.asarray(store.valid),
         "ids": ids,
         "pending": pending,
-    }
+    })
     if built:
         arrays["centroids"] = np.asarray(index.centroids)
         if index.quant == "int8":
@@ -284,6 +289,8 @@ def load_ivf(path: str | os.PathLike):
     p = Path(path)
     m = _read_manifest(p, "ivf")
     z = np.load(p / "arrays.npz")
+    bf16_store = "vectors_u16" in z
+    vkey = "vectors_u16" if bf16_store else "vectors"
     idx = IvfIndex(
         m["dim"], m["metric"],
         cluster_size=m["cluster_size"], nprobe=m["nprobe"],
@@ -291,11 +298,15 @@ def load_ivf(path: str | os.PathLike):
         kmeans_iters=m["kmeans_iters"],
         assign_rounds=m.get("assign_rounds", 2),
         train_sample=m["train_sample"], seed=m["seed"],
-        capacity=z["vectors"].shape[0],
+        capacity=z[vkey].shape[0],
         quant=m.get("quant", "bf16"),
+        store_dtype=jnp.bfloat16 if bf16_store else jnp.float32,
     )
     st = idx.store
-    st.vectors = jnp.asarray(z["vectors"])
+    st.vectors = (
+        jnp.asarray(z["vectors_u16"]).view(jnp.bfloat16) if bf16_store
+        else jnp.asarray(z["vectors"])
+    )
     st.valid = jnp.asarray(z["valid"])
     ids = z["ids"]
     st._id_of = ids.copy()

@@ -284,3 +284,43 @@ def test_ivf_randomized_churn_differential(tmp_path):
         idx2 = load_ivf(tmp_path / f"ck{trial}")
         g2, _ = idx2.search(q, k=5, nprobe=idx2.nlist)
         assert np.array_equal(got, g2)
+
+
+def test_bf16_store_mode(module_rng):
+    """store_dtype=bfloat16 halves the store; the rescore runs against
+    bf16 rows — recall must match the f32-store build within noise
+    (the big-N HBM mode used by tools/probes/scale_4m_ivf_probe.py)."""
+    import jax.numpy as jnp
+
+    rng = module_rng
+    x, q = _clustered(rng, 4000, 48)
+    flat = FlatIndex(48, "cosine")
+    flat.insert(np.arange(4000), x)
+    true_ids, _ = flat.search(q, k=10)
+
+    recalls = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        idx = IvfIndex(48, "cosine", cluster_size=64, nprobe=8,
+                       rescore_r=32, seed=1, store_dtype=dt)
+        idx.insert(np.arange(4000), x)
+        ids, dists = idx.search(q, k=10)
+        recalls[dt.__name__] = _recall(ids, true_ids)
+        assert np.asarray(dists).dtype == np.float32  # outputs stay f32
+        # churn works through the bf16 store too
+        idx.insert(np.arange(4000, 4032), x[:32])
+        idx.delete(np.arange(16))
+        ids2, _ = idx.search(q[:8], k=5)
+        assert not set(ids2[ids2 >= 0].tolist()) & set(range(16))
+        # checkpoint identity (bf16 stores round-trip via uint16 views)
+        import tempfile
+
+        from muninn_tpu.io.checkpoint import load_ivf, save_ivf
+
+        with tempfile.TemporaryDirectory() as d:
+            save_ivf(idx, d)
+            idx3 = load_ivf(d)
+            assert idx3.store.vectors.dtype == dt
+            a, _ = idx.search(q[:8], k=5)
+            b, _ = idx3.search(q[:8], k=5)
+            np.testing.assert_array_equal(a, b)
+    assert recalls["bfloat16"] >= recalls["float32"] - 0.02, recalls
