@@ -291,7 +291,8 @@ def _ivf_search(
     kernel on TPU) -> top-r -> exact f32 rescore -> top-k. int8 blocks
     dequantize in the epilogue (dots *= scale, norms *= scale^2)."""
     b, d = q.shape
-    ncl, s, _ = blocks.shape
+    _, s, _ = blocks.shape     # blocks may carry padded phantom rows
+    ncl = centroids.shape[0]   # routing space = the REAL clusters
     qf = q.astype(jnp.float32)
 
     # 1) probe selection: exact top-p clusters by centroid distance
@@ -548,7 +549,14 @@ class IvfIndex:
         # (one balanced-Lloyd step over the full corpus).
         c = min(16, ncl)
         m = ncl * s
-        mpad = _round_up(m, min(m, 131_072)) if m >= 131_072 else m
+        # pack grid: chunk must be a multiple of s (cluster boundaries
+        # stay block-aligned); blocks KEEP the padded row count — a
+        # [:m] slice would copy the whole multi-GB block array (the
+        # 4M x 768 OOM), and phantom clusters (member_slots -1, never
+        # probed: routing runs on the REAL centroids only) cost <100 MB
+        pc = max(s, (131_072 // s) * s)
+        mpad = _round_up(m, pc) if m >= pc else m
+        ncl_pad = mpad // s
         self.blocks = None  # drop the old build before packing the new
         blocks = member_slots = None
         for _ in range(max(self.assign_rounds, 1)):
@@ -568,12 +576,18 @@ class IvfIndex:
             # the f32 gather intermediate never exceeds ~400 MB)
             flat_slots = np.full(mpad, -1, np.int32)
             flat_slots[pos[placed]] = live[placed].astype(np.int32)
-            del blocks  # free last round's 1.8 GB before repacking
-            blocks = _pack_blocks(self.store.vectors, jnp.asarray(flat_slots))[
-                :m
-            ].reshape(ncl, s, self.store.dim)
-            member_slots = jnp.asarray(flat_slots[:m].reshape(ncl, s))
-            cent = _block_means(blocks, member_slots, cent)
+            del blocks  # free last round's blocks before repacking
+            blocks = _pack_blocks(
+                self.store.vectors, jnp.asarray(flat_slots)
+            ).reshape(ncl_pad, s, self.store.dim)
+            member_slots = jnp.asarray(flat_slots.reshape(ncl_pad, s))
+            cent_pad = (
+                jnp.concatenate(
+                    [cent, jnp.zeros((ncl_pad - ncl, cent.shape[1]),
+                                     jnp.float32)]
+                ) if ncl_pad > ncl else cent
+            )
+            cent = _block_means(blocks, member_slots, cent_pad)[:ncl]
         del v, valid
         if self.quant == "int8":
             self.blocks, self.block_scales = _quantize_blocks(blocks)
@@ -630,23 +644,26 @@ class IvfIndex:
                 + _ranks_within(assigned[placed], base)
             ).astype(np.int32)
             pslots = slots[placed]
-            flat = self.blocks.reshape(ncl * s, self.dim)
+            # blocks may carry padded phantom rows past ncl*s; flatten
+            # by -1 (scatter positions are always < ncl*s)
+            flat = self.blocks.reshape(-1, self.dim)
             frows = self.store.vectors[jnp.asarray(pslots)].astype(jnp.float32)
             if self.quant == "int8":
                 rows, sc = quantize_rows_int8(frows)
                 self.block_scales = (
-                    self.block_scales.reshape(ncl * s)
-                    .at[jnp.asarray(pos)].set(sc).reshape(ncl, s)
+                    self.block_scales.reshape(-1)
+                    .at[jnp.asarray(pos)].set(sc)
+                    .reshape(self.block_scales.shape)
                 )
             else:
                 rows = frows.astype(jnp.bfloat16)
             self.blocks = flat.at[jnp.asarray(pos)].set(rows).reshape(
-                ncl, s, self.dim
+                self.blocks.shape
             )
-            mflat = self.member_slots.reshape(ncl * s)
+            mflat = self.member_slots.reshape(-1)
             self.member_slots = mflat.at[jnp.asarray(pos)].set(
                 jnp.asarray(pslots.astype(np.int32))
-            ).reshape(ncl, s)
+            ).reshape(self.member_slots.shape)
         if (~placed).any():
             self._pending.append(slots[~placed].astype(np.int32))
             self._pending_count += int((~placed).sum())

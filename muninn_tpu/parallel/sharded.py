@@ -209,9 +209,13 @@ def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
     ncl = index.nlist
     pad = (-ncl) % nsh
     cent = index.centroids
-    blocks = index.blocks
-    ms = index.member_slots
+    # big builds keep blocks padded past nlist (phantom clusters, see
+    # IvfIndex.rebuild); slice to the real clusters before distributing
+    blocks = index.blocks[:ncl]
+    ms = index.member_slots[:ncl]
     sc = index.block_scales
+    if sc is not None:
+        sc = sc[:ncl]
     if pad:
         # padded clusters are excluded from routing via n_real
         cent = jnp.concatenate(

@@ -1,6 +1,7 @@
-"""IVF engine at 4M x 768 cosine on ONE chip — the northstar corpus
-law at 4x the rows (and 40x the reference's largest demonstrated
-corpus).
+"""IVF engine at 3M x 768 cosine on ONE chip — the northstar corpus
+law at 3x the rows (and 30x the reference's largest demonstrated
+corpus). 4M was measured OVER budget: store 6.15 + blocks 7.37 GB
+steady leaves <1 GB for the build's pack/assign transients.
 
 HBM choreography (15.75 GB budget):
 - rows generate in 1M chunks and stream into a bf16 store
@@ -31,19 +32,24 @@ def main():
     from muninn_tpu.index.ivf import IvfIndex, _ivf_search
 
     D, B, K = 768, 8192, 10
-    N = 4_000_000
+    N = 3_000_000
     CHUNK = 1_000_000
-    CAP = 4_005_888          # 2048-aligned
+    CAP = 3_004_416          # 2048-aligned
     GTCH = 2048
 
     print(f"backend={jax.default_backend()}  N={N:,} x {D}", flush=True)
 
-    @jax.jit
-    def gen_centers(key):
-        c = jax.random.normal(key, (4096, D), jnp.float32)
-        return c / jnp.linalg.norm(c, axis=1, keepdims=True)
-
-    centers = gen_centers(jax.random.PRNGKey(21))
+    # centers stay UNNORMALIZED — the bench's generator law. Center
+    # norm ~sqrt(d) dominates the 0.3/dim noise, giving strongly
+    # clustered rows; normalizing centers to unit length makes noise
+    # dominate and the corpus effectively UNIFORM on the sphere, where
+    # no cluster router can find the (tail-distributed) true neighbors
+    # — an earlier probe did exactly that and measured recall 0.03
+    # while the engine was fine (DEVELOPMENT.md "IVF data-regime
+    # bounds").
+    centers = jax.jit(
+        lambda k: jax.random.normal(k, (4096, D), jnp.float32)
+    )(jax.random.PRNGKey(21))
 
     @jax.jit
     def gen_chunk(centers, key):
@@ -73,7 +79,7 @@ def main():
         ivf.load_rows(np.arange(i * CHUNK, (i + 1) * CHUNK), xc)
         del xc
         _ = np.asarray(ivf.store.vectors[0, 0])  # drain before next chunk
-    print(f"4M rows streamed into the store in {time.time() - t0:.1f}s "
+    print(f"{N} rows streamed into the store in {time.time() - t0:.1f}s "
           f"({ivf.store.vectors.nbytes / 1e9:.2f} GB bf16)", flush=True)
 
     # chunked exact ground truth off the bf16 store (512 queries)
