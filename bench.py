@@ -129,6 +129,31 @@ def _finalize(exit_code=None):
         "extras": EXTRAS,
     }
     print(json.dumps(record))
+    # COMPACT final record, printed LAST: the driver parses the last
+    # JSON line of a bounded TAIL of stdout, and the full record above
+    # is one huge line that gets captured mid-record (BENCH_r03/r04 both
+    # ended with parsed=null — round-4 VERDICT Weak #1). This short line
+    # (<~600 bytes: sha, status, the floor metrics) always fits the tail
+    # window whole, so `parsed` is non-null even when the full record is
+    # clipped.
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
+        "extras": {
+            "compact": True,
+            "status": EXTRAS.get("status"),
+            "git": EXTRAS.get("version", {}).get("git", ""),
+            "floor_violations": EXTRAS.get("floor_violations", []),
+            **{
+                name: round(MEDIANS[name], 1)
+                for name in FLOORS
+                if MEDIANS.get(name)
+            },
+        },
+    }
+    print(json.dumps(compact))
     sys.stdout.flush()
     if exit_code is not None:
         os._exit(exit_code)

@@ -195,6 +195,12 @@ def betweenness(
     to the native sequential Brandes (``muninn_graph.cpp``) — see
     ``graph.routing``; ``weighted_alg=False`` lets the host use plain
     BFS instead of Dijkstra when all weights are 1.
+
+    Precision: path counts (sigma) are f32 on BOTH the device engine
+    and the unweighted host kernel — exact up to 2^24 paths, rounded
+    beyond, inf past ~3.4e38 (those sources' contributions drop). The
+    envelope is identical across backends so routing never changes
+    results; the weighted host path keeps sigma in double.
     """
     n = num_nodes
     if n < 2:

@@ -117,8 +117,12 @@ class VectorStore:
         # The update DONATES the old buffer (jit donate_argnums): an
         # eager dynamic_update_slice double-buffers the whole store —
         # at a 6 GB store that transient 2x was the difference between
-        # fitting and OOM (scale_4m_ivf_probe). Donation is best-effort
-        # and safe: jax copies instead when the buffer is shared.
+        # fitting and OOM (scale_4m_ivf_probe). CAUTION: donation
+        # DELETES the old buffer even if other Python references to it
+        # are live (verified empirically — jax does NOT copy-on-share),
+        # so long-lived consumers must snapshot ``vectors``/``valid``
+        # rather than alias them (``parallel.sharded.shard_ivf`` makes
+        # replicated device_put copies for exactly this reason).
         self.vectors = _donated_update_rows(
             self.vectors, vecs, jnp.int32(self._high)
         )

@@ -253,6 +253,16 @@ namespace {
 // the whole lane dimension is 1-2 instructions per edge. sigma/delta
 // are float like the device engine (centrality._brandes_batch uses
 // f32 throughout); the fold into node_cb stays double.
+//
+// PRECISION BOUND (round-4 ADVICE): f32 holds path counts exactly only
+// up to 2^24 (~1.7e7); beyond that sigma rounds, and at ~3.4e38 it
+// overflows to inf (reciprocal 0 -> that source's delta contributions
+// silently drop). Path counts grow combinatorially on dense/lattice
+// graphs, so this host kernel's guarantee is WEAKER than the previous
+// all-double sequential kernel — but identical to the device engine's,
+// so host/device routing cannot change results. Graphs whose centrality
+// demands exact astronomically-large path counts should use the
+// weighted path (dijkstra-based, sigma in double below).
 struct BrandesLevels {
     std::vector<int32_t> stamp;  // [V] last level the node was listed at
     std::vector<std::vector<int32_t>> levels;  // node list per level

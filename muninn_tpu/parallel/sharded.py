@@ -135,7 +135,14 @@ def sharded_ivf_search(
     is_int8 = jnp.dtype(blocks.dtype) == jnp.int8
     if is_int8 and scales is None:
         raise ValueError("int8 blocks require per-member scales")
-    r = max(rescore_r, k) if (vectors is not None and rescore_r) else k
+    # Rescore whenever the caller provides the f32 store and a positive
+    # rescore_r — INCLUDING when r == k (e.g. k >= rescore_r): the
+    # final exact gather is what makes reported distances f32-exact and
+    # the int8 ranking lossless, matching IvfIndex.search which always
+    # rescores with r = max(rescore_r, k) (round-4 ADVICE: the old
+    # ``r == k`` early-return silently returned block-precision dists).
+    do_rescore = vectors is not None and rescore_r > 0
+    r = max(rescore_r, k) if do_rescore else k
 
     @partial(
         shard_map,
@@ -182,7 +189,7 @@ def sharded_ivf_search(
     d_r, slots_r = _search(
         queries, centroids, blocks, member_slots, valid, scales
     )
-    if r == k:
+    if not do_rescore:
         return d_r, slots_r
     # exact f32 rescore of the merged survivors (replicated compute)
     q = queries.astype(jnp.float32)
@@ -237,9 +244,18 @@ def shard_ivf(index, mesh: Mesh | None = None, axis: str = "shard"):
     ms = jax.device_put(ms, spec2)
     if sc is not None:
         sc = jax.device_put(sc, spec2)
-    valid = index.store.valid
-
-    vectors = index.store.vectors
+    # SNAPSHOT the store arrays (replicated device_put = fresh buffers,
+    # like ``blocks`` above). The closure must NOT alias live store
+    # buffers: ``VectorStore.add`` updates them with donation, which
+    # DELETES the old buffer even while this closure still references it
+    # — a later ``index.insert()`` would crash every subsequent sharded
+    # search with "Array has been deleted" (round-4 ADVICE, reproduced
+    # on the 8-device CPU mesh).
+    rep = jax.sharding.NamedSharding(mesh, P())
+    # jnp.copy first: device_put alone can alias the source buffer when
+    # the array is already resident on a mesh device (1-device meshes).
+    valid = jax.device_put(jnp.copy(index.store.valid), rep)
+    vectors = jax.device_put(jnp.copy(index.store.vectors), rep)
 
     def search(queries, k: int = 10, nprobe: int | None = None):
         q = jnp.asarray(queries, jnp.float32)

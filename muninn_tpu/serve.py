@@ -36,6 +36,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class EngineError(RuntimeError):
+    """A failure INSIDE the engine call (search/insert dispatch), as
+    opposed to request-input validation. The handler maps this to 500
+    for every affected request — engine exceptions that happen to be
+    KeyError/ValueError/TypeError must not masquerade as client 4xx
+    errors (round-4 ADVICE on the coalescer's error contract)."""
+
+
 class _SearchCoalescer:
     """Micro-batch aggregation for concurrent ``/index/search``.
 
@@ -70,7 +78,10 @@ class _SearchCoalescer:
             kw["ef_search"] = ef_search
         if nprobe is not None and hasattr(idx, "nprobe"):
             kw["nprobe"] = nprobe
-        return idx.search(q, k=k, **kw)
+        try:
+            return idx.search(q, k=k, **kw)
+        except Exception as e:
+            raise EngineError(f"engine search failed: {e}") from e
 
     def search(self, body):
         server = self.server
@@ -396,6 +407,10 @@ class EngineServer:
                         return
                     with server._lock:
                         self._send(200, fn(body))
+                except EngineError as e:
+                    # engine failures are server-side 5xx for every
+                    # member of a shared batch, never 4xx
+                    self._send(500, {"error": str(e)})
                 except (KeyError, ValueError, TypeError) as e:
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # pragma: no cover

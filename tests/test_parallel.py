@@ -212,6 +212,66 @@ def test_shard_ivf_guards(rng):
         shard_ivf(idx, make_mesh())  # unbuilt
 
 
+def test_shard_ivf_survives_store_insert(rng):
+    """Regression (round-4 ADVICE): ``VectorStore.add`` updates its
+    buffers with DONATION, which deletes the old buffer even while
+    other Python references are live. ``shard_ivf`` must snapshot
+    ``vectors``/``valid`` — a post-shard ``index.insert()`` (within
+    reserved capacity, so no grow-copy saves us) must not break the
+    captured search closure with 'Array has been deleted'."""
+    from muninn_tpu.index.ivf import IvfIndex
+    from muninn_tpu.parallel import shard_ivf
+
+    d = 16
+    x = rng.standard_normal((600, d)).astype(np.float32)
+    idx = IvfIndex(d, "cosine", cluster_size=32, nprobe=4, seed=0)
+    idx.insert(np.arange(600), x)
+    idx.rebuild()
+    search = shard_ivf(idx, make_mesh())
+    q = x[:8]
+    d0, i0 = search(q, k=5)
+    # in-capacity insert => donated dynamic_update_slice on the SAME
+    # buffers the closure captured pre-fix
+    assert idx.store.high_watermark + 64 <= idx.store.capacity
+    idx.insert(np.arange(10_000, 10_064),
+               rng.standard_normal((64, d)).astype(np.float32))
+    d1, i1 = search(q, k=5)  # crashed pre-fix
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-5)
+
+
+def test_sharded_ivf_rescores_when_k_at_least_rescore_r(rng):
+    """Regression (round-4 ADVICE): with k >= rescore_r the sharded
+    search used to skip the exact f32 rescore and return
+    block-precision (int8) distances. Reported distances must be
+    f32-exact for the returned slots, like ``IvfIndex.search``."""
+    from muninn_tpu.index.ivf import IvfIndex
+    from muninn_tpu.parallel import shard_ivf
+
+    d, k = 32, 12
+    x = _clustered_corpus(rng, 900, d)
+    idx = IvfIndex(d, "cosine", cluster_size=32, nprobe=8,
+                   rescore_r=8, quant="int8", seed=3)
+    idx.insert(np.arange(900), x)
+    idx.rebuild()
+    assert k >= idx.rescore_r
+    q = _clustered_corpus(np.random.default_rng(5), 8, d)
+    dists, slots = shard_ivf(idx, make_mesh())(jnp.asarray(q), k=k)
+    dists, slots = np.asarray(dists), np.asarray(slots)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    xs = np.asarray(idx.store.vectors)
+    for b in range(len(q)):
+        for j in range(k):
+            s = slots[b, j]
+            if s < 0:
+                continue
+            v = xs[s] / max(np.linalg.norm(xs[s]), 1e-30)
+            exact = 1.0 - float(qn[b] @ v)
+            assert abs(dists[b, j] - exact) < 1e-3, (
+                b, j, dists[b, j], exact
+            )
+
+
 def test_sharded_components_matches_host(rng):
     """Edge-sharded min-label components == networkx-style host union
     on a random graph with several components, shard-count invariant."""

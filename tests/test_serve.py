@@ -540,6 +540,38 @@ def test_search_coalescing_validates_inputs_individually(rng):
         srv.stop()
 
 
+def test_engine_failure_is_500_not_400(rng, monkeypatch):
+    """Regression (round-4 ADVICE): an engine failure inside the shared
+    coalesced call must be a 5xx for every member — even when the
+    underlying exception type is ValueError/KeyError/TypeError (which
+    the handler maps to 400 for INPUT validation only)."""
+    srv = EngineServer(coalesce_window=0.02)
+    port = srv.start(port=0)
+    try:
+        d = 8
+        x = rng.standard_normal((16, d)).astype(np.float32)
+        _post(port, "/index/create", {"name": "f", "dim": d, "kind": "flat"})
+        _post(port, "/index/insert",
+              {"name": "f", "ids": list(range(16)), "vectors": x.tolist()})
+        idx = srv.indexes["f"]
+
+        def boom(*a, **k):
+            raise ValueError("engine internal invariant violated")
+
+        monkeypatch.setattr(type(idx), "search", boom)
+        st, r = _post(port, "/index/search",
+                      {"name": "f", "queries": [x[0].tolist()], "k": 2})
+        assert st == 500, (st, r)
+        assert "engine search failed" in r["error"]
+        # the zero-window (direct) path honors the same contract
+        srv.coalescer.window = 0.0
+        st2, r2 = _post(port, "/index/search",
+                        {"name": "f", "queries": [x[0].tolist()], "k": 2})
+        assert st2 == 500, (st2, r2)
+    finally:
+        srv.stop()
+
+
 def test_search_coalescing_with_concurrent_mutations(rng):
     """Searches coalescing while inserts/deletes land must never 5xx
     and must end consistent: the engine lock serializes the batched
