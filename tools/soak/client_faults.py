@@ -308,6 +308,92 @@ def concurrent_throughput_trial() -> list[str]:
     return errs
 
 
+def mixed_param_concurrent_trial() -> list[str]:
+    """Mixed-parameter coalescing assertion (VERDICT r4 task #6):
+    concurrent clients with DIFFERENT k/ef/nprobe against one index
+    must still share engine dispatches (pad to the window max, slice
+    back per member), each receiving its own k columns with a correct
+    top-1, and mixed-traffic throughput must stay within ~0.8x of the
+    uniform-param coalesced rate measured on the same server."""
+    import threading
+
+    import numpy as np
+
+    from muninn_tpu.serve import EngineServer
+
+    errs: list[str] = []
+    srv = EngineServer(coalesce_window=0.05)
+    port = srv.start(port=0)
+    try:
+        from muninn_tpu.client import EngineClient
+
+        n, d, n_clients, rounds = 400, 24, 16, 4
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        boot = EngineClient(f"http://127.0.0.1:{port}")
+        boot.create_index("mix", d, kind="ivf", metric="cosine",
+                          cluster_size=32, nprobe=4)
+        boot.index("mix").insert(list(range(n)), x.tolist())
+
+        def run_phase(mixed: bool) -> tuple[list[str], float]:
+            bad: list[str] = []
+            barrier = threading.Barrier(n_clients)
+
+            def client(ci: int):
+                c = EngineClient(f"http://127.0.0.1:{port}")
+                h = c.index("mix")
+                barrier.wait()
+                for r in range(rounds):
+                    qi = (ci * rounds + r) % n
+                    k = 2 + (ci % 7) if mixed else 3
+                    kw = {}
+                    if mixed and ci % 3 == 1:
+                        kw["nprobe"] = 4 + ci % 5
+                    ids, dists = h.search([x[qi].tolist()], k=k, **kw)
+                    if len(ids[0]) != k:
+                        bad.append(f"client {ci}: got {len(ids[0])} cols, "
+                                   f"want k={k}")
+                    if ids[0][0] != qi:
+                        bad.append(f"client {ci} round {r}: top1 "
+                                   f"{ids[0][0]} want {qi}")
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(n_clients)]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            qps = n_clients * rounds / (time.time() - t0)
+            return bad, qps
+
+        # warm BOTH phases' jit shapes first (each distinct k_max/nprobe
+        # is a one-time compile; steady-state is what's asserted)
+        run_phase(mixed=False)
+        run_phase(mixed=True)
+        _, uni_qps = run_phase(mixed=False)
+        bad, mix_qps = run_phase(mixed=True)
+        errs += bad
+        if srv.coalescer.batches >= srv.coalescer.requests * 0.75:
+            errs.append(
+                f"mixed coalescing ineffective: {srv.coalescer.batches} "
+                f"dispatches / {srv.coalescer.requests} requests"
+            )
+        if mix_qps < 0.8 * uni_qps:  # VERDICT r4 task #6 done-criterion
+            errs.append(
+                f"mixed-param throughput below 0.8x uniform: "
+                f"{mix_qps:.0f} qps vs {uni_qps:.0f} qps"
+            )
+        print(f"  mixed {mix_qps:.0f} qps vs uniform {uni_qps:.0f} qps "
+              f"({mix_qps / uni_qps:.2f}x), "
+              f"{srv.coalescer.batches} dispatches / "
+              f"{srv.coalescer.requests} requests", flush=True)
+    finally:
+        srv.stop()
+    return errs
+
+
 if __name__ == "__main__":
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     fails = 0
@@ -335,5 +421,16 @@ if __name__ == "__main__":
             print("  " + e)
     else:
         print("ok   concurrent-coalescing trial", flush=True)
-    print(f"{n_trials}+1 trials, {fails} failures, {time.time() - t0:.1f}s")
+    try:
+        merrs = mixed_param_concurrent_trial()
+    except Exception:
+        merrs = [f"harness crash: {traceback.format_exc()}"]
+    if merrs:
+        fails += 1
+        print("FAIL mixed-param-coalescing trial")
+        for e in merrs:
+            print("  " + e)
+    else:
+        print("ok   mixed-param-coalescing trial", flush=True)
+    print(f"{n_trials}+2 trials, {fails} failures, {time.time() - t0:.1f}s")
     sys.exit(1 if fails else 0)
