@@ -453,6 +453,17 @@ class FlaxChatModel:
                 enc["attention_mask"], ((0, 0), (pw, 0))
             )
             in_len = bucket
+        # clamp the decode budget to the model context: walking the KV
+        # cache past max_position_embeddings is a shape error inside
+        # attention. The reference bounds generation by n_ctx the same
+        # way (src/llama_chat.c:66-75 context sizing); callers keep
+        # their larger budgets on models with room for them.
+        if in_len >= self.n_ctx:
+            raise ValueError(
+                f"prompt occupies the whole context ({in_len} >= "
+                f"n_ctx={self.n_ctx}); nothing can be generated"
+            )
+        max_tokens = min(max_tokens, self.n_ctx - in_len)
         if grammar is not None:
             seqs = self._grammar_greedy_decode(
                 enc["input_ids"], enc["attention_mask"],
