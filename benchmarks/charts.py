@@ -552,6 +552,30 @@ def render_docs(recs: list[dict], charts: dict[str, dict],
     return written
 
 
+def check_same_machine_gate(
+    path="benchmarks/results/same_machine.jsonl",
+) -> list[str]:
+    """The every-row-wins invariant (round-4 VERDICT task #10): every
+    gated row of the same-machine head-to-head must have speedup >= 1x
+    (or a reference timeout). Returns violations; empty = pass."""
+    p = Path(path)
+    if not p.is_absolute() and not p.exists():
+        p = Path(__file__).resolve().parent.parent / path
+    if not p.exists():
+        return []
+    from benchmarks.ref_same_machine import check_all_rows_win
+
+    rows = [json.loads(ln) for ln in p.read_text().splitlines() if ln]
+    # the file is latest-per-(op, n) after compaction, but dedupe again
+    # defensively so a stale appended file can't hide behind old rows
+    latest: dict = {}
+    for r in rows:
+        key = (r["op"], r["n"])
+        if key not in latest or r.get("ts", 0) >= latest[key].get("ts", 0):
+            latest[key] = r
+    return check_all_rows_win(list(latest.values()))
+
+
 def analyse(jsonl_paths, charts_dir="benchmarks/charts",
             docs_dir="docs/benchmarks") -> tuple[list[Path], list[Path]]:
     recs = load_records(jsonl_paths)
@@ -564,4 +588,10 @@ def analyse(jsonl_paths, charts_dir="benchmarks/charts",
         p.write_text(json.dumps(fig, indent=1))
         chart_paths.append(p)
     doc_paths = render_docs(recs, charts, Path(docs_dir))
+    bad = check_same_machine_gate()
+    if bad:
+        raise SystemExit(
+            "same-machine rows below 1x (every-row-wins invariant, "
+            "VERDICT r4 #10): " + "; ".join(bad)
+        )
     return chart_paths, doc_paths

@@ -134,16 +134,44 @@ def _er_graph(rng, n, avg_deg):
 
 def _er_names(n_base: int) -> list[str]:
     """Synthetic company-name dataset for kg_resolve: n_base distinct
-    names, each with 2 systematic variants."""
+    names, each with 2 systematic variants (UPPERCASE; 'Hldgs'
+    abbreviation).
+
+    Name entropy SCALES with n_base (above the legacy 2000 tier, which
+    stays bit-stable for the committed small-size rows): with fixed
+    3+2-syllable names from a 16-syllable alphabet, birthday collisions
+    make distinct bases near-identical at ~10k+ (one-syllable-apart
+    names are unresolvable from names alone, so gold-cluster F1 is
+    information-theoretically capped no matter the resolver). Syllable
+    counts are chosen so the expected number of one-syllable-apart base
+    pairs stays <= 0.5% of n_base and the second-word crowding (bases
+    per shared second word) stays <= ~25 — keeping gold RECOVERABLE
+    while the task (case folding, abbreviation, shared rare tokens)
+    stays the hard part."""
     syll = ["zor", "mak", "tel", "vin", "qua", "rex", "bol", "nim",
             "gar", "plu", "sev", "tro", "wik", "yam", "dex", "cor"]
+    if n_base <= 2000:
+        s1, s2, alpha = 3, 2, syll
+    else:
+        onsets = ["z", "m", "t", "v", "q", "r", "b", "n",
+                  "g", "p", "s", "d", "w", "y", "k", "f"]
+        vowels = ["a", "e", "i", "o"]
+        alpha = [o + v + c for o in onsets for v in vowels
+                 for c in ("r", "x")][:64]
+        a = len(alpha)
+        s1 = 3
+        while (n_base * n_base / 2) * s1 * (a - 1) / a**s1 > 0.005 * n_base:
+            s1 += 1
+        s2 = 2
+        while n_base / a**s2 > 25:
+            s2 += 1
 
     def mk(i):
         r = np.random.default_rng(i)
         return (
-            "".join(r.choice(syll, 3)).capitalize()
+            "".join(r.choice(alpha, s1)).capitalize()
             + " "
-            + "".join(r.choice(syll, 2)).capitalize()
+            + "".join(r.choice(alpha, s2)).capitalize()
         )
 
     base = [f"{mk(i)} Holdings" for i in range(n_base)]

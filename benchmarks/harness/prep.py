@@ -54,7 +54,11 @@ def vss_data(rng, n: int, dim: int, n_q: int = 256,
 
 
 def er_cache_path(n_base: int) -> Path:
-    return DATA_DIR / f"er_names_{n_base}.json"
+    # v2 = entropy-scaled names above the legacy 2000 tier (see
+    # core._er_names); versioned path so stale caches can't serve the
+    # old collision-prone names
+    tag = "" if n_base <= 2000 else "_v2"
+    return DATA_DIR / f"er_names{tag}_{n_base}.json"
 
 
 def er_names(n_base: int) -> list[str]:

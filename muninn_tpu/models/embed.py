@@ -58,6 +58,71 @@ class HashEmbedModel:
         return out / np.maximum(norms, 1e-12)
 
 
+class TfidfHashEmbedModel(HashEmbedModel):
+    """Corpus-fit hashed TF-IDF embeddings: token directions from
+    ``HashEmbedModel``, weighted by inverse document frequency fit on a
+    corpus, plus (optional) character n-grams per word.
+
+    The ER blocking role (``er/resolve.py`` step 1 — the reference
+    blocks on real llama embeddings whose similarity already encodes
+    token rarity, ``src/llama_er.c:207-287``): a plain bag-of-words
+    hash embedding ranks candidates by SHARED TOKEN COUNT, so at scale
+    a corpus-wide token ("Holdings") crowds true rare-token variants
+    out of the k-NN neighborhood. IDF weighting restores the rarity
+    signal; word n-grams catch abbreviated variants ("Hldgs") whose
+    word token never matches.
+
+    Fit is one pass over the corpus; unseen tokens at embed time get
+    the max-IDF weight (they are maximally rare)."""
+
+    def __init__(self, dim: int = 64, seed: int = 0, ngram: int = 0):
+        super().__init__(dim=dim, seed=seed)
+        self.ngram = int(ngram)
+        self._idf: dict[str, float] = {}
+        self._max_idf = 1.0
+
+    def _pieces(self, text: str) -> list[str]:
+        toks = [p.lower() for p in self.tokenizer.pieces(text)]
+        if self.ngram > 1:
+            for w in list(toks):
+                if len(w) > self.ngram:
+                    toks += [
+                        w[i : i + self.ngram]
+                        for i in range(len(w) - self.ngram + 1)
+                    ]
+        return toks[: self.n_ctx]
+
+    def fit(self, corpus) -> "TfidfHashEmbedModel":
+        import math
+
+        df: dict[str, int] = {}
+        n = 0
+        for t in corpus:
+            n += 1
+            for tok in set(self._pieces(t)):
+                df[tok] = df.get(tok, 0) + 1
+        self._idf = {
+            tok: math.log((n + 1) / (c + 1)) + 1.0 for tok, c in df.items()
+        }
+        self._max_idf = math.log(n + 1) + 1.0
+        return self
+
+    def embed(self, texts) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            pieces = self._pieces(t)
+            if not pieces:
+                continue
+            acc = np.zeros(self.dim, np.float32)
+            for p in pieces:
+                acc += self._idf.get(p, self._max_idf) * self._token_vec(p)
+            out[i] = acc
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-12)
+
+
 class FlaxEmbedModel:
     """Transformers Flax encoder from a local path; mean pooling over
     the last hidden state, jitted and batched on TPU."""

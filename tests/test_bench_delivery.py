@@ -34,13 +34,22 @@ def _run_bench(env_extra, timeout_cmd=None):
 
 
 def _assert_record(lines):
-    # exactly one JSON line, and it carries the triage fields
-    assert len(lines) == 1, f"expected 1 JSON line, got: {lines!r}"
+    # exactly two JSON lines: the FULL record, then a COMPACT record
+    # printed LAST and small enough to survive any driver tail window
+    # whole (BENCH_r03/r04 both ended parsed=null because the tail cut
+    # the one huge line mid-record — VERDICT r4 Weak #1)
+    assert len(lines) == 2, f"expected 2 JSON lines, got: {lines!r}"
     rec = json.loads(lines[0])
     assert rec["metric"].startswith("exact_knn_qps")
     assert "status" in rec["extras"]
     assert rec["extras"]["floors"]["exact_qps"] > 0
     assert rec["extras"]["version"]["git"]
+    compact = json.loads(lines[1])
+    assert compact["extras"]["compact"] is True
+    assert compact["metric"] == rec["metric"]
+    assert compact["extras"]["status"] == rec["extras"]["status"]
+    assert compact["extras"]["git"] == rec["extras"]["version"]["git"]
+    assert len(lines[1]) < 1000, "compact record must fit a tail window"
     return rec
 
 
