@@ -70,6 +70,9 @@ FLOORS = {
     "hnsw_build_vec_per_s": 1_500.0,
     "northstar_1m_768d_exact_qps": 18_000.0,
     "northstar_1m_768d_ivf_p4_qps": 50_000.0,
+    # HNSW churn: exact-wave insert (r5 probe: 6,836 vec/s on chip vs
+    # 2,299 for the old ef_construction beam; VERDICT r4 #3 criterion)
+    "incr_insert_vec_per_s": 5_000.0,
     # IVF churn (r4 driver-captured: 6031 ins/s, 78.4k pending QPS)
     "ivf_incr_insert_vec_per_s": 2_500.0,
     "ivf_pending_qps": 30_000.0,
@@ -437,7 +440,9 @@ def main():
             idx.insert(np.arange(s, s + wave_n), corpus_all[s : s + wave_n])
             n_ins += wave_n
         _ = np.asarray(idx.neighbors0[0, 0])  # drain async dispatches
-        EXTRAS["incr_insert_vec_per_s"] = round(n_ins / (time.time() - t0), 1)
+        incr_rate = n_ins / (time.time() - t0)
+        MEDIANS["incr_insert_vec_per_s"] = incr_rate
+        EXTRAS["incr_insert_vec_per_s"] = round(incr_rate, 1)
 
         idx.delete(np.arange(0, 1024))  # warm delete/repair
         t0 = time.time()

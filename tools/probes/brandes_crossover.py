@@ -33,6 +33,15 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # sys.path AFTER jax init — PYTHONPATH-style early inserts break
+    # the axon plugin discovery (CLAUDE.md)
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     import numpy as np
 
     from muninn_tpu.graph.api import Graph

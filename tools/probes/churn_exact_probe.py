@@ -23,9 +23,15 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=384)
     args = ap.parse_args()
 
+    import sys
+    from pathlib import Path
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # PYTHONPATH breaks axon plugin discovery (CLAUDE.md): insert the
+    # repo root AFTER jax init when run from outside the repo
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
