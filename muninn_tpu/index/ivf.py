@@ -783,6 +783,34 @@ class IvfIndex:
         p = min(nprobe or self.nprobe, self.nlist)
         r = max(self.rescore_r, k)
         r = min(r, p * self.cluster_size)
+        # chunk big query batches: the probe step gathers a
+        # [B, p*s, d] block view, which scales HBM with B (a 99k-query
+        # batch at p=16, s=256, d=96 is a 78 GB transient — round-5 ER
+        # at-scale hit exactly this). The fused Pallas path streams
+        # blocks and never materializes the view; the XLA fallback
+        # (lane-unaligned d, interpret mode) does, so its chunk size is
+        # derived from the ~1.5 GB transient budget (the 2 GB device-
+        # temporary ceiling crashes the TPU worker — CLAUDE.md). Tails
+        # pad to a pow2 bucket (compile-shape rule).
+        qb = 8192
+        if not self._fused_ok():
+            per_q = p * self.cluster_size * self.dim * (
+                self.blocks.dtype.itemsize if self.blocks is not None else 4
+            )
+            qb = max(256, min(qb, int(1.5e9) // max(per_q, 1)))
+            qb = 1 << int(np.floor(np.log2(qb)))
+        if q.shape[0] > qb:
+            outs = []
+            for s0 in range(0, q.shape[0], qb):
+                outs.append(
+                    self.search_device(q[s0:s0 + qb], k, nprobe)
+                )
+            return (jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
+        bq = q.shape[0]
+        bucket = 1 << int(np.ceil(np.log2(max(bq, 64))))
+        if bq < bucket:
+            q = jnp.pad(q, ((0, bucket - bq), (0, 0)))
         d, slots = _ivf_search(
             q, self.centroids, self.blocks, self.member_slots,
             self.store.vectors, self.store.valid, self.metric,
@@ -795,7 +823,7 @@ class IvfIndex:
                 q, jnp.asarray(pend), k, interpret
             )
             d, slots = _merge_two(d, slots, pd, pslots, k)
-        return d, slots
+        return (d[:bq], slots[:bq]) if bq < bucket else (d, slots)
 
     def search(self, queries, k: int = 10, nprobe: int | None = None):
         """Batched ANN: returns ``(ids int64 [B, k], dists f32 [B, k])``

@@ -80,6 +80,16 @@ class TfidfHashEmbedModel(HashEmbedModel):
         self.ngram = int(ngram)
         self._idf: dict[str, float] = {}
         self._max_idf = 1.0
+        # token-direction memo: corpora repeat tokens massively (the
+        # whole point of IDF), and _token_vec is hash+PRNG per call
+        self._vec_cache: dict[str, np.ndarray] = {}
+
+    def _token_vec(self, tok: str) -> np.ndarray:
+        v = self._vec_cache.get(tok)
+        if v is None:
+            v = super()._token_vec(tok)
+            self._vec_cache[tok] = v
+        return v
 
     def _pieces(self, text: str) -> list[str]:
         toks = [p.lower() for p in self.tokenizer.pieces(text)]

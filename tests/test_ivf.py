@@ -324,3 +324,26 @@ def test_bf16_store_mode(module_rng):
             b, _ = idx3.search(q[:8], k=5)
             np.testing.assert_array_equal(a, b)
     assert recalls["bfloat16"] >= recalls["float32"] - 0.02, recalls
+
+
+def test_large_query_batch_chunks_internally(module_rng):
+    """Regression (round-5 ER at scale): a query batch past the chunk
+    size must not materialize the [B, p*s, d] gather in one piece (a
+    99k-query batch at d=96 was a 78 GB AOT allocation on chip). The
+    engine chunks internally; results must equal per-row searches."""
+    rng = module_rng
+    d, n = 24, 900
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IvfIndex(d, "cosine", cluster_size=32, nprobe=4, seed=0)
+    idx.insert(np.arange(n), x)
+    idx.rebuild()
+    big = np.repeat(x[:130], 65, axis=0)        # 8450 > the 8192 chunk
+    ids, dists = idx.search(big, k=3)
+    assert ids.shape == (8450, 3)
+    # rows across the chunk boundary match the same query's small-batch
+    # result (self-hit first, identical neighbor sets)
+    ref_ids, ref_d = idx.search(x[:130], k=3)
+    for probe_row in (0, 8191, 8192, 8449):
+        src = probe_row // 65
+        np.testing.assert_array_equal(ids[probe_row], ref_ids[src])
+        np.testing.assert_allclose(dists[probe_row], ref_d[src], rtol=1e-5)
