@@ -30,7 +30,7 @@ The public API mirrors the reference's SQL surface as plain Python:
 ``resolve_entities``.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from muninn_tpu.ops.distance import (  # noqa: F401
     Metric,
