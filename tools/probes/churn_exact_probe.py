@@ -19,6 +19,7 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="both")
+    ap.add_argument("--wave", type=int, default=2048)
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=384)
     args = ap.parse_args()
@@ -68,7 +69,7 @@ def main() -> None:
         _ = np.asarray(idx.neighbors0[0, 0])
         build_s = time.time() - t0
 
-        wave_n = 2048
+        wave_n = args.wave
         idx.wave_size = wave_n
         idx.insert(np.arange(N, N + wave_n), corpus_all[N:N + wave_n])
         _ = np.asarray(idx.neighbors0[0, 0])          # warm compile
