@@ -151,6 +151,16 @@ export class EngineClient {
     return this._request("/health");
   }
 
+  /** Server catalog + counters (index/graph rows, coalescer stats). */
+  async stats() {
+    return this._request("/stats");
+  }
+
+  /** One row per served index: {name, kind, dim, count}. */
+  async listIndexes() {
+    return (await this._request("/index/list")).indexes;
+  }
+
   async ping() {
     try {
       return Boolean((await this.health()).ok);

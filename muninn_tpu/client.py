@@ -135,6 +135,15 @@ class EngineClient:
     def health(self) -> dict:
         return self._request("/health")
 
+    def stats(self) -> dict:
+        """Server catalog + counters: index rows (name/kind/dim/count),
+        graph rows (name/nodes/edges), coalescer counters."""
+        return self._request("/stats")
+
+    def list_indexes(self) -> list:
+        """One row per served index: {name, kind, dim, count}."""
+        return self._request("/index/list")["indexes"]
+
     def ping(self) -> bool:
         try:
             return bool(self.health().get("ok"))

@@ -191,6 +191,19 @@ class EngineServer:
 
     # ── handlers ──
 
+    def _index_rows(self) -> list:
+        """Rows for GET /index/list and /stats: one dict per served
+        index (name, kind, dim, live count) — the catalog role of the
+        reference's sqlite_master over its vtabs."""
+        kind_of = {"FlatIndex": "flat", "QuantizedFlatIndex": "quantized",
+                   "HnswIndex": "hnsw", "IvfIndex": "ivf"}
+        return [
+            {"name": n, "kind": kind_of.get(type(i).__name__,
+                                            type(i).__name__),
+             "dim": i.dim, "count": len(i)}
+            for n, i in self.indexes.items()
+        ]
+
     def _index_create(self, body):
         from muninn_tpu.index.flat import FlatIndex, QuantizedFlatIndex
         from muninn_tpu.index.hnsw import HnswIndex
@@ -416,6 +429,19 @@ class EngineServer:
                         "ok": True,
                         "indexes": list(server.indexes),
                         "graphs": list(server.graphs),
+                        "search_requests": server.coalescer.requests,
+                        "search_batches": server.coalescer.batches,
+                    })
+                elif self.path == "/index/list":
+                    self._send(200, {"indexes": server._index_rows()})
+                elif self.path == "/stats":
+                    self._send(200, {
+                        "indexes": server._index_rows(),
+                        "graphs": [
+                            {"name": n, "nodes": g.num_nodes,
+                             "edges": g.num_edges}
+                            for n, g in server.graphs.items()
+                        ],
                         "search_requests": server.coalescer.requests,
                         "search_batches": server.coalescer.batches,
                     })

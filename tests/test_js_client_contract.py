@@ -94,6 +94,13 @@ def test_js_fixture_exchanges_replay_against_live_server(tmp_path):
             st, resp = _post(port, ex["path"], sub(ex["body"]))
             assert st == 200, (ex["js"], st, resp)
             _assert_expect(sub(ex["expect"]), resp, ex["js"])
+        for ex in FIXTURES["get_exchanges"]:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{ex['path']}", timeout=30
+            ) as r:
+                assert r.status == 200, ex["js"]
+                resp = json.loads(r.read())
+            _assert_expect(ex["expect"], resp, ex["js"])
         for ex in FIXTURES["error_exchanges"]:
             st, resp = _post(port, ex["path"], sub(ex["body"]))
             assert st == ex["expect_status"], (ex["js"], st, resp)
@@ -114,8 +121,11 @@ def test_js_source_endpoints_exist_on_server():
 
     js_paths = set(re.findall(r'_request\(\s*"(/[\w/]+)"', JS_SRC))
     assert js_paths, "could not parse endpoints from index.mjs"
-    for p in js_paths - {"/health"}:
+    GET_PATHS = {"/health", "/stats", "/index/list"}  # do_GET routes
+    for p in js_paths - GET_PATHS:
         assert p in routes, f"JS requests unknown endpoint {p}"
+    for p in GET_PATHS & js_paths:
+        assert f'"{p}"' in Path(serve_mod.__file__).read_text()
 
     # the JS retry allowlist must match the Python SDK's exactly — a
     # divergence would retry mutations in one SDK but not the other
@@ -151,6 +161,8 @@ def test_fixture_bodies_match_js_source():
     code doesn't implement; and each fixture's path is requested
     somewhere in the JS source."""
     js_paths = set(re.findall(r'_request\(\s*"(/[\w/]+)"', JS_SRC))
+    for ex in FIXTURES["get_exchanges"]:
+        assert ex["path"] in js_paths, ex["path"]
     for ex in FIXTURES["exchanges"] + FIXTURES["error_exchanges"]:
         assert ex["path"] in js_paths, ex["path"]
         for key in ex["body"]:

@@ -540,6 +540,32 @@ def test_search_coalescing_validates_inputs_individually(rng):
         srv.stop()
 
 
+def test_stats_and_list_indexes(rng):
+    """GET /stats and /index/list (the catalog role): both SDK
+    allowlists named these as idempotent retry targets, so they must
+    actually exist and report the served objects."""
+    from muninn_tpu.client import EngineClient
+
+    srv = EngineServer()
+    port = srv.start(port=0)
+    try:
+        c = EngineClient(f"http://127.0.0.1:{port}")
+        assert c.list_indexes() == []
+        x = rng.standard_normal((20, 8)).astype(np.float32)
+        idx = c.create_index("cat", 8, kind="flat")
+        idx.insert(list(range(20)), x.tolist())
+        c.create_graph("g", src=["a"], dst=["b"])
+        rows = c.list_indexes()
+        assert rows == [{"name": "cat", "kind": "flat", "dim": 8,
+                         "count": 20}]
+        st = c.stats()
+        assert st["indexes"] == rows
+        assert st["graphs"] == [{"name": "g", "nodes": 2, "edges": 1}]
+        assert "search_requests" in st
+    finally:
+        srv.stop()
+
+
 def test_search_coalescing_merges_mixed_params(rng):
     """Round-4 VERDICT task #6: concurrent searches with DIFFERENT
     k/ef/nprobe against the same index share engine dispatches (pad to
